@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational operator coverage (SURVEY.md §2.5): the reference exposes no
+  * relational algebra beyond per-event callbacks; capability-parity comes
+  * from Spark's Dataset operators, surfaced here as concrete queries the
+  * driver verifies against a DuckDB oracle.
+  *
+  * Numeric discipline (oracle parity at any parallelism): SUMs over double
+  * columns cast to DECIMAL(18,2) first — decimal addition is exact and
+  * associative, so Spark's partial-aggregation order (map-side combine,
+  * AQE re-planned shuffles) cannot change the result. Intermediates are
+  * NEVER rounded (Spark rounds HALF_UP, DuckDB HALF_EVEN — rounding a
+  * product to scale 2 diverges on exact half-cents); only the final
+  * aggregate is cast, to DOUBLE, which is IEEE round-to-nearest on the
+  * exact decimal in both engines.
+  */
+object RelationalQueries {
+  private val d = DecimalType(18, 2)
+  private def dec(c: String) = col(c).cast(d)
+  /** revenue term: exact decimal, full scale kept */
+  private def disc(price: String, discount: String) =
+    dec(price) * (lit(1).cast(d) - dec(discount))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full-scan aggregate with map-side partial agg; mirrors TPC-H Q1.
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+          sum(disc("l_extendedprice", "l_discount")).cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Filter + projection — predicate and column pruning reach the scan.
+    "q2_filter_project" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > lit(45.0) && col("l_returnflag") === lit("R"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // 3-way join: fact-to-dim joins broadcast (dims stay small even at
+    // 100 TB fact scale); orders-lineitem shuffles on the join key once.
+    "q3_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(disc("l_extendedprice", "l_discount")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Top-k with full tie-break ordering → deterministic.
+    "q4_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty
+        |FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin
+  )
+}
