@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational capabilities the reference lacks entirely (SURVEY.md §2.5:
+  * "no sorts, limits, top-k, grouping sets, set operations, ranking
+  * functions, scalar function library") — surfaced from Spark built-ins
+  * so a reference user gets them when switching.
+  */
+object AnalyticQueries {
+  private val d = DecimalType(18, 2)
+  private def dec(c: String) = col(c).cast(d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP grouping sets; nulls replaced with a sentinel so ordering is
+    // engine-independent.
+    "a1_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Ranking window function: top-3 orders per customer.
+    "a2_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Set operations: (BUILDING ∪ AUTOMOBILE customers) minus big spenders.
+    "a3_setops" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val seg = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .union(c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey").as("custkey")))
+      val big = o.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("custkey"))
+      seg.except(big).orderBy(col("custkey"))
+    }),
+
+    // Exact distinct aggregation (expand-based in Spark; two-phase at scale).
+    "a4_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Scalar function library: string/date/math (reference has none; users
+    // write arbitrary Python — here they're codegen'd built-ins).
+    "a5_scalar_funcs" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          length(col("o_orderpriority")).as("prio_len"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_1"),
+          abs(col("o_totalprice") - lit(100000.0)).as("dist_100k"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "a6_semi_anti" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+      withOrders.union(withoutOrders).orderBy(col("kind"))
+    }),
+
+    // Pivot: event counts per user × event_type (dynamic→wide schema).
+    "a7_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "a2_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "a3_setops" ->
+      """(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION ALL
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin,
+    "a4_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a5_scalar_funcs" ->
+      """SELECT o_orderkey, UPPER(o_orderstatus) AS status_u,
+        |  CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+        |  substring(o_orderpriority, 1, 1) AS prio_1,
+        |  abs(o_totalprice - 100000.0) AS dist_100k,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "a6_semi_anti" ->
+      """SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+    "a7_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

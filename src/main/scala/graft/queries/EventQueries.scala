@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Stream-operator semantics from the reference, expressed over the
+  * `events` table in batch form so the driver's DuckDB oracle can verify
+  * them. The same window/session/join primitives run unchanged under
+  * Structured Streaming (see graft.streaming); batch is how correctness
+  * is graded.
+  *
+  * Operator mapping (SURVEY.md §2):
+  *  - w1/w2/w3: window assigners (pspf/processing/windows.py:18-65) →
+  *    Spark `window`/`session_window`
+  *  - w4/w8: keyed fold aggregation (pspf/stream.py:349-471, context
+  *    state pspf/context.py:5-14) → groupBy().agg
+  *  - w5/w6: watermark + late split (pspf/stream.py:391-413)
+  *  - o2/o3: DSL map/filter (pspf/processing/dsl.py:17-29)
+  *  - o5: Router first-match predicate routing (pspf/topology.py:10-46)
+  *  - o7: schema/JSON deserialization (pspf/connectors/valkey.py:178-193)
+  *  - w12: idempotent dedup by id (pspf/connectors/base.py:55-70)
+  *  - j1: windowed stream-stream equi-join (pspf/topology.py:49-102)
+  *
+  * Timestamps: events.ts is ns-precision parquet; Spark truncates to µs.
+  * All outputs floor to whole epoch seconds, and all bucket/gap logic
+  * operates at ≥second granularity, so the truncation cannot flip a
+  * bucket (floor is invariant under sub-µs truncation).
+  */
+object EventQueries {
+  private val d = DecimalType(18, 2)
+  private def dec(c: String) = col(c).cast(d)
+  private def sumv = sum(dec("value")).cast(DoubleType).as("sum_value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1 tumbling window: 1h fixed buckets per event_type.
+    "w1_tumbling_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumv)
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // W2 sliding window: 2h size / 1h slide — each event lands in 2 windows
+    // (end-exclusive assignment, matching the reference's backtracking
+    // assigner semantics verified in its tests/test_windows.py:22-36).
+    "w2_sliding_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumv)
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // W3 session window: 6h inactivity gap per user; start = first event.
+    "w3_session_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sumv)
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // W5/W6 watermark + late-event split: watermark = max(ts) - 24h; the
+    // reference routes window_end < watermark to a {topic}-late side
+    // output (pspf/stream.py:402-413). Batch form labels both legs.
+    "w5_late_split" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val wm = e.agg(max(col("ts")).as("max_ts"))
+      e.crossJoin(broadcast(wm))
+        .withColumn("status",
+          when(col("ts") < col("max_ts") - expr("interval 24 hours"), "late")
+            .otherwise("ontime"))
+        .groupBy(col("event_type"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("status"))
+    }),
+
+    // O2/O3 map + filter chain (DSL `map`/`filter`).
+    "o2_map_filter" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === lit("click"))
+        .select(col("event_id"), (col("value") * lit(2.0)).as("doubled"))
+        .orderBy(col("event_id"))
+    }),
+
+    // O5 Router: ordered first-match predicate → route, with default.
+    "o5_router" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withColumn("route",
+          when(col("value") > 300, "high_value")
+            .when(col("value") > 100, "mid_value")
+            .otherwise("standard"))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"), sumv)
+        .orderBy(col("route"))
+    }),
+
+    // O7 dynamic-schema JSON payload extraction (props is a JSON string,
+    // like the reference's value: Dict[str,Any]).
+    "o7_json_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // W8 per-key running state (wordcount analog): final state per user.
+    "w8_keyed_state" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sumv,
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W12 idempotent dedup: first event per (user_id, event_type) —
+    // deterministic min-id representative rather than dropDuplicates'
+    // arbitrary row, so the oracle can match it.
+    "w12_dedup_first" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event_id"),
+          count(lit(1)).as("n_dupes"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // J1 windowed stream-stream equi-join: click→purchase pairs for the
+    // same user within 4h. Equi-key + time-range condition is exactly the
+    // reference Joiner's buffer/probe contract.
+    "j1_interval_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      c.join(p, col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 4 hours"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "w1_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w2_sliding_window" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hb, event_type, value FROM events),
+        |w AS (SELECT hb*3600 AS window_start, event_type, value FROM e
+        |      UNION ALL
+        |      SELECT (hb-1)*3600 AS window_start, event_type, value FROM e)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w3_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "w5_late_split" ->
+      """SELECT event_type,
+        |  CASE WHEN ts < (SELECT MAX(ts) FROM events) - INTERVAL 24 HOUR
+        |       THEN 'late' ELSE 'ontime' END AS status,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "o2_map_filter" ->
+      """SELECT event_id, value * 2.0 AS doubled
+        |FROM events WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "o5_router" ->
+      """SELECT CASE WHEN value > 300 THEN 'high_value'
+        |            WHEN value > 100 THEN 'mid_value'
+        |            ELSE 'standard' END AS route,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o7_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w8_keyed_state" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w12_dedup_first" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "j1_interval_join" ->
+      """SELECT c.user_id, COUNT(*) AS n_pairs
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+  )
+}
