@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for large-scale training-data pipelines.
+  *
+  * All are compositions of codegen'd Spark built-ins (no UDFs), so they
+  * stay inside WholeStageCodegen and push work to the executors — the
+  * per-document cost is what matters when the documents table is 100 TB.
+  *
+  * The reference has no scalar function surface at all (SURVEY.md §2.5);
+  * these extend it per the north-star LLM-pipeline requirements.
+  */
+object TextFunctions {
+  /** Tokens = maximal non-whitespace runs. Avoids split()'s empty-string
+    * artifacts on leading/trailing whitespace. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of punctuation chars (fixed class, engine-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in")
+  private def arrayLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * quality-filter feature. */
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(stopEn)))
+
+  /** Composite quality features; ratios are exact IEEE divisions of
+    * integer counts → deterministic across engines and parallelism. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    Seq(
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (punctCount(text).cast("double") / length(text)).as("punct_ratio"),
+      (stopwordCount(toks).cast("double") / size(toks)).as("stop_ratio"),
+      (length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text)).as("upper_ratio")
+    )
+  }
+
+  /** Language-ID by stopword-list scoring (tiny n-gram-free heuristic;
+    * deterministic argmax with fixed priority en>de>fr>es, 'und' if no
+    * hits). Real pipelines would swap in fastText-style models via
+    * mapPartitions; the relational shape stays identical. */
+  def langScores(toks: Column): Map[String, Column] = Map(
+    "en" -> size(filter(toks, t => t.isInCollection(Seq("the", "a", "and", "of", "is")))),
+    "de" -> size(filter(toks, t => t.isInCollection(Seq("der", "die", "das", "und", "ist")))),
+    "fr" -> size(filter(toks, t => t.isInCollection(Seq("le", "la", "et", "les", "est")))),
+    "es" -> size(filter(toks, t => t.isInCollection(Seq("el", "los", "y", "las", "es"))))
+  )
+
+  def langId(text: Column): Column = {
+    val s = langScores(tokens(text))
+    val (en, de, fr, es) = (s("en"), s("de"), s("fr"), s("es"))
+    when(en + de + fr + es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Content fingerprint: md5 (identical output in any engine, unlike
+    * engine-private hash functions). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Requires
+    * size(tokens) >= n (filter first). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+    )
+}

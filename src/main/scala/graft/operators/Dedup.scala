@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is a shuffle-on-key plan, never a cross
+  * join. Exact dedup shuffles on the content hash; near-dup variants
+  * shuffle on shingles / LSH band signatures, so the quadratic pair
+  * space is only materialized per bucket. At 100 TB the knobs are the
+  * shingle length, number of hashes, and band width — the plan shape
+  * (explode → shuffle → bucket self-join) is already the cluster one.
+  *
+  * Cross-engine determinism: every hash is md5 (same hex output in any
+  * engine); MinHash takes lexicographic minima of md5 hex strings, so a
+  * DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one representative (min id) per hash
+    * plus duplicate count. Streaming form: dropDuplicates on the hash
+    * with a watermark. */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(md5(col(text)).as("content_hash"), col(id))
+      .groupBy(col("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-n-gram shingles per document: (id, s). The explode is
+    * the map side; everything downstream shuffles on the shingle. */
+  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    docs.select(col(id), tokens(col(text)).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(id), explode(shingles(col("ws"), n)).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs above `threshold`.
+    * inter(a,b) via shingle self-join (shuffle on shingle — skewed hot
+    * shingles would be salted at scale); |A|,|B| joined back in. */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, id, text, n)
+    val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col(s"a.s") === col(s"b.s") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("da"), col(s"b.$id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col(id).as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col(id).as("db"), col("n_sh").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") > threshold)
+  }
+
+  /** MinHash signature rows: (id, seed, mh) where
+    * mh = min over shingles of md5(seed || '|' || shingle). */
+  def minhash(sh: DataFrame, id: String, numHashes: Int): DataFrame =
+    sh.withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
+      .groupBy(col(id), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s")))).as("mh"))
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one band of
+    * `rowsPerBand` consecutive minhashes. The band signature is the
+    * sorted multiset of the band's minhashes (order-free → deterministic
+    * under any aggregation order). Only bucket-mates are paired — this is
+    * the plan that survives 100 TB, vs the exact-Jaccard quadratic probe. */
+  def minhashLshPairs(docs: DataFrame, id: String, text: String,
+                      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhash(shingleSet(docs, id, text, shingleN), id, numHashes)
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+    val bands = sig.groupBy(col(id), col("band"))
+      .agg(concat_ws("|", array_sort(collect_list(col("mh")))).as("bsig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from token md5s, fully relational (explode tokens ×
+    * 8 hex chars × 4 bits → majority vote per bit). Engine-portable: only
+    * md5, instr, shifts. Hamming-close fingerprints ≈ near-dups. */
+  def simhash32(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), explode(tokens(col(text))).as("t"))
+      .select(col(id), md5(col("t")).as("h"))
+      .withColumn("p", explode(sequence(lit(1), lit(8))))
+      .withColumn("v", expr("instr('0123456789abcdef', substr(h, p, 1)) - 1"))
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select(col(id), col("p"), col("b"),
+        expr("CASE WHEN (shiftright(v, b) % 2) = 1 THEN 1 ELSE -1 END").as("contrib"))
+      .groupBy(col(id), col("p"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col(id),
+        expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), (8 - p) * 4 + b) ELSE 0 END").as("term"))
+      .groupBy(col(id))
+      .agg(sum(col("term")).as("simhash32"))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Numeric determinism: elements are cast to double BEFORE multiplying
+  * (float→double is exact, double ops are IEEE-identical everywhere);
+  * `aggregate` folds sequentially so Spark's result is order-stable.
+  * A DuckDB oracle sums in its own order — both are rounded to 6 d.p.,
+  * where a ~1e-15 cross-order discrepancy cannot flip the digit.
+  *
+  * Scale design: brute-force is the correctness baseline (fine when the
+  * query side is small and broadcast). The LSH-bucketed variant
+  * (`lshTopK`) is the 100 TB path: random-hyperplane signatures put
+  * near vectors in shared buckets, so the candidate join shuffles on the
+  * bucket key instead of crossing query × corpus.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two Array[Float] columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Corpus with precomputed squared norms (computed once, reused by
+    * every probe — at scale this is a materialized column). */
+  def withNorm(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("nrm", norm2(col(vec)))
+
+  /** Brute-force cosine top-k: each query row against the full corpus.
+    * `queries` is expected to be small → broadcast, so the plan is one
+    * corpus scan with no shuffle until the per-query top-k aggregation. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+                 k: Int): DataFrame = {
+    val q = withNorm(queries, vec)
+      .select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"))
+    val c = withNorm(corpus, vec)
+      .select(col(id).as("cid"), col(vec).as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rk"))
+  }
+
+  /** All pairs with cosine above `threshold` (embedding near-dup dedup).
+    * Self-join keyed on id inequality; at scale replaced by lshTopK
+    * buckets feeding the same scoring expression. */
+  def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val e = withNorm(df, vec)
+    val a = e.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na"))
+    val b = e.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb"))
+    a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") > threshold)
+  }
+
+  /** Random-hyperplane LSH bucket key: sign bits of dot(v, h_i) for
+    * deterministic pseudo-hyperplanes derived from md5(i || dim) — no
+    * RNG, so signatures are reproducible across runs and engines. */
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { i =>
+      // h_i[d] = (md5-derived value in [-0.5, 0.5))
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, d) => x.cast("double") *
+            (conv(substring(md5(concat(lit(i.toString), lit("_"), d.cast("string"))), 1, 6), 16, 10)
+              .cast("double") / lit(16777216.0) - lit(0.5))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN via LSH buckets: candidates share a signature; score only within
+    * bucket. Recall < 1 by construction; union multiple signature tables
+    * (different plane seeds) to raise it. */
+  def lshTopK(df: DataFrame, id: String, vec: String, dim: Int,
+              nPlanes: Int, k: Int): DataFrame = {
+    val sig = df.withColumn("sig", lshSignature(col(vec), dim, nPlanes))
+    val e = withNorm(sig, vec)
+    val a = e.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na"), col("sig"))
+    val b = e.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"), col("sig"))
+    val scored = a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

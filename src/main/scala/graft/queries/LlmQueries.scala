@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators (north star beyond the reference):
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * Each query wraps the reusable operator in graft.operators / functions
+  * and has a DuckDB oracle that reproduces the algorithm exactly (md5 as
+  * the only hash → engine-portable).
+  */
+object LlmQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text quality features (all codegen'd built-ins, no UDFs).
+    "l1_text_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id") +: TextFunctions.qualityColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic (stopword scoring, fixed-priority argmax).
+    "l2_text_langid" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(TextFunctions.langId(col("text")).as("lang_detected"))
+        .groupBy(col("lang_detected")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_detected"))
+    }),
+
+    // Content fingerprint per document.
+    "l3_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup by content hash.
+    "l4_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    // Exact 3-gram Jaccard near-dup pairs (> 0.8).
+    "l5_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // MinHash-LSH candidate pairs (8 hashes, bands of 2).
+    "l6_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // 32-bit SimHash fingerprints.
+    "l7_simhash" -> ((s, dir) => {
+      Dedup.simhash32(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding near-dup pairs: cosine > 0.4.
+    "l8_embed_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // Brute-force cosine top-3 for query vectors vec_id < 10.
+    "l9_ann_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.cosineTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 3)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Multimodal binary metadata plumbing (payload byte length + hash).
+    "l10_mm_binary" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          md5(col("text")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "l1_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+        |    / len(regexp_extract_all(text, '\S+')) AS stop_ratio,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l2_text_langid" ->
+      """WITH sc AS (SELECT
+        |  len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['the','a','and','of','is'], x))) AS en,
+        |  len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |  len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['le','la','et','les','est'], x))) AS fr,
+        |  len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['el','los','y','las','es'], x))) AS es
+        |FROM documents)
+        |SELECT CASE WHEN en + de + fr + es = 0 THEN 'und'
+        |            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |            WHEN de >= fr AND de >= es THEN 'de'
+        |            WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_detected,
+        |  COUNT(*) AS n
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l3_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "l4_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "l5_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8
+        |ORDER BY da, db""".stripMargin,
+    "l6_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2)
+        |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+        |ORDER BY da, db""".stripMargin,
+    "l7_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |bits AS (SELECT doc_id, p, b,
+        |    CASE WHEN ((instr('0123456789abcdef', substr(h, p, 1)) - 1) >> b) & 1 = 1
+        |         THEN 1 ELSE -1 END AS c
+        |  FROM h, UNNEST(generate_series(1, 8)) tp(p), UNNEST(generate_series(0, 3)) tb(b)),
+        |s AS (SELECT doc_id, p, b, SUM(c) AS s FROM bits GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS simhash32
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "l8_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS da, b.vec_id AS db,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(a.nrm * b.nrm), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(a.nrm * b.nrm), 6) > 0.4
+        |ORDER BY da, db""".stripMargin,
+    "l9_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(q.nrm * c.nrm), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |rk AS (SELECT qid, cid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM scored)
+        |SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin,
+    "l10_mm_binary" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
