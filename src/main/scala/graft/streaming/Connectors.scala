@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Connector contract (reference: StreamingBackend ABC,
+  * pspf/connectors/base.py:80-174 — connect/read_batch/ack/add_event/DLQ).
+  *
+  * In Spark the read/ack/claim/checkpoint surface collapses into
+  * readStream + checkpointLocation (offsets and state commit atomically
+  * per micro-batch — the reference's hand-built EOS protocol,
+  * pspf/state/store.py:52-64, is the engine default here). What remains
+  * of the contract is topic→path/config resolution and the DLQ/late
+  * side-topic naming convention.
+  */
+trait Connector {
+  def readStream(spark: SparkSession, topic: String): DataFrame
+  def readBatch(spark: SparkSession, topic: String): DataFrame
+  def writeBatch(df: DataFrame, topic: String): Unit
+  def writeStream(df: DataFrame, topic: String, checkpoint: String,
+                  outputMode: String = "append"): StreamingQuery
+
+  /** DLQ topic naming, as the reference's `{topic}-dlq`
+    * (pspf/connectors/valkey.py:222-248). */
+  final def dlqTopic(topic: String): String = s"$topic-dlq"
+  /** Late-event side topic `{topic}-late` (pspf/stream.py:402-413). */
+  final def lateTopic(topic: String): String = s"$topic-late"
+}
+
+/** File-backed topics: one directory per topic under `root`, NDJSON
+  * (reference: FileStreamBackend, pspf/connectors/file.py:10-110 —
+  * line-number offsets become Spark file-source offsets in the
+  * checkpoint; the `.dlq` side file becomes a side directory).
+  *
+  * Scale: a directory-of-files topic is object-storage-native; listing
+  * cost is controlled via maxFilesPerTrigger and compaction jobs.
+  */
+final class FileConnector(root: String, schema: StructType) extends Connector {
+  private def path(topic: String) = s"$root/$topic"
+
+  override def readStream(spark: SparkSession, topic: String): DataFrame =
+    spark.readStream.schema(schema).json(path(topic))
+
+  override def readBatch(spark: SparkSession, topic: String): DataFrame =
+    spark.read.schema(schema).json(path(topic))
+
+  override def writeBatch(df: DataFrame, topic: String): Unit =
+    df.write.mode("append").json(path(topic))
+
+  override def writeStream(df: DataFrame, topic: String, checkpoint: String,
+                           outputMode: String): StreamingQuery =
+    df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("json").start(path(topic))
+}
+
+/** Kafka wiring (reference: KafkaStreamBackend,
+  * pspf/connectors/kafka.py:20-271). Manual commit / max-offset logic
+  * (:149-190) is subsumed by the checkpoint; consumer lag (:230-270) is
+  * observable via StreamingQueryProgress. NOTE: requires the
+  * spark-sql-kafka package on the classpath (not shipped in this
+  * environment — construction succeeds, start() would fail fast). */
+final class KafkaConnector(bootstrap: String) extends Connector {
+  override def readStream(spark: SparkSession, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  override def readBatch(spark: SparkSession, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+
+  override def writeBatch(df: DataFrame, topic: String): Unit =
+    df.write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+
+  override def writeStream(df: DataFrame, topic: String, checkpoint: String,
+                           outputMode: String): StreamingQuery =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(outputMode)
+      .start()
+}
+
+/** In-memory topics for tests (reference: MemoryBackend,
+  * pspf/connectors/memory.py:10-160). Reads are backed by
+  * `MemoryStream` created by the test (passed in), writes land in
+  * `memory` sink tables named after the topic. */
+final class MemoryConnector(streams: Map[String, DataFrame]) extends Connector {
+  override def readStream(spark: SparkSession, topic: String): DataFrame =
+    streams.getOrElse(topic,
+      throw new IllegalArgumentException(s"no memory stream registered for topic $topic"))
+
+  override def readBatch(spark: SparkSession, topic: String): DataFrame =
+    spark.table(topic.replace('-', '_'))
+
+  override def writeBatch(df: DataFrame, topic: String): Unit =
+    df.createOrReplaceTempView(topic.replace('-', '_'))
+
+  override def writeStream(df: DataFrame, topic: String, checkpoint: String,
+                           outputMode: String): StreamingQuery =
+    df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName(topic.replace('-', '_'))
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

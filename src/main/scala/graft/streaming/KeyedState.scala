@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Arbitrary per-key fold state (reference: windowed fold aggregation
+  * pspf/stream.py:349-471 and Context.state KV surface
+  * pspf/context.py:5-14, pspf/state/store.py:5-64).
+  *
+  * The reference exposes a get/put KV store to handlers and folds
+  * `handler(event, state) -> state` per (key, window); Spark's
+  * `mapGroupsWithState` is the same contract with the state store,
+  * checkpointing and timeout-based TTL supplied by the engine (RocksDB
+  * provider available for large state — rocksdbjni ships in this
+  * environment).
+  */
+object KeyedState {
+
+  /** Running fold per key, emitting the updated state each trigger —
+    * the reference's `@stream.subscribe` + ctx.state wordcount pattern
+    * (examples/stateful_wordcount.py:27-42). */
+  def runningFold[K: Encoder, V: Encoder, S: Encoder](
+      ds: Dataset[V], key: V => K, zero: S)(fold: (S, V) => S)(
+      implicit ks: Encoder[(K, S)]): Dataset[(K, S)] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[S, (K, S)](GroupStateTimeout.NoTimeout()) {
+        (k: K, values: Iterator[V], state: GroupState[S]) =>
+          val cur = state.getOption.getOrElse(zero)
+          val next = values.foldLeft(cur)(fold)
+          state.update(next)
+          (k, next)
+      }
+
+  /** TTL'd state variant (reference: StateStore TTL,
+    * pspf/state/backends/rocksdb_store.py:92-126 lazy eviction →
+    * processing-time timeout eviction here). */
+  def runningFoldTtl[K: Encoder, V: Encoder, S: Encoder](
+      ds: Dataset[V], key: V => K, zero: S, ttlMs: Long)(fold: (S, V) => S)(
+      implicit ks: Encoder[(K, S)]): Dataset[(K, S)] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[S, (K, S)](GroupStateTimeout.ProcessingTimeTimeout()) {
+        (k: K, values: Iterator[V], state: GroupState[S]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(zero)
+            state.remove()
+            (k, last)
+          } else {
+            val next = values.foldLeft(state.getOption.getOrElse(zero))(fold)
+            state.update(next)
+            state.setTimeoutDuration(ttlMs)
+            (k, next)
+          }
+      }
+}

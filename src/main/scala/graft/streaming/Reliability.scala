@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import scala.util.{Failure, Success, Try}
+
+/** The reliability layer: per-row retry→DLQ, DLQ metadata enrichment,
+  * idempotent sinks, late-event side output, DLQ replay.
+  *
+  * Reference semantics preserved / mechanism made idiomatic:
+  *  - per-message retry count + DLQ after max (pspf/processor.py:349-380,
+  *    default max_retries=3 pspf/settings.py:38): Spark retries whole
+  *    tasks, so row-level retry happens in-batch with the same
+  *    exponential-backoff schedule, and terminal failures are enriched
+  *    and appended to `{topic}-dlq` within the same foreachBatch.
+  *  - DLQ enrichment `_error/_original_stream/_original_msg_id/
+  *    _moved_timestamp` (pspf/connectors/valkey.py:222-248).
+  *  - idempotent sink: token check-execute-record around the side effect
+  *    (pspf/connectors/base.py:48-70) → in-batch dropDuplicates + durable
+  *    token-set anti-join. Token store here is a parquet directory; at
+  *    cluster scale the same contract is a Delta table or KV store, and
+  *    the anti-join broadcasts the recent-token window instead of the
+  *    full history.
+  *  - DLQ replay: strip `_`-metadata, re-append to main topic
+  *    (pspf/cli.py:139-179, pspf/utils/replay.py:12-51).
+  */
+object Reliability {
+
+  val DefaultMaxRetries = 3
+
+  /** Reference's backoff schedule (pspf/processor.py:368-373), computed
+    * deterministically (the reference adds random jitter to sleep time —
+    * timing, not semantics). */
+  def backoffMs(attempt: Int, baseMs: Long = 100L): Long =
+    baseMs * (1L << math.min(attempt, 10))
+
+  /** Annotate each row with `_error` (null on success) after running `op`
+    * with up to `maxRetries` in-batch retries. Runs on executors inside
+    * mapPartitions — the driver never sees rows. */
+  def annotateWithRetry(df: DataFrame, maxRetries: Int)(op: Row => Unit): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("_error", StringType))
+    df.mapPartitions { it =>
+      it.map { row =>
+        var attempt = 0
+        var err: String = null
+        var done = false
+        while (!done && attempt <= maxRetries) {
+          Try(op(row)) match {
+            case Success(_) => done = true; err = null
+            case Failure(e) =>
+              err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+              attempt += 1 // a live sink would sleep backoffMs(attempt) here
+          }
+        }
+        Row.fromSeq(row.toSeq :+ (if (done) null else err))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** DLQ enrichment, matching the reference's metadata keys. */
+  def enrichForDlq(failed: DataFrame, topic: String, idCol: String): DataFrame =
+    failed
+      .withColumn("_original_stream", lit(topic))
+      .withColumn("_original_msg_id", col(idCol).cast("string"))
+      .withColumn("_moved_timestamp", current_timestamp())
+
+  /** Reliable foreachBatch body: per-row op with retry; terminal failures
+    * land enriched in `{topic}-dlq`. Returns (nOk, nFailed). */
+  def reliableBatch(c: Connector, topic: String, idCol: String,
+                    maxRetries: Int = DefaultMaxRetries)(op: Row => Unit)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val results = annotateWithRetry(batch, maxRetries)(op).cache()
+      try {
+        val failed = results.filter(col("_error").isNotNull)
+        if (!failed.isEmpty)
+          c.writeBatch(enrichForDlq(failed, topic, idCol), c.dlqTopic(topic))
+      } finally results.unpersist()
+    }
+
+  /** Idempotent write: skip rows whose id already holds a token; record
+    * new tokens after the side effect (reference token
+    * `pspf:sink:{name}:{event_id}`, base.py:48-53). Returns rows written. */
+  def idempotentWrite(spark: SparkSession, batch: DataFrame, idCol: String,
+                      tokenDir: String)(write: DataFrame => Unit): Long = {
+    val inBatch = batch.dropDuplicates(idCol)
+    val fresh = Try(spark.read.parquet(tokenDir)).toOption match {
+      case Some(tok) => inBatch.join(tok, inBatch(idCol) === tok("token_id"), "left_anti")
+      case None => inBatch
+    }
+    val freshC = fresh.cache()
+    try {
+      val n = freshC.count()
+      if (n > 0) {
+        write(freshC)
+        freshC.select(col(idCol).cast("string").as("token_id"))
+          .write.mode("append").parquet(tokenDir)
+      }
+      n
+    } finally freshC.unpersist()
+  }
+
+  /** Late-event side output (reference: pspf/stream.py:402-413 — events
+    * older than the watermark go to `{topic}-late` instead of Spark's
+    * silent drop). Split on a watermark the caller reads from
+    * `StreamingQueryProgress.eventTime` (one-batch lag vs the reference's
+    * per-event check — documented divergence). Returns (onTime, late). */
+  def lateSplit(batch: DataFrame, tsCol: String, watermark: java.sql.Timestamp)
+      : (DataFrame, DataFrame) =
+    (batch.filter(col(tsCol) >= lit(watermark)),
+      batch.filter(col(tsCol) < lit(watermark)))
+
+  /** DLQ replay: strip `_`-prefixed metadata, re-append to main topic. */
+  def replayDlq(spark: SparkSession, c: Connector, topic: String): Long = {
+    val dlq = c.readBatch(spark, c.dlqTopic(topic))
+    val clean = dlq.columns.filter(_.startsWith("_")).foldLeft(dlq)(_ drop _)
+    val n = clean.count()
+    if (n > 0) c.writeBatch(clean, topic)
+    n
+  }
+}

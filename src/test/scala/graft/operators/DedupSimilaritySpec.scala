@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = docs((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+    val got = Dedup.exact(d, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard computes the hand-checked value") {
+    // 3-gram shingles: {a b c, b c d} vs {a b c, b c e}: inter=1 union=3
+    val d = docs((1L, "a b c d"), (2L, "a b c e"))
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.0)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("minhash LSH pairs identical docs, not disjoint ones") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6"))
+    val got = Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("simhash is identical for identical docs, differs for disjoint vocab") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
+    val got = Dedup.simhash32(d, "doc_id", "text")
+      .select("doc_id", "simhash32").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got(1L) >= 0 && got(1L) < (1L << 32))
+  }
+
+  test("cosine top-k ranks by hand-computed cosine") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),   // cos ≈ 0.995
+      (2L, Array(0.0f, 1.0f)),   // cos = 0
+      (3L, Array(0.7f, 0.7f))    // cos ≈ 0.707
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(e.filter(col("vec_id") === 0), e,
+        "vec_id", "embedding", k = 2)
+      .select("cid", "rk").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 1), (3L, 2)))
+  }
+
+  test("lsh buckets: identical vectors always co-bucket and rank first") {
+    val e = Seq(
+      (0L, Array.fill(4)(0.5f)),
+      (1L, Array.fill(4)(0.5f)),
+      (2L, Array(0.9f, -0.8f, 0.1f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(e, "vec_id", "embedding", dim = 4, nPlanes = 4, k = 1)
+      .select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+    val m = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m.get(0L).map(_._1).contains(1L) && m(0L)._2 == 1.0)
+    assert(m.get(1L).map(_._1).contains(0L))
+  }
+}

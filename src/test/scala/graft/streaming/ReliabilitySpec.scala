@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Reliability layer semantics, mirroring the reference's DLQ/retry/
+  * idempotency tests (reference: tests/test_enterprise_features.py:34-112,
+  * tests/connectors/test_sink.py:20-40).
+  */
+class ReliabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("foo", StringType)))
+
+  test("failing rows retry then land enriched in {topic}-dlq; good rows don't") {
+    val root = Files.createTempDirectory("graft_dlq").toString
+    val conn = new FileConnector(root, eventSchema)
+    val batch = Seq(("e1", "ok"), ("e2", "boom"), ("e3", "ok")).toDF("event_id", "foo")
+
+    Reliability.reliableBatch(conn, "orders", "event_id", maxRetries = 2) { row =>
+      if (row.getString(1) == "boom") throw new RuntimeException("handler exploded")
+    }.apply(batch, 0L)
+
+    val dlqSchema = StructType(eventSchema.fields ++ Seq(
+      StructField("_error", StringType),
+      StructField("_original_stream", StringType),
+      StructField("_original_msg_id", StringType),
+      StructField("_moved_timestamp", TimestampType)))
+    val dlq = spark.read.schema(dlqSchema).json(s"$root/orders-dlq").collect()
+    assert(dlq.length == 1)
+    val r = dlq.head
+    assert(r.getAs[String]("event_id") == "e2")
+    assert(r.getAs[String]("_error").contains("handler exploded"))
+    assert(r.getAs[String]("_original_stream") == "orders")
+    assert(r.getAs[String]("_original_msg_id") == "e2")
+
+    // replay: cleaned row returns to the main topic
+    val n = Reliability.replayDlq(spark, conn, "orders")
+    assert(n == 1)
+    val replayed = conn.readBatch(spark, "orders").collect()
+    assert(replayed.map(_.getAs[String]("event_id")).toSeq == Seq("e2"))
+    assert(!replayed.head.schema.fieldNames.exists(_.startsWith("_")))
+  }
+
+  test("idempotent sink executes the side effect once per event_id across batches") {
+    val tokenDir = Files.createTempDirectory("graft_tok").toString + "/tokens"
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    def sideEffect(df: org.apache.spark.sql.DataFrame): Unit =
+      written.addAndGet(df.count())
+
+    val b1 = Seq("e1", "e2", "e2").toDF("event_id") // in-batch dup
+    val n1 = Reliability.idempotentWrite(spark, b1, "event_id", tokenDir)(sideEffect)
+    assert(n1 == 2 && written.get() == 2)
+
+    val b2 = Seq("e2", "e3").toDF("event_id") // cross-batch dup
+    val n2 = Reliability.idempotentWrite(spark, b2, "event_id", tokenDir)(sideEffect)
+    assert(n2 == 1 && written.get() == 3)
+  }
+
+  test("late split routes pre-watermark rows to the late leg") {
+    val batch = Seq(5.0, 50.0, 100.0).toDF("sec")
+      .select(timestamp_seconds(col("sec")).as("ts"))
+    val (onTime, late) = Reliability.lateSplit(batch, "ts", new java.sql.Timestamp(50L * 1000))
+    assert(onTime.count() == 2 && late.count() == 1)
+    assert(late.select(col("ts").cast("double")).as[Double].collect().toSeq == Seq(5.0))
+  }
+
+  test("backoff schedule doubles and caps (reference pspf/processor.py:368-373)") {
+    assert(Reliability.backoffMs(1) == 200)
+    assert(Reliability.backoffMs(3) == 800)
+    assert(Reliability.backoffMs(20) == 100 * 1024) // capped shift
+  }
+}
