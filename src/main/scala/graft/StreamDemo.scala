@@ -74,6 +74,19 @@ object StreamDemo {
       .select("event_id", "_error", "_original_stream", "_original_msg_id").show(false)
 
     println(s"[demo] replayed ${Reliability.replayDlq(spark, conn, "tx")} DLQ events back to tx")
+
+    // 6. the same flow through the user-facing facade (reference Stream API)
+    val s = new GraftStream(spark, conn, s"$root/ckpt")
+    val metrics = GraftMetrics.install(spark)
+    s.emit(Seq(("f1", "order", 3.0, 42.0, """{"item":"z"}"""))
+      .toDF("event_id", "event_type", "sec", "amount", "payload"), "facade_tx")
+    s.pipe("facade_tx", "facade_big") { df => df.filter(col("amount") > 10.0) }
+      .awaitTermination()
+    s.subscribe("facade_big") { (batch, id) =>
+      println(s"[demo] facade subscriber got batch $id with ${batch.count()} events")
+    }.awaitTermination()
+    println(s"[demo] metrics: messagesProcessed=${metrics.messagesProcessed.sum()} " +
+      s"batches=${metrics.batchesCompleted.sum()}")
     spark.stop()
   }
 }

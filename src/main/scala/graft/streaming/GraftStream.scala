@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** User-facing facade with the reference's `Stream` API surface
+  * (reference: pspf/stream.py — emit :221-264, subscribe :94-104,
+  * window/aggregate :106-118/:325-347, run model :120-159), so a
+  * reference user can switch with the same mental model:
+  *
+  *   val s = new GraftStream(spark, connector, ckptRoot)
+  *   s.emit(df, "orders")                       // produce
+  *   s.subscribe("orders") { batch => ... }     // per-batch handler
+  *   s.windowAggregate("orders", TumblingWindow(60000), $"ts",
+  *     Seq($"key"), Seq(sum($"v").as("total")), "orders-agg")
+  *
+  * Each subscription is its own StreamingQuery (the reference spawns an
+  * asyncio task per subscription — same topology, real engine). All
+  * queries checkpoint under `checkpointRoot/<topic>/<name>` giving each
+  * its own exactly-once offset+state log.
+  */
+final class GraftStream(spark: SparkSession, connector: Connector,
+                        checkpointRoot: String, registry: SchemaRegistry = new SchemaRegistry) {
+
+  private def ckpt(topic: String, name: String) = s"$checkpointRoot/$topic/$name"
+
+  def schemas: SchemaRegistry = registry
+
+  /** Produce rows to a topic (reference emit: normalize + route to
+    * backend append). */
+  def emit(df: DataFrame, topic: String): Unit = connector.writeBatch(df, topic)
+
+  /** Per-batch handler subscription (reference subscribe + handler
+    * arity dispatch → one foreachBatch). Registered schemas are applied
+    * first: handler sees `parsed` + `_corrupt` columns. */
+  def subscribe(topic: String, name: String = "main")(
+      handler: (DataFrame, Long) => Unit): StreamingQuery =
+    registry.parse(connector.readStream(spark, topic))
+      .writeStream
+      .option("checkpointLocation", ckpt(topic, s"sub-$name"))
+      .foreachBatch(handler)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Declarative transform subscription: transform → sink topic
+    * (reference DSL map/filter/sink chain). */
+  def pipe(fromTopic: String, toTopic: String, name: String = "pipe")(
+      transform: DataFrame => DataFrame): StreamingQuery =
+    connector.writeStream(
+      transform(connector.readStream(spark, fromTopic)),
+      toTopic, ckpt(fromTopic, s"$name-$toTopic"))
+
+  /** Windowed aggregation to a sink topic (reference @stream.window /
+    * stream.aggregate with watermark_delay_ms). `prepare` derives the
+    * event-time column from raw topic rows (reference's event-time
+    * extraction step, pspf/stream.py:372-389). */
+  def windowAggregate(topic: String, w: WindowLike, ts: Column, keys: Seq[Column],
+                      aggs: Seq[Column], outTopic: String,
+                      watermarkDelay: String = "0 seconds",
+                      tsColName: String = "ts",
+                      prepare: DataFrame => DataFrame = identity): StreamingQuery = {
+    val agg = Pipeline(prepare(connector.readStream(spark, topic)))
+      .watermarked(tsColName, watermarkDelay)
+      .windowAgg(w, ts, keys, aggs)
+      .toDF
+    connector.writeStream(agg, outTopic, ckpt(topic, s"agg-$outTopic"), "append")
+  }
+
+  /** Predicate routing to per-route topics (reference Router.route). */
+  def route(topic: String, router: StreamRouter, name: String = "router"): StreamingQuery =
+    router.fanOutStream(
+      connector.readStream(spark, topic), ckpt(topic, name),
+      (leg, t) => connector.writeBatch(leg, t))
+
+  /** Reliable side-effect subscription: per-row op, retries, DLQ
+    * (reference BatchProcessor error handling). */
+  def subscribeReliable(topic: String, idCol: String, name: String = "reliable",
+                        maxRetries: Int = Reliability.DefaultMaxRetries)(
+      op: org.apache.spark.sql.Row => Unit): StreamingQuery =
+    connector.readStream(spark, topic)
+      .writeStream
+      .option("checkpointLocation", ckpt(topic, s"rel-$name"))
+      .foreachBatch(Reliability.reliableBatch(connector, topic, idCol, maxRetries)(op))
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

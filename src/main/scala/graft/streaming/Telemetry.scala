@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+/** Streaming telemetry (reference: Prometheus instruments
+  * pspf/telemetry.py:16-51 — stream_messages_processed_total,
+  * stream_processing_seconds, stream_lag — and the lag monitor loop
+  * pspf/processor.py:260-281).
+  *
+  * A StreamingQueryListener receives every progress event; counters are
+  * queryable in-process (export to Prometheus/StatsD is a transport
+  * concern on top of this). Lag for file/kafka sources is visible via
+  * numInputRows vs trigger cadence and the watermark timestamp.
+  */
+final class GraftMetrics extends StreamingQueryListener {
+  val messagesProcessed = new LongAdder
+  val batchesCompleted = new LongAdder
+  private val lastByQuery = new ConcurrentHashMap[java.util.UUID, QueryProgressEvent]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    messagesProcessed.add(event.progress.numInputRows)
+    batchesCompleted.increment()
+    lastByQuery.put(event.progress.id, event)
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  /** Latest watermark for a query (reference exposes per-handler
+    * watermark; Spark's is global per query and persisted). */
+  def watermarkOf(id: java.util.UUID): Option[String] =
+    Option(lastByQuery.get(id)).map(_.progress.eventTime.get("watermark"))
+
+  def processingRateOf(id: java.util.UUID): Option[Double] =
+    Option(lastByQuery.get(id)).map(_.progress.processedRowsPerSecond)
+}
+
+object GraftMetrics {
+  /** Install a fresh metrics listener on the session. */
+  def install(spark: SparkSession): GraftMetrics = {
+    val m = new GraftMetrics
+    spark.streams.addListener(m)
+    m
+  }
+}
