@@ -8,9 +8,11 @@ object SparkEntry {
     RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ EventQueries.queries ++ AnalyticQueries.queries ++ LlmQueries.queries
+    RelationalQueries.queries ++ EventQueries.queries ++ AnalyticQueries.queries ++
+      LlmQueries.queries ++ ExtendedQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ EventQueries.oracleSql ++ AnalyticQueries.oracleSql ++ LlmQueries.oracleSql
+    RelationalQueries.oracleSql ++ EventQueries.oracleSql ++ AnalyticQueries.oracleSql ++
+      LlmQueries.oracleSql ++ ExtendedQueries.oracleSql
 }
