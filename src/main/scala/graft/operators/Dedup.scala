@@ -65,13 +65,28 @@ object Dedup {
     * `rowsPerBand` consecutive minhashes. The band signature is the
     * sorted multiset of the band's minhashes (order-free → deterministic
     * under any aggregation order). Only bucket-mates are paired — this is
-    * the plan that survives 100 TB, vs the exact-Jaccard quadratic probe. */
+    * the plan that survives 100 TB, vs the exact-Jaccard quadratic probe.
+    *
+    * Plan shape: all `numHashes` minima are computed as separate
+    * aggregates over ONE pass of the shingle set (map-side partial mins;
+    * the shuffle carries |shingles| rows, not |shingles|×numHashes as a
+    * seed-explode would), then bands unpivot at |docs|×bands rows. */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhash(shingleSet(docs, id, text, shingleN), id, numHashes)
-      .withColumn("band", expr(s"seed div $rowsPerBand"))
-    val bands = sig.groupBy(col(id), col("band"))
-      .agg(concat_ws("|", array_sort(collect_list(col("mh")))).as("bsig"))
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val sh = shingleSet(docs, id, text, shingleN)
+    val wide = sh.groupBy(col(id)).agg(
+      min(md5(concat(lit("0"), lit("|"), col("s")))).as("mh_0"),
+      (1 until numHashes).map(i =>
+        min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"mh_$i")): _*)
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val mems = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      concat_ws("|", array_sort(array(mems: _*))).as(s"bsig_$b")
+    }
+    val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
+    val bands = wide.select(col(id) +: bandCols: _*)
+      .selectExpr(id, s"stack($nBands, $stackArgs) as (band, bsig)")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col(s"x.$id") < col(s"y.$id"))
@@ -79,10 +94,18 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash from token md5s, fully relational (explode tokens ×
-    * 8 hex chars × 4 bits → majority vote per bit). Engine-portable: only
-    * md5, instr, shifts. Hamming-close fingerprints ≈ near-dups. */
+  /** 32-bit SimHash per document: single-pass native expression
+    * (graft.functions.SimHash32) — no row explosion, no shuffle; values
+    * bit-identical to the relational form below (which the DuckDB oracle
+    * mirrors). Hamming-close fingerprints ≈ near-dups. */
   def simhash32(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      graft.functions.SimHashFunctions.simhash32(tokens(col(text))).as("simhash32"))
+
+  /** Relational formulation of simhash32 (explode tokens × 8 hex chars ×
+    * 4 bits → shuffle → majority vote) — kept as the cross-checkable
+    * spec of the algorithm; the expression above must match it exactly. */
+  def simhash32Relational(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), explode(tokens(col(text))).as("t"))
       .select(col(id), md5(col("t")).as("h"))
       .withColumn("p", explode(sequence(lit(1), lit(8))))

@@ -36,6 +36,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("native simhash expression equals the relational formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expr = Dedup.simhash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Dedup.simhash32Relational(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr.size == 500 && expr == rel)
+  }
+
   test("simhash is identical for identical docs, differs for disjoint vocab") {
     val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
     val got = Dedup.simhash32(d, "doc_id", "text")
