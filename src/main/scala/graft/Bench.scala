@@ -37,10 +37,36 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } :+ ("stream_window_agg" -> streamingWindowAgg(spark, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Structured Streaming throughput probe: the full events table driven
+    * through a real streaming query (file source → watermark → tumbling
+    * keyed agg → noop sink, AvailableNow) — the engine's flagship
+    * streaming path under timing. */
+  private def streamingWindowAgg(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val t0 = System.nanoTime()
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+      val q = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch { case e: Throwable => System.err.println(s"[bench] stream_window_agg: ${e.getMessage}") }
+    (System.nanoTime() - t0) / 1e9
   }
 }
