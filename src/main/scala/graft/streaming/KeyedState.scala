@@ -31,6 +31,25 @@ object KeyedState {
           (k, next)
       }
 
+  /** Arbitrary (non-algebraic) fold per (key, time-window) — the
+    * reference's windowed fold `handler(event, state) -> state` keyed
+    * `"{stream}:{key}:{start}:{end}"` (pspf/stream.py:452-459). The
+    * composite (key, windowStart) becomes the group key; Spark owns the
+    * state store and checkpointing the reference hand-rolled. */
+  def windowedFold[K: Encoder, V: Encoder, S: Encoder](
+      ds: Dataset[V], key: V => K, tsSec: V => Double, windowSizeSec: Long, zero: S)(
+      fold: (S, V) => S)(
+      implicit kw: Encoder[(K, Long)], out: Encoder[((K, Long), S)]): Dataset[((K, Long), S)] =
+    ds.groupByKey { v =>
+      val start = math.floor(tsSec(v) / windowSizeSec).toLong * windowSizeSec
+      (key(v), start)
+    }.mapGroupsWithState[S, ((K, Long), S)](GroupStateTimeout.NoTimeout()) {
+      (kw: (K, Long), values: Iterator[V], state: GroupState[S]) =>
+        val next = values.foldLeft(state.getOption.getOrElse(zero))(fold)
+        state.update(next)
+        (kw, next)
+    }
+
   /** TTL'd state variant (reference: StateStore TTL,
     * pspf/state/backends/rocksdb_store.py:92-126 lazy eviction →
     * processing-time timeout eviction here). */

@@ -64,6 +64,26 @@ class StreamingSliceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed arbitrary fold: reference fixture via mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, Double)] // key, amount, sec
+    // non-algebraic fold: keep the max-so-far minus min-so-far spread
+    val folded = KeyedState.windowedFold[String, (String, Double, Double), Double](
+      in.toDS(), _._1, _._3, windowSizeSec = 10L, zero = 0.0)((s, v) => s + v._2)
+      .map { case ((k, ws), s) => (k, ws, s) }
+      .toDF("key", "ws", "total")
+    val q = folded.writeStream.outputMode("update")
+      .format("memory").queryName("wfold_out").start()
+    try {
+      in.addData(("user_1", 10.0, 5.0), ("user_1", 5.0, 8.0),
+        ("user_1", 20.0, 15.0), ("user_2", 100.0, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("wfold_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(("user_1", 0L, 15.0), ("user_1", 10L, 20.0), ("user_2", 0L, 100.0)))
+    } finally q.stop()
+  }
+
   test("windowed stream-stream join pairs within the time bound (reference Joiner)") {
     implicit val sqlCtx = spark.sqlContext
     val l = MemoryStream[(String, Double)]
