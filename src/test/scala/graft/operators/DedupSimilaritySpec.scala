@@ -54,6 +54,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(1L) >= 0 && got(1L) < (1L << 32))
   }
 
+  test("broadcast cosinePairs equals the declarative self-join on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fast = Similarity.cosinePairs(e, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val spec = Similarity.cosinePairsJoin(e, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast.nonEmpty && fast == spec)
+  }
+
   test("cosine top-k ranks by hand-computed cosine") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)),
