@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.{FloatVecDot, SimHash32}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions registering the engine's native expressions as
+  * SQL functions, so `spark.sql("... vec_dot(a, b) ...")` works for SQL
+  * users (the sanctioned extension mechanism — injectFunction — rather
+  * than reaching into the private function registry).
+  *
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash32(exprs.head)))
+  }
+}

@@ -20,10 +20,12 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
-  /** Local session for tests / verify / bench. */
+  /** Local session for tests / verify / bench, with the engine's SQL
+    * functions registered (vec_dot, simhash32). */
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val s = tune(
-      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      SparkSession.builder().master(s"local[$cores]").appName("graft")
+        .withExtensions(new GraftExtensions),
       shufflePartitions = cores
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
