@@ -1,0 +1,33 @@
+package graft
+
+/** Scans every query's physical plan for red-flag operators
+  * (cartesian products, nested-loop joins) — the plans that die first at
+  * scale. Intentional ones are allowlisted with a reason. */
+object PlanAudit {
+  private val allow = Map(
+    // 1-row watermark scalar broadcast-crossed into events
+    "w5_late_split" -> "1-row watermark scalar broadcast-crossed into events",
+    // brute-force ANN baseline: tiny query side (10 vecs) broadcast-
+    // crossed with the corpus is the intended one-scan plan; the scale
+    // path is Similarity.lshTopK's equi-joined buckets
+    "l9_ann_topk" -> "tiny broadcast query side x corpus scan (brute-force baseline)")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = GraftSession.local()
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"ERROR ${e.getMessage}" }
+      val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "ERROR")
+        .filter(plan.contains)
+      if (flags.nonEmpty) {
+        val note = allow.get(name).map(r => s"ALLOWED ($r)").getOrElse { bad += 1; "RED FLAG" }
+        println(s"[audit] $name: ${flags.mkString(",")} -> $note")
+      }
+    }
+    println(s"[audit] done, $bad unexplained red flags")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

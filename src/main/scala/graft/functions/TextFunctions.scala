@@ -33,15 +33,20 @@ object TextFunctions {
     size(filter(toks, t => t.isInCollection(stopEn)))
 
   /** Composite quality features; ratios are exact IEEE divisions of
-    * integer counts → deterministic across engines and parallelism. */
+    * integer counts → deterministic across engines and parallelism.
+    * Zero-length / token-free documents yield null ratios (SQL division
+    * semantics via nullif) rather than a job-killing error — real
+    * corpora at 100 TB always contain a few empty rows. */
   def qualityColumns(text: Column): Seq[Column] = {
     val toks = tokens(text)
+    val nChars = nullif(length(text), lit(0))
+    val nToks = nullif(size(toks), lit(0))
     Seq(
       length(text).as("n_chars"),
       size(toks).as("n_tokens"),
-      (punctCount(text).cast("double") / length(text)).as("punct_ratio"),
-      (stopwordCount(toks).cast("double") / size(toks)).as("stop_ratio"),
-      (length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text)).as("upper_ratio")
+      (punctCount(text).cast("double") / nChars).as("punct_ratio"),
+      (stopwordCount(toks).cast("double") / nToks).as("stop_ratio"),
+      (length(regexp_replace(text, "[^A-Z]", "")).cast("double") / nChars).as("upper_ratio")
     )
   }
 
