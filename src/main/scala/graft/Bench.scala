@@ -61,7 +61,9 @@ object Bench {
     val t0 = System.nanoTime()
     try {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
-      val q = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+      // file streaming source needs a directory; glob down to the table
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -85,6 +85,18 @@ object LlmQueries {
           octet_length(col("text")).as("n_bytes"),
           md5(col("text")).as("content_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-modal join: documents enriched with their embedding's norm
+    // and label (text + vector modality in one row — the shape of a
+    // multimodal training record).
+    "l11_multimodal_join" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          round(graft.operators.Similarity.norm2(col("embedding")), 6).as("norm2"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -178,6 +190,11 @@ object LlmQueries {
         |ORDER BY qid, rk""".stripMargin,
     "l10_mm_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l11_multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, label,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 6) AS norm2
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin
   )
 }
