@@ -20,6 +20,13 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pre-tokenization count: letter runs, digit runs,
+    * and single non-alphanumeric marks each count as one token — the
+    * standard byte-pair pre-split shape, engine-portable as a regex. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
   /** Count of punctuation chars (fixed class, engine-portable). */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
@@ -44,6 +51,7 @@ object TextFunctions {
     Seq(
       length(text).as("n_chars"),
       size(toks).as("n_tokens"),
+      bpeTokenCount(text).as("n_bpe_tokens"),
       (punctCount(text).cast("double") / nChars).as("punct_ratio"),
       (stopwordCount(toks).cast("double") / nToks).as("stop_ratio"),
       (length(regexp_replace(text, "[^A-Z]", "")).cast("double") / nChars).as("upper_ratio")

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * near vectors in shared buckets, so the candidate join shuffles on the
   * bucket key instead of crossing query × corpus.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Dot product of two Array[Float] columns in double: a native
     * codegen'd Catalyst expression (graft.functions.FloatVecDot) —
@@ -114,6 +114,49 @@ object Similarity {
   /** Spark's Round(double, 6) semantics: BigDecimal.valueOf + HALF_UP. */
   private def roundHalfUp6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** IVF-style ANN: coarse quantizer + inverted lists.
+    *
+    * Centroids are a deterministic subset (the `nCentroids` lowest ids —
+    * a real deployment would k-means; determinism matters more here for
+    * reproducibility). Every vector is assigned to its nearest centroid
+    * (one broadcast argmax pass — no shuffle); queries probe the
+    * `nProbe` nearest centroid lists and score only those buckets via an
+    * equi-join on the centroid id. Recall < 1 by construction; raise
+    * nProbe to trade compute for recall. This is the second scale path
+    * next to lshTopK: probe cost ~ nProbe/nCentroids of the corpus. */
+  def ivfTopK(df: DataFrame, id: String, vec: String,
+              nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+    val cents = ds.filter(_._1 < nCentroids).collect().sortBy(_._1)
+      .map { case (i, v) => (i, v, math.sqrt(normOf(v))) }
+    val bc = spark.sparkContext.broadcast(cents)
+
+    def nearestCentroids(v: Array[Float], n: Int): Seq[Long] = {
+      val nv = math.sqrt(normOf(v))
+      bc.value.map { case (ci, cv, cn) => (ci, dotOf(v, cv) / (nv * cn)) }
+        .sortBy { case (ci, cos) => (-cos, ci) }.take(n).map(_._1).toSeq
+    }
+
+    // inverted lists: every vector under its single nearest centroid
+    val buckets = ds.map { case (i, v) => (nearestCentroids(v, 1).head, i, v) }
+      .toDF("bucket", "cid", "cv")
+    // probes: every vector fans out to its nProbe nearest lists
+    val probes = ds.flatMap { case (i, v) => nearestCentroids(v, nProbe).map(b => (b, i, v)) }
+      .toDF("bucket", "qid", "qv")
+
+    val scored = probes.join(buckets, "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) /
+          sqrt(norm2(col("qv")) * norm2(col("cv"))), 6).as("cos"))
+      .dropDuplicates("qid", "cid") // a pair may meet in several probed lists
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 
   /** Random-hyperplane LSH bucket key: sign bits of dot(v, h_i) for
     * deterministic pseudo-hyperplanes derived from md5(i || dim) — no

@@ -87,6 +87,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end training-data filter: quality gate → language gate →
+    // near-dup removal → surviving corpus. The composition every LLM
+    // data pipeline runs, as one declarative plan.
+    "l12_data_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = TextFunctions.tokens(col("text"))
+      val filtered = docs
+        .filter(size(toks) >= 20 &&
+          TextFunctions.punctCount(col("text")).cast("double") / length(col("text")) < lit(0.1) &&
+          TextFunctions.langId(col("text")) === "en")
+      val dupVictims = Dedup.ngramJaccardPairs(filtered, "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("db").as("doc_id")).distinct()
+      filtered.join(dupVictims, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-modal join: documents enriched with their embedding's norm
     // and label (text + vector modality in one row — the shape of a
     // multimodal training record).
@@ -104,6 +121,7 @@ object LlmQueries {
     "l1_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
         |  CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
         |    / len(regexp_extract_all(text, '\S+')) AS stop_ratio,
@@ -191,6 +209,38 @@ object LlmQueries {
     "l10_mm_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "l12_data_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 20
+        |    AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) < 0.1
+        |    AND (CASE
+        |      WHEN len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['the','a','and','of','is'], x)))
+        |         + len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['der','die','das','und','ist'], x)))
+        |         + len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['le','la','et','les','est'], x)))
+        |         + len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['el','los','y','las','es'], x))) = 0 THEN 'und'
+        |      WHEN len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['the','a','and','of','is'], x)))
+        |        >= len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['der','die','das','und','ist'], x)))
+        |       AND len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['the','a','and','of','is'], x)))
+        |        >= len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['le','la','et','les','est'], x)))
+        |       AND len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['the','a','and','of','is'], x)))
+        |        >= len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['el','los','y','las','es'], x))) THEN 'en'
+        |      ELSE 'other' END) = 'en'),
+        |d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM f),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |victims AS (
+        |  SELECT DISTINCT db FROM pairs
+        |  JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8)
+        |SELECT doc_id, n_chars FROM f
+        |WHERE doc_id NOT IN (SELECT db FROM victims)
+        |ORDER BY doc_id""".stripMargin,
     "l11_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 6) AS norm2

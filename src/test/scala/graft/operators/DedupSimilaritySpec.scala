@@ -76,6 +76,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 1), (3L, 2)))
   }
 
+  test("ivf ANN: good recall vs brute force at a fraction of the scoring work") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        nCentroids = 16, nProbe = 8, k = 3)
+      .filter(col("qid") < 20)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall > 0.5, s"ivf recall@3 = $recall")
+  }
+
   test("lsh buckets: identical vectors always co-bucket and rank first") {
     val e = Seq(
       (0L, Array.fill(4)(0.5f)),

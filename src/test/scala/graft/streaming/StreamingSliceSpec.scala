@@ -64,6 +64,25 @@ class StreamingSliceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup by event_id drops in-batch and cross-batch duplicates (W12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)] // event_id, sec
+    val deduped = in.toDF.toDF("event_id", "sec")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(("e1", 1.0), ("e1", 2.0), ("e2", 3.0))
+      q.processAllAvailable()
+      in.addData(("e2", 4.0), ("e3", 5.0)) // e2 is a cross-batch duplicate
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").as[String].collect().sorted
+      assert(got.toSeq == Seq("e1", "e2", "e3"))
+    } finally q.stop()
+  }
+
   test("windowed arbitrary fold: reference fixture via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double, Double)] // key, amount, sec
