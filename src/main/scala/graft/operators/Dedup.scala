@@ -117,6 +117,27 @@ object Dedup {
     docs.select(col(id),
       graft.functions.SimHashFunctions.simhash32(tokens(col(text))).as("simhash32"))
 
+  /** SimHash near-dup pairs within `maxHamming` bit flips, found via
+    * byte-band LSH: a 32-bit fingerprint differing in ≤ maxHamming ≤ 7
+    * bits must agree on at least one of its 4 bytes, so candidates are
+    * generated by an equi-join on (band index, band value) — never a
+    * quadratic scan — then exact-filtered on popcount of the XOR. */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+                   maxHamming: Int): DataFrame = {
+    val sh = simhash32(docs, id, text)
+    val withBands = sh.select(col(id), col("simhash32"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftright(col("simhash32"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*)).as("bd"))
+      .select(col(id), col("simhash32"), col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+    withBands.as("x").join(withBands.as("y"),
+        col("x.bno") === col("y.bno") && col("x.bval") === col("y.bval") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"),
+        bit_count(col("x.simhash32").bitwiseXOR(col("y.simhash32"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Relational formulation of simhash32 (explode tokens × 8 hex chars ×
     * 4 bits → shuffle → majority vote) — kept as the cross-checkable
     * spec of the algorithm; the expression above must match it exactly. */

@@ -63,6 +63,13 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-dup pairs via byte-band LSH + exact hamming filter.
+    "l13_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 1)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // Embedding near-dup pairs: cosine > 0.4.
     "l8_embed_pairs" -> ((s, dir) => {
       Similarity.cosinePairs(Tables.load(s, dir, "embeddings"),
@@ -182,6 +189,22 @@ object LlmQueries {
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS simhash32
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "l13_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |bits AS (SELECT doc_id, p, b,
+        |    CASE WHEN ((instr('0123456789abcdef', substr(h, p, 1)) - 1) >> b) & 1 = 1
+        |         THEN 1 ELSE -1 END AS c
+        |  FROM h, UNNEST(generate_series(1, 8)) tp(p), UNNEST(generate_series(0, 3)) tb(b)),
+        |s AS (SELECT doc_id, p, b, SUM(c) AS s FROM bits GROUP BY 1, 2, 3),
+        |sh AS (SELECT doc_id,
+        |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS f
+        |  FROM s GROUP BY doc_id)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 1
+        |ORDER BY da, db""".stripMargin,
     "l8_embed_pairs" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
