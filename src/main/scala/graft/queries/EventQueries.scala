@@ -131,6 +131,39 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // J2 stream-static enrichment join (SURVEY §2.4: absent in the
+    // reference, free in Spark): events enriched with a broadcast dim.
+    "j2_enrich_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      e.join(broadcast(c), col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast(DoubleType).as("sum_value"))
+        .orderBy(col("segment"))
+    }),
+
+    // J3 as-of join (composed from built-ins — Spark lacks a native
+    // ASOF): each click paired with the user's most recent prior-or-
+    // simultaneous purchase. DuckDB verifies with its native ASOF JOIN.
+    "j3_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("click_id")).orderBy(col("p_ts").desc)
+      c.join(p, col("user_id") === col("p_user") && col("p_ts") <= col("c_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("click_id"),
+          unix_timestamp(col("c_ts")).as("click_sec"),
+          unix_timestamp(col("p_ts")).as("purchase_sec"))
+        .orderBy(col("click_id"))
+    }),
+
     // J1 windowed stream-stream equi-join: click→purchase pairs for the
     // same user within 4h. Equi-key + time-range condition is exactly the
     // reference Joiner's buffer/probe contract.
@@ -200,6 +233,19 @@ object EventQueries {
     "w12_dedup_first" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "j2_enrich_join" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j3_asof_join" ->
+      """SELECT c.event_id AS click_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
     "j1_interval_join" ->
       """SELECT c.user_id, COUNT(*) AS n_pairs
         |FROM events c JOIN events p
