@@ -32,10 +32,9 @@ object TextFunctions {
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
 
   private val stopEn = Seq("the", "a", "and", "of", "to", "in")
-  private def arrayLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ",", ")")
 
-  /** Fraction of tokens that are (English) stopwords — a standard
-    * quality-filter feature. */
+  /** COUNT of (English) stopword tokens; `qualityColumns` divides it by
+    * the token count to form the stop_ratio quality feature. */
   def stopwordCount(toks: Column): Column =
     size(filter(toks, t => t.isInCollection(stopEn)))
 

@@ -69,13 +69,6 @@ object Dedup {
       .filter(col("jaccard") > threshold)
   }
 
-  /** MinHash signature rows: (id, seed, mh) where
-    * mh = min over shingles of md5(seed || '|' || shingle). */
-  def minhash(sh: DataFrame, id: String, numHashes: Int): DataFrame =
-    sh.withColumn("seed", explode(array((0 until numHashes).map(lit): _*)))
-      .groupBy(col(id), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s")))).as("mh"))
-
   /** MinHash-LSH candidate pairs: docs sharing at least one band of
     * `rowsPerBand` consecutive minhashes. The band signature is the
     * sorted multiset of the band's minhashes (order-free → deterministic
@@ -114,16 +107,24 @@ object Dedup {
     * bit-identical to the relational form below (which the DuckDB oracle
     * mirrors). Hamming-close fingerprints ≈ near-dups. */
   def simhash32(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id),
-      graft.functions.SimHashFunctions.simhash32(tokens(col(text))).as("simhash32"))
+    docs.select(col(id), tokens(col(text)).as("toks"))
+      .filter(size(col("toks")) > 0) // token-free docs have no fingerprint,
+      // matching the relational form (whose explode drops them) and the oracle
+      .select(col(id),
+        graft.functions.SimHashFunctions.simhash32(col("toks")).as("simhash32"))
 
   /** SimHash near-dup pairs within `maxHamming` bit flips, found via
-    * byte-band LSH: a 32-bit fingerprint differing in ≤ maxHamming ≤ 7
-    * bits must agree on at least one of its 4 bytes, so candidates are
-    * generated by an equi-join on (band index, band value) — never a
-    * quadratic scan — then exact-filtered on popcount of the XOR. */
+    * byte-band LSH: with 4 byte-bands, fingerprints differing in
+    * ≤ maxHamming ≤ 3 bits must agree on at least one byte (pigeonhole:
+    * 3 flipped bits can dirty at most 3 of the 4 bands), so candidates
+    * come from an equi-join on (band index, band value) — never a
+    * quadratic scan — then exact-filtered on popcount of the XOR.
+    * maxHamming ≥ 4 could flip one bit in every band and lose recall,
+    * hence the guard. */
   def simhashPairs(docs: DataFrame, id: String, text: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"byte-band LSH over 4 bands guarantees full recall only for maxHamming <= 3, got $maxHamming")
     val sh = simhash32(docs, id, text)
     val withBands = sh.select(col(id), col("simhash32"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bno"),

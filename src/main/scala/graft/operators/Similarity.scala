@@ -130,8 +130,9 @@ object Similarity extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
-    val cents = ds.filter(_._1 < nCentroids).collect().sortBy(_._1)
+    val cents = ds.sort(ds.columns.head).limit(nCentroids).collect()
       .map { case (i, v) => (i, v, math.sqrt(normOf(v))) }
+    require(cents.nonEmpty, "ivfTopK requires a non-empty corpus")
     val bc = spark.sparkContext.broadcast(cents)
 
     def nearestCentroids(v: Array[Float], n: Int): Seq[Long] = {

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Uniform per-row salt, deterministic within a run. */
-  private def salt(n: Int): Column = pmod(monotonically_increasing_id(), lit(n.toLong))
+  /** Per-row salt from a content hash of all columns: deterministic
+    * under stage retries (monotonically_increasing_id would re-number
+    * rows after a lost-executor recompute and corrupt the two-phase
+    * merge). Fully duplicate rows share a salt — residual skew only if
+    * one exact row dominates, which salting can't fix anyway. */
+  private def salt(df: DataFrame, n: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(n)) // pmod is non-negative even for negative hashes
 
   /** Two-phase salted sum/count aggregation over a skewed key. Result is
     * identical to a direct groupBy (decimal/long merges are associative);
@@ -26,7 +31,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      nSalts: Int): DataFrame = {
     val keys = keyCols.map(col)
-    df.withColumn("_salt", salt(nSalts))
+    df.withColumn("_salt", salt(df, nSalts))
       .groupBy(keys :+ col("_salt"): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keys: _*)
@@ -34,11 +39,16 @@ object Skew {
   }
 
   /** Skew-safe equi-join: salt the (large, skewed) left side, replicate
-    * the right side across all salts. Same rows as a plain join. */
+    * the right side across all salts. Same rows as a plain join for
+    * inner / left joins; right/full outer would emit each unmatched
+    * right row once per salt replica, hence the guard. */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {
-    val l = left.withColumn("_lsalt", salt(nSalts))
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi join types (right rows are replicated), got $joinType")
+    val l = left.withColumn("_lsalt", salt(left, nSalts))
     val r = right.withColumn("_rsalt",
       explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
     l.join(r, l(leftKey) === r(rightKey) && l("_lsalt") === r("_rsalt"), joinType)

@@ -96,17 +96,33 @@ final class KafkaConnector(bootstrap: String) extends Connector {
 /** In-memory topics for tests (reference: MemoryBackend,
   * pspf/connectors/memory.py:10-160). Reads are backed by
   * `MemoryStream` created by the test (passed in), writes land in
-  * `memory` sink tables named after the topic. */
+  * `memory` sink tables named after the topic. Batch writes APPEND and
+  * are materialized at write time (a lazy temp view would both replace
+  * earlier batches and re-execute the producing plan on every read). */
 final class MemoryConnector(streams: Map[String, DataFrame]) extends Connector {
+  private val batches =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[Array[Row]]]
+  private val schemas =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
   override def readStream(spark: SparkSession, topic: String): DataFrame =
     streams.getOrElse(topic,
       throw new IllegalArgumentException(s"no memory stream registered for topic $topic"))
 
-  override def readBatch(spark: SparkSession, topic: String): DataFrame =
-    spark.table(topic.replace('-', '_'))
+  override def readBatch(spark: SparkSession, topic: String): DataFrame = {
+    val schema = schemas.getOrElse(topic,
+      throw new IllegalArgumentException(s"memory topic $topic has no data"))
+    val rows = batches.getOrElse(topic, Vector.empty).flatten
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
-  override def writeBatch(df: DataFrame, topic: String): Unit =
-    df.createOrReplaceTempView(topic.replace('-', '_'))
+  override def writeBatch(df: DataFrame, topic: String): Unit = {
+    val rows = df.collect()
+    schemas.putIfAbsent(topic, df.schema)
+    batches.synchronized {
+      batches.put(topic, batches.getOrElse(topic, Vector.empty) :+ rows)
+    }
+  }
 
   override def writeStream(df: DataFrame, topic: String, checkpoint: String,
                            outputMode: String): StreamingQuery =

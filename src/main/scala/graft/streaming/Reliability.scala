@@ -81,7 +81,15 @@ object Reliability {
 
   /** Idempotent write: skip rows whose id already holds a token; record
     * new tokens after the side effect (reference token
-    * `pspf:sink:{name}:{event_id}`, base.py:48-53). Returns rows written. */
+    * `pspf:sink:{name}:{event_id}`, base.py:48-53). Returns rows written.
+    *
+    * Granularity caveat: tokens commit once per BATCH, after the whole
+    * side effect succeeds. A mid-batch failure records no tokens, so the
+    * retried batch re-sends rows that already went out — at-least-once
+    * under partial failure, exactly-once across successful batches. (The
+    * reference has the same window per event rather than per batch.)
+    * Closing it fully needs a transactional token store (Delta / KV with
+    * per-row commit) — a storage swap, not a shape change. */
   def idempotentWrite(spark: SparkSession, batch: DataFrame, idCol: String,
                       tokenDir: String)(write: DataFrame => Unit): Long = {
     val inBatch = batch.dropDuplicates(idCol)

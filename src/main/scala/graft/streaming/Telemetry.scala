@@ -34,7 +34,7 @@ final class GraftMetrics extends StreamingQueryListener {
   /** Latest watermark for a query (reference exposes per-handler
     * watermark; Spark's is global per query and persisted). */
   def watermarkOf(id: java.util.UUID): Option[String] =
-    Option(lastByQuery.get(id)).map(_.progress.eventTime.get("watermark"))
+    Option(lastByQuery.get(id)).flatMap(e => Option(e.progress.eventTime.get("watermark")))
 
   def processingRateOf(id: java.util.UUID): Option[Double] =
     Option(lastByQuery.get(id)).map(_.progress.processedRowsPerSecond)
