@@ -90,6 +90,28 @@ object AnalyticQueries {
       withOrders.union(withoutOrders).orderBy(col("kind"))
     }),
 
+    // Navigation window functions: lag/lead/ntile over a total order.
+    "a8_lag_lead" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Ordered array aggregation (collect_set → deterministic via sort).
+    "a9_array_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // Pivot: event counts per user × event_type (dynamic→wide schema).
     "a7_pivot" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -141,6 +163,19 @@ object AnalyticQueries {
         |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY kind""".stripMargin,
+    "a8_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders WHERE o_custkey <= 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "a9_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a7_pivot" ->
       """SELECT user_id,
         |  COUNT(*) FILTER (event_type = 'click') AS click,
