@@ -82,6 +82,16 @@ object TextFunctions {
     * engine-private hash functions). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Polynomial rolling hash h = fold(h*31 + codepoint) mod 1e9+7 — the
+    * classic incremental document fingerprint (cheap to maintain over
+    * sliding content windows, unlike md5). Sequential fold → exactly
+    * reproducible in any engine with a list fold. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
   /** Word n-gram shingles: ["a b c", "b c d", ...]. Requires
     * size(tokens) >= n (filter first). */
   def shingles(toks: Column, n: Int): Column =

@@ -51,4 +51,40 @@ object Multimodal {
     meta.flatMap(m => (0 until m.frames by everyK).map(f => (m.doc_id, f)))
       .toDF("doc_id", "frame_idx")
   }
+
+  /** Resize stub: aspect-preserving fit into a bounding box — the pure
+    * geometry a real resampler shares; only the pixel pass is faked. */
+  def resizeMeta(spark: SparkSession, meta: Dataset[MediaMeta],
+                 maxW: Int, maxH: Int): Dataset[MediaMeta] = {
+    import spark.implicits._
+    meta.map { m =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      m.copy(width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt))
+    }
+  }
+
+  /** Feature-extraction stub: a real model would run per batch here
+    * (that's why this is mapPartitions — weights load once per
+    * partition, not per row); the fake embeds byte statistics into a
+    * fixed-dim vector, deterministically. */
+  def extractFeatures(spark: SparkSession, bin: DataFrame, dim: Int = 8): DataFrame = {
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "model load" would happen here
+        it.map { case (id, bytes) =>
+          val v = Array.tabulate(dim) { d =>
+            if (bytes.isEmpty) 0f
+            else {
+              var s = 0
+              var i = d
+              while (i < bytes.length) { s += bytes(i) & 0xff; i += dim }
+              (s % 1000) / 1000.0f
+            }
+          }
+          (id, v)
+        }
+      }.toDF("doc_id", "features")
+  }
 }

@@ -63,6 +63,13 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Polynomial rolling-hash fingerprints (incremental-update capable).
+    "l14_rolling_hash" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs via byte-band LSH + exact hamming filter.
     "l13_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -189,6 +196,13 @@ object LlmQueries {
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS simhash32
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "l14_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "l13_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
         |h AS (SELECT doc_id, md5(t) AS h FROM tok),
