@@ -66,11 +66,9 @@ object StreamDemo {
     Reliability.reliableBatch(conn, "tx", "event_id") { row =>
       if (row.getAs[Boolean]("_corrupt")) throw new IllegalArgumentException("corrupt payload")
     }.apply(parsed, 0L)
-    println("[demo] DLQ contents:")
-    val dlqSchema = StructType(parsed.schema.fields ++ Seq(
-      StructField("_error", StringType), StructField("_original_stream", StringType),
-      StructField("_original_msg_id", StringType), StructField("_moved_timestamp", TimestampType)))
-    spark.read.schema(dlqSchema).json(s"$root/tx-dlq")
+    println("[demo] DLQ contents (via Ops.dlqInspect):")
+    val dlqConn = new FileConnector(root, parsed.schema)
+    Ops.dlqInspect(spark, dlqConn, "tx")
       .select("event_id", "_error", "_original_stream", "_original_msg_id").show(false)
 
     println(s"[demo] replayed ${Reliability.replayDlq(spark, conn, "tx")} DLQ events back to tx")

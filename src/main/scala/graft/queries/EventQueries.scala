@@ -198,6 +198,9 @@ object EventQueries {
     "w3_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,
+        |    -- strict >: Spark session_window MERGES events exactly gap apart
+        |    -- (empirically probed: ts 0 and 10 with gap 10s -> one session
+        |    -- [0,20)), so only a gap STRICTLY beyond the timeout splits
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events),

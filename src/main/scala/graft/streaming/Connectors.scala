@@ -22,6 +22,18 @@ trait Connector {
   def writeStream(df: DataFrame, topic: String, checkpoint: String,
                   outputMode: String = "append"): StreamingQuery
 
+  /** Batch-replay-safe write for foreachBatch side outputs: writing the
+    * SAME (topic, batchId) twice must leave one copy (crash between a
+    * side write and the micro-batch commit causes the engine to replay
+    * the batch). Default falls back to plain append — at-least-once —
+    * for connectors without an idempotent form. */
+  def writeBatchIdempotent(df: DataFrame, topic: String, batchId: Long): Unit =
+    writeBatch(df, topic)
+
+  /** Delete a topic's storage (DLQ purge etc.). Default: unsupported. */
+  def purgeTopic(spark: SparkSession, topic: String): Boolean =
+    throw new UnsupportedOperationException(s"purge not supported by ${getClass.getSimpleName}")
+
   /** DLQ topic naming, as the reference's `{topic}-dlq`
     * (pspf/connectors/valkey.py:222-248). */
   final def dlqTopic(topic: String): String = s"$topic-dlq"
@@ -37,17 +49,45 @@ trait Connector {
   * Scale: a directory-of-files topic is object-storage-native; listing
   * cost is controlled via maxFilesPerTrigger and compaction jobs.
   */
-final class FileConnector(root: String, schema: StructType) extends Connector {
+final class FileConnector(root: String, schema: StructType,
+                          topicSchemas: Map[String, StructType] = Map.empty) extends Connector {
   private def path(topic: String) = s"$root/$topic"
 
+  /** DLQ metadata appended by Reliability.enrichForDlq. */
+  private val dlqMeta = Seq(
+    org.apache.spark.sql.types.StructField("_error", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_original_stream", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_original_msg_id", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_moved_timestamp", org.apache.spark.sql.types.TimestampType))
+
+  /** Per-topic schema: explicit override > DLQ topics get base+metadata
+    * (so enrichment survives the read) > base schema. Derived topics
+    * with a different shape (agg outputs etc.) need an override entry. */
+  private def schemaOf(topic: String): StructType =
+    topicSchemas.getOrElse(topic,
+      if (topic.endsWith("-dlq")) StructType(schema.fields ++ dlqMeta) else schema)
+
   override def readStream(spark: SparkSession, topic: String): DataFrame =
-    spark.readStream.schema(schema).json(path(topic))
+    spark.readStream.schema(schemaOf(topic))
+      .option("recursiveFileLookup", "true").json(path(topic))
 
   override def readBatch(spark: SparkSession, topic: String): DataFrame =
-    spark.read.schema(schema).json(path(topic))
+    spark.read.schema(schemaOf(topic))
+      .option("recursiveFileLookup", "true").json(path(topic))
 
   override def writeBatch(df: DataFrame, topic: String): Unit =
-    df.write.mode("append").json(path(topic))
+    df.write.mode("append").json(s"${path(topic)}/append")
+
+  /** Replay-safe: one subdirectory per batch id, overwritten wholesale on
+    * replay, so a crashed-then-replayed foreachBatch leaves ONE copy. */
+  override def writeBatchIdempotent(df: DataFrame, topic: String, batchId: Long): Unit =
+    df.write.mode("overwrite").json(s"${path(topic)}/batch-$batchId")
+
+  override def purgeTopic(spark: SparkSession, topic: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(topic))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) || fs.delete(p, true)
+  }
 
   override def writeStream(df: DataFrame, topic: String, checkpoint: String,
                            outputMode: String): StreamingQuery =

@@ -72,18 +72,30 @@ final class SchemaRegistry {
       // yields an all-null struct, not null, on bad input — the corrupt
       // column is the reliable signal). Unregistered types pass through
       // as open-schema: parsed = null, not corrupt.
+      //
+      // Each type's from_json is materialized ONCE into a hidden column;
+      // parsed/_corrupt are projections over that bound reference, so
+      // the JSON isn't parsed twice per row in the hot path.
       val crField = "_corrupt_record"
       val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> crField)
-      def parsedFor(s: StructType) =
-        from_json(col("payload"), StructType(s.fields :+ StructField(crField, StringType)), opts)
-      val corrupt = types.map { case (t, s) =>
-        col("event_type") === t && col("payload").isNotNull &&
-          parsedFor(s).getField(crField).isNotNull
-      }.reduce(_ || _)
-      val parsed = types.foldRight(lit(null).cast(StringType)) { case ((t, s), acc) =>
-        when(col("event_type") === t, to_json(parsedFor(s).dropFields(crField))).otherwise(acc)
+      val hidden = types.map { case (t, s) =>
+        t -> s"_parsed_${t.replaceAll("\\W", "_")}"
+      }.toMap
+      val withParsed = types.foldLeft(df) { case (d, (t, s)) =>
+        d.withColumn(hidden(t),
+          from_json(col("payload"), StructType(s.fields :+ StructField(crField, StringType)), opts))
       }
-      df.withColumn("parsed", parsed).withColumn("_corrupt", coalesce(corrupt, lit(false)))
+      val corrupt = types.map { case (t, _) =>
+        col("event_type") === t && col("payload").isNotNull &&
+          col(hidden(t)).getField(crField).isNotNull
+      }.reduce(_ || _)
+      val parsed = types.foldRight(lit(null).cast(StringType)) { case ((t, _), acc) =>
+        when(col("event_type") === t, to_json(col(hidden(t)).dropFields(crField))).otherwise(acc)
+      }
+      types.foldLeft(
+        withParsed.withColumn("parsed", parsed)
+          .withColumn("_corrupt", coalesce(corrupt, lit(false)))
+      ) { case (d, (t, _)) => d.drop(hidden(t)) }
     }
   }
 }

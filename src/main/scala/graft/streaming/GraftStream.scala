@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** User-facing facade with the reference's `Stream` API surface
@@ -52,25 +53,29 @@ final class GraftStream(spark: SparkSession, connector: Connector,
 
   /** Windowed aggregation to a sink topic (reference @stream.window /
     * stream.aggregate with watermark_delay_ms). `prepare` derives the
-    * event-time column from raw topic rows (reference's event-time
-    * extraction step, pspf/stream.py:372-389). */
-  def windowAggregate(topic: String, w: WindowLike, ts: Column, keys: Seq[Column],
+    * event-time column (named `tsColName`) from raw topic rows
+    * (reference's event-time extraction, pspf/stream.py:372-389); the
+    * window and the watermark both bind to that one column — separate
+    * parameters previously allowed them to disagree, which fails at
+    * start() or never evicts state. */
+  def windowAggregate(topic: String, w: WindowLike, keys: Seq[Column],
                       aggs: Seq[Column], outTopic: String,
                       watermarkDelay: String = "0 seconds",
                       tsColName: String = "ts",
                       prepare: DataFrame => DataFrame = identity): StreamingQuery = {
     val agg = Pipeline(prepare(connector.readStream(spark, topic)))
       .watermarked(tsColName, watermarkDelay)
-      .windowAgg(w, ts, keys, aggs)
+      .windowAgg(w, col(tsColName), keys, aggs)
       .toDF
     connector.writeStream(agg, outTopic, ckpt(topic, s"agg-$outTopic"), "append")
   }
 
-  /** Predicate routing to per-route topics (reference Router.route). */
+  /** Predicate routing to per-route topics (reference Router.route).
+    * Legs are written batchId-idempotently → crash-replay-safe. */
   def route(topic: String, router: StreamRouter, name: String = "router"): StreamingQuery =
     router.fanOutStream(
       connector.readStream(spark, topic), ckpt(topic, name),
-      (leg, t) => connector.writeBatch(leg, t))
+      (leg, t, batchId) => connector.writeBatchIdempotent(leg, t, batchId))
 
   /** Reliable side-effect subscription: per-row op, retries, DLQ
     * (reference BatchProcessor error handling). */

@@ -17,14 +17,10 @@ object Ops {
   def dlqCount(spark: SparkSession, c: Connector, topic: String): Long =
     c.readBatch(spark, c.dlqTopic(topic)).count()
 
-  /** Drop all DLQ contents (reference DEL of the dlq key). File-backed
-    * topics: recursive directory delete via Hadoop FS (works on HDFS/S3
-    * the same way). */
-  def dlqPurge(spark: SparkSession, topicPath: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(topicPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    !fs.exists(path) || fs.delete(path, true)
-  }
+  /** Drop all DLQ contents (reference DEL of the dlq key) — delegated to
+    * the connector, which owns its topic→storage layout. */
+  def dlqPurge(spark: SparkSession, c: Connector, topic: String): Boolean =
+    c.purgeTopic(spark, c.dlqTopic(topic))
 
   /** Log inspect: `[offset] ts | key | value`-style ordered dump head
     * (reference pspfctl inspect). Caller picks the ordering column. */

@@ -84,11 +84,13 @@ final class StreamRouter(routes: Seq[(Column, String)], default: Option[String])
 
   /** First-match route name; null = drop (no default). */
   def routeColumn: Column = {
-    val chain = routes.foldLeft[Option[Column]](None) {
+    routes.foldLeft[Option[Column]](None) {
       case (None, (p, t)) => Some(when(p, t))
       case (Some(acc), (p, t)) => Some(acc.when(p, t))
-    }.getOrElse(lit(null))
-    default.map(d => chain.otherwise(d)).getOrElse(chain)
+    } match {
+      case Some(chain) => default.map(chain.otherwise(_)).getOrElse(chain)
+      case None => lit(default.orNull) // no predicates: everything → default (or drop)
+    }
   }
 
   def targets: Seq[String] = (routes.map(_._2) ++ default.toSeq).distinct
@@ -103,12 +105,16 @@ final class StreamRouter(routes: Seq[(Column, String)], default: Option[String])
   }
 
   /** Streaming fan-out via foreachBatch (one query, N sinks — matches
-    * SURVEY §2.2 O5's recommended plan). */
+    * SURVEY §2.2 O5's recommended plan). The callback receives the
+    * batchId so sinks can write replay-idempotently
+    * (Connector.writeBatchIdempotent). */
   def fanOutStream(df: DataFrame, checkpoint: String,
-                   write: (DataFrame, String) => Unit): StreamingQuery =
+                   write: (DataFrame, String, Long) => Unit): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => fanOutBatch(batch, write) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanOutBatch(batch, (leg, t) => write(leg, t, batchId))
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 }

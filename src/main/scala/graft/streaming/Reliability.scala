@@ -70,12 +70,16 @@ object Reliability {
   def reliableBatch(c: Connector, topic: String, idCol: String,
                     maxRetries: Int = DefaultMaxRetries)(op: Row => Unit)
       : (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
-      val results = annotateWithRetry(batch, maxRetries)(op).cache()
+    (batch: DataFrame, batchId: Long) => {
+      // persist (memory+disk) so the failure scan doesn't re-run `op`;
+      // the DLQ write is batchId-idempotent → crash-replay leaves one copy
+      val results = annotateWithRetry(batch, maxRetries)(op)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val failed = results.filter(col("_error").isNotNull)
         if (!failed.isEmpty)
-          c.writeBatch(enrichForDlq(failed, topic, idCol), c.dlqTopic(topic))
+          c.writeBatchIdempotent(enrichForDlq(failed, topic, idCol),
+            c.dlqTopic(topic), batchId)
       } finally results.unpersist()
     }
 
@@ -93,10 +97,20 @@ object Reliability {
   def idempotentWrite(spark: SparkSession, batch: DataFrame, idCol: String,
                       tokenDir: String)(write: DataFrame => Unit): Long = {
     val inBatch = batch.dropDuplicates(idCol)
-    val fresh = Try(spark.read.parquet(tokenDir)).toOption match {
-      case Some(tok) => inBatch.join(tok, inBatch(idCol) === tok("token_id"), "left_anti")
-      case None => inBatch
-    }
+    // Only a MISSING token dir means "no tokens yet" — any other read
+    // failure (transient storage error, corrupt file) must fail the
+    // batch, not silently disable idempotency and re-fire history.
+    val tokenPath = new org.apache.hadoop.fs.Path(tokenDir)
+    val fs = tokenPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(tokenPath)) inBatch
+      else {
+        val tok = spark.read.parquet(tokenDir)
+        // compare as strings — tokens persist as strings, and a
+        // numeric-vs-string equality would coerce to double, corrupting
+        // ids beyond 2^53
+        inBatch.join(tok, inBatch(idCol).cast("string") === tok("token_id"), "left_anti")
+      }
     val freshC = fresh.cache()
     try {
       val n = freshC.count()

@@ -29,7 +29,11 @@ final class GraftMetrics extends StreamingQueryListener {
     lastByQuery.put(event.progress.id, event)
   }
 
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  // evict per-query state on termination: the facade starts a fresh
+  // query (new UUID) per subscription run, so an unbounded map would
+  // leak one progress event per run; counters survive eviction.
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    lastByQuery.remove(event.id)
 
   /** Latest watermark for a query (reference exposes per-handler
     * watermark; Spark's is global per query and persisted). */

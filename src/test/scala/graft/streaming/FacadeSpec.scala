@@ -60,7 +60,7 @@ class FacadeSpec extends AnyFunSuite {
   test("windowAggregate emits closed windows once the watermark passes") {
     val (root, s) = mkStream()
     def runAgg(): Unit = s.windowAggregate("tx", TumblingWindow(10000),
-      col("ts"), Seq(col("key")), Seq(sum(col("amount")).as("total")),
+      Seq(col("key")), Seq(sum(col("amount")).as("total")),
       outTopic = "tx-agg",
       prepare = df => df.withColumn("ts", timestamp_seconds(col("sec")))
     ).awaitTermination()

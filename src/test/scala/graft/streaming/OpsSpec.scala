@@ -26,8 +26,8 @@ class OpsSpec extends AnyFunSuite {
     assert(Ops.inspect(spark, conn, "t-dlq", "event_id", 10)
       .select("event_id").as[String].collect().toSeq == Seq("e1", "e2"))
 
-    assert(Ops.dlqPurge(spark, s"$root/t-dlq"))
+    assert(Ops.dlqPurge(spark, conn, "t"))
     assert(!new java.io.File(s"$root/t-dlq").exists())
-    assert(Ops.dlqPurge(spark, s"$root/t-dlq")) // idempotent on missing
+    assert(Ops.dlqPurge(spark, conn, "t")) // idempotent on missing
   }
 }

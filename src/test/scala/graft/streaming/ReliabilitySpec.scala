@@ -28,12 +28,8 @@ class ReliabilitySpec extends AnyFunSuite {
       if (row.getString(1) == "boom") throw new RuntimeException("handler exploded")
     }.apply(batch, 0L)
 
-    val dlqSchema = StructType(eventSchema.fields ++ Seq(
-      StructField("_error", StringType),
-      StructField("_original_stream", StringType),
-      StructField("_original_msg_id", StringType),
-      StructField("_moved_timestamp", TimestampType)))
-    val dlq = spark.read.schema(dlqSchema).json(s"$root/orders-dlq").collect()
+    // the connector now knows the DLQ schema (base + metadata) itself
+    val dlq = conn.readBatch(spark, conn.dlqTopic("orders")).collect()
     assert(dlq.length == 1)
     val r = dlq.head
     assert(r.getAs[String]("event_id") == "e2")
