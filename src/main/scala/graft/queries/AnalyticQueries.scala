@@ -90,6 +90,31 @@ object AnalyticQueries {
       withOrders.union(withoutOrders).orderBy(col("kind"))
     }),
 
+    // Multiset set-ops: EXCEPT ALL / INTERSECT ALL keep duplicates.
+    "a10_setops_all" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") >= 25).select(col("l_orderkey"))
+      val b = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      a.exceptAll(b).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .union(a.intersectAll(b).groupBy(col("l_orderkey")).agg((count(lit(1)) * -1).as("n")))
+        .groupBy(col("l_orderkey")).agg(sum(col("n")).as("net"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // Frame-value window functions: first/last value + percent_rank.
+    "a11_frame_values" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wFull).as("cheapest_order"),
+          last(col("o_orderkey")).over(wFull).as("priciest_order"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Navigation window functions: lag/lead/ntile over a total order.
     "a8_lag_lead" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -163,6 +188,23 @@ object AnalyticQueries {
         |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY kind""".stripMargin,
+    "a10_setops_all" ->
+      """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25),
+        |b AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |x AS (SELECT l_orderkey, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+        |      UNION ALL
+        |      SELECT l_orderkey, -COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT l_orderkey, SUM(n) AS net FROM x GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a11_frame_values" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER wf AS cheapest_order,
+        |  last_value(o_orderkey) OVER wf AS priciest_order,
+        |  percent_rank() OVER w AS pr
+        |FROM orders WHERE o_custkey <= 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "a8_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,
