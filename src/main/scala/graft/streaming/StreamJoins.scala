@@ -29,15 +29,18 @@ object StreamJoins {
     left.join(right, cond, joinType)
   }
 
-  /** Streaming form with watermarks applied (delay bounds state size). */
+  /** Streaming form with watermarks applied (delay bounds state size).
+    * Outer variants emit the unmatched side once the watermark passes
+    * the join horizon. */
   def windowedStreaming(left: DataFrame, right: DataFrame,
                         leftKey: String, rightKey: String,
                         leftTs: String, rightTs: String,
-                        withinMs: Long, watermarkDelay: String): DataFrame =
+                        withinMs: Long, watermarkDelay: String,
+                        joinType: String = "inner"): DataFrame =
     windowed(
       left.withWatermark(leftTs, watermarkDelay),
       right.withWatermark(rightTs, watermarkDelay),
-      leftKey, rightKey, leftTs, rightTs, withinMs)
+      leftKey, rightKey, leftTs, rightTs, withinMs, joinType)
 
   /** Stream-static enrichment join (free in Spark, absent in the
     * reference — SURVEY §2.4): broadcast the static dim when small. */

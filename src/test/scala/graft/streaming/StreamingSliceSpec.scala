@@ -64,6 +64,33 @@ class StreamingSliceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer windowed stream-stream join emits unmatched left rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(String, Double)]
+    val r = MemoryStream[(String, Double)]
+    val lDf = l.toDF.toDF("lkey", "lsec")
+      .select(col("lkey"), timestamp_seconds(col("lsec")).as("lts"))
+    val rDf = r.toDF.toDF("rkey", "rsec")
+      .select(col("rkey"), timestamp_seconds(col("rsec")).as("rts"))
+    val joined = StreamJoins.windowedStreaming(
+      lDf, rDf, "lkey", "rkey", "lts", "rts",
+      withinMs = 5000, watermarkDelay = "0 seconds", joinType = "left_outer")
+    val q = joined.select(col("lkey"), col("rts").cast("double"))
+      .writeStream.outputMode("append").format("memory").queryName("loj_out").start()
+    try {
+      l.addData(("a", 10.0), ("b", 10.0))
+      r.addData(("a", 12.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the join horizon so the
+      // unmatched 'b' row is finalized and emitted with a null right side
+      l.addData(("z", 1000.0)); r.addData(("z", 1000.0))
+      q.processAllAvailable()
+      val got = spark.table("loj_out")
+        .collect().map(row => (row.getString(0), Option(row.get(1)))).toSet
+      assert(got.contains(("a", Some(12.0))) && got.contains(("b", None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup by event_id drops in-batch and cross-batch duplicates (W12)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double)] // event_id, sec
