@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style dedup invariants over ScalaCheck-generated corpora. */
+class DedupPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private def corpus(n: Int, seed: Long): Seq[String] = {
+    val g = Gen.listOfN(n, Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    g(Gen.Parameters.default, Seed(seed)).get
+  }
+
+  test("exact dedup recovers exactly the planted duplicates") {
+    val base = corpus(40, seed = 7L).distinct
+    val planted = base.take(5) // duplicate the first five
+    val docs = (base ++ planted).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val groups = Dedup.exact(docs, "doc_id", "text")
+    assert(groups.filter($"n_copies" === 2).count() == 5)
+    assert(groups.filter($"n_copies" > 2).count() == 0)
+    // keep_id is always the smallest id of its group
+    val all = groups.select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(all.filter(_._2 == 2).forall(_._1 < base.size))
+  }
+
+  test("jaccard is within [0,1], identical docs score 1.0, and LSH recall covers jaccard=1 pairs") {
+    val base = corpus(30, seed = 11L).distinct
+    val dup = base.take(4)
+    val docs = (base ++ dup).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = -1.0)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect()
+    assert(jac.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 })
+    val perfect = jac.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+    assert(perfect.size >= 4) // each planted dup pairs with its original
+
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    // identical shingle sets have identical minhash signatures → always bucketed
+    assert(perfect.subsetOf(lsh))
+  }
+}
