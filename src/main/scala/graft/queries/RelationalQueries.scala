@@ -92,6 +92,34 @@ object RelationalQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // TPC-H Q18 shape: HAVING via post-aggregation filter, then join
+    // back to the order for reporting columns.
+    "q7_big_orders" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(dec("l_quantity")).cast(DoubleType).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    "q8_returns_report" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(disc("l_extendedprice", "l_discount")).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q6 shape: tight scan-filter-sum (pushdown showcase).
     "q6_scan_agg" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -146,6 +174,23 @@ object RelationalQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q7_big_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150.0) t
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q8_returns_report" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q6_scan_agg" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
