@@ -23,11 +23,15 @@ trait Connector {
                   outputMode: String = "append"): StreamingQuery
 
   /** Batch-replay-safe write for foreachBatch side outputs: writing the
-    * SAME (topic, batchId) twice must leave one copy (crash between a
-    * side write and the micro-batch commit causes the engine to replay
-    * the batch). Default falls back to plain append — at-least-once —
-    * for connectors without an idempotent form. */
-  def writeBatchIdempotent(df: DataFrame, topic: String, batchId: Long): Unit =
+    * SAME (writerId, topic, batchId) twice must leave one copy (crash
+    * between a side write and the micro-batch commit causes the engine
+    * to replay the batch). `writerId` scopes the idempotency to one
+    * logical writer — two queries writing the same topic both start at
+    * batchId 0 and must not clobber each other. Default falls back to
+    * plain append — at-least-once — for connectors without an
+    * idempotent form. */
+  def writeBatchIdempotent(df: DataFrame, topic: String, batchId: Long,
+                           writerId: String): Unit =
     writeBatch(df, topic)
 
   /** Delete a topic's storage (DLQ purge etc.). Default: unsupported. */
@@ -53,19 +57,14 @@ final class FileConnector(root: String, schema: StructType,
                           topicSchemas: Map[String, StructType] = Map.empty) extends Connector {
   private def path(topic: String) = s"$root/$topic"
 
-  /** DLQ metadata appended by Reliability.enrichForDlq. */
-  private val dlqMeta = Seq(
-    org.apache.spark.sql.types.StructField("_error", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("_original_stream", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("_original_msg_id", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("_moved_timestamp", org.apache.spark.sql.types.TimestampType))
-
   /** Per-topic schema: explicit override > DLQ topics get base+metadata
-    * (so enrichment survives the read) > base schema. Derived topics
-    * with a different shape (agg outputs etc.) need an override entry. */
+    * (so enrichment survives the read; field list owned by Reliability —
+    * one source of truth) > base schema. Derived topics with a different
+    * shape (agg outputs etc.) need an override entry. */
   private def schemaOf(topic: String): StructType =
     topicSchemas.getOrElse(topic,
-      if (topic.endsWith("-dlq")) StructType(schema.fields ++ dlqMeta) else schema)
+      if (topic.endsWith("-dlq")) StructType(schema.fields ++ Reliability.dlqMetaFields)
+      else schema)
 
   override def readStream(spark: SparkSession, topic: String): DataFrame =
     spark.readStream.schema(schemaOf(topic))
@@ -78,10 +77,14 @@ final class FileConnector(root: String, schema: StructType,
   override def writeBatch(df: DataFrame, topic: String): Unit =
     df.write.mode("append").json(s"${path(topic)}/append")
 
-  /** Replay-safe: one subdirectory per batch id, overwritten wholesale on
-    * replay, so a crashed-then-replayed foreachBatch leaves ONE copy. */
-  override def writeBatchIdempotent(df: DataFrame, topic: String, batchId: Long): Unit =
-    df.write.mode("overwrite").json(s"${path(topic)}/batch-$batchId")
+  /** Replay-safe: one subdirectory per (writer, batch id), overwritten
+    * wholesale on replay, so a crashed-then-replayed foreachBatch leaves
+    * ONE copy and concurrent writers never clobber each other. */
+  override def writeBatchIdempotent(df: DataFrame, topic: String, batchId: Long,
+                                    writerId: String): Unit = {
+    val safe = writerId.replaceAll("[^A-Za-z0-9_-]", "_")
+    df.write.mode("overwrite").json(s"${path(topic)}/w-$safe-batch-$batchId")
+  }
 
   override def purgeTopic(spark: SparkSession, topic: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(topic))
@@ -89,43 +92,76 @@ final class FileConnector(root: String, schema: StructType,
     !fs.exists(p) || fs.delete(p, true)
   }
 
+  /** Streaming writes go through foreachBatch + writeBatchIdempotent
+    * rather than the json file sink: the file sink plants a
+    * _spark_metadata log at the topic root, after which batch reads see
+    * ONLY sink-committed files and every writeBatch append becomes
+    * silently invisible. One layout (batch subdirs + recursive reads)
+    * keeps streaming and batch writers interoperable, with the same
+    * replay idempotence. The writerId derives from the checkpoint path —
+    * stable across restarts of the same query, distinct across queries. */
   override def writeStream(df: DataFrame, topic: String, checkpoint: String,
-                           outputMode: String): StreamingQuery =
+                           outputMode: String): StreamingQuery = {
+    val writerId = s"q${checkpoint.hashCode.toHexString}"
     df.writeStream.outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .format("json").start(path(topic))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, topic, batchId, writerId)
+      }
+      .start()
+  }
 }
 
 /** Kafka wiring (reference: KafkaStreamBackend,
   * pspf/connectors/kafka.py:20-271). Manual commit / max-offset logic
   * (:149-190) is subsumed by the checkpoint; consumer lag (:230-270) is
-  * observable via StreamingQueryProgress. NOTE: requires the
+  * observable via StreamingQueryProgress.
+  *
+  * Envelope mapping: Kafka rows are (key, value, topic, partition,
+  * offset, timestamp); graft frames are arbitrary columns. Reads unwrap
+  * `value` into a `payload` JSON string + `event_type` (extracted from
+  * the payload, matching the reference's in-payload event_type,
+  * pspf/stream.py:235-247) so SchemaRegistry.parse works unchanged;
+  * writes wrap all columns into a JSON `value`. NOTE: requires the
   * spark-sql-kafka package on the classpath (not shipped in this
   * environment — construction succeeds, start() would fail fast). */
 final class KafkaConnector(bootstrap: String) extends Connector {
+  import org.apache.spark.sql.functions.{col, get_json_object, struct, to_json}
+
+  private def unwrap(df: DataFrame): DataFrame =
+    df.select(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("payload"),
+      get_json_object(col("value").cast("string"), "$.event_type").as("event_type"),
+      col("topic"), col("partition"), col("offset"),
+      col("timestamp").as("timestamp"))
+
+  private def wrap(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
   override def readStream(spark: SparkSession, topic: String): DataFrame =
-    spark.readStream.format("kafka")
+    unwrap(spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
-      .load()
+      .load())
 
   override def readBatch(spark: SparkSession, topic: String): DataFrame =
-    spark.read.format("kafka")
+    unwrap(spark.read.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
-      .load()
+      .load())
 
   override def writeBatch(df: DataFrame, topic: String): Unit =
-    df.write.format("kafka")
+    wrap(df).write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .save()
 
   override def writeStream(df: DataFrame, topic: String, checkpoint: String,
                            outputMode: String): StreamingQuery =
-    df.writeStream.format("kafka")
+    wrap(df).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
@@ -158,7 +194,12 @@ final class MemoryConnector(streams: Map[String, DataFrame]) extends Connector {
 
   override def writeBatch(df: DataFrame, topic: String): Unit = {
     val rows = df.collect()
-    schemas.putIfAbsent(topic, df.schema)
+    schemas.putIfAbsent(topic, df.schema) match {
+      case Some(prev) if prev != df.schema =>
+        throw new IllegalArgumentException(
+          s"memory topic $topic already holds schema $prev; refusing divergent ${df.schema}")
+      case _ => ()
+    }
     batches.synchronized {
       batches.put(topic, batches.getOrElse(topic, Vector.empty) :+ rows)
     }

@@ -78,9 +78,9 @@ final class SchemaRegistry {
       // the JSON isn't parsed twice per row in the hot path.
       val crField = "_corrupt_record"
       val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> crField)
-      val hidden = types.map { case (t, s) =>
-        t -> s"_parsed_${t.replaceAll("\\W", "_")}"
-      }.toMap
+      // index-keyed hidden names: sanitizing the type name could collide
+      // ("order.created" vs "order_created" → same column, wrong schema)
+      val hidden = types.zipWithIndex.map { case ((t, _), i) => t -> s"_parsed_$i" }.toMap
       val withParsed = types.foldLeft(df) { case (d, (t, s)) =>
         d.withColumn(hidden(t),
           from_json(col("payload"), StructType(s.fields :+ StructField(crField, StringType)), opts))

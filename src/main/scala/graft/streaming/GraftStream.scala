@@ -71,11 +71,12 @@ final class GraftStream(spark: SparkSession, connector: Connector,
   }
 
   /** Predicate routing to per-route topics (reference Router.route).
-    * Legs are written batchId-idempotently → crash-replay-safe. */
+    * Legs are written batchId-idempotently, scoped by the router name →
+    * crash-replay-safe and collision-free across routers. */
   def route(topic: String, router: StreamRouter, name: String = "router"): StreamingQuery =
     router.fanOutStream(
       connector.readStream(spark, topic), ckpt(topic, name),
-      (leg, t, batchId) => connector.writeBatchIdempotent(leg, t, batchId))
+      (leg, t, batchId) => connector.writeBatchIdempotent(leg, t, batchId, s"$topic-$name"))
 
   /** Reliable side-effect subscription: per-row op, retries, DLQ
     * (reference BatchProcessor error handling). */
@@ -85,7 +86,8 @@ final class GraftStream(spark: SparkSession, connector: Connector,
     connector.readStream(spark, topic)
       .writeStream
       .option("checkpointLocation", ckpt(topic, s"rel-$name"))
-      .foreachBatch(Reliability.reliableBatch(connector, topic, idCol, maxRetries)(op))
+      .foreachBatch(Reliability.reliableBatch(connector, topic, idCol, maxRetries,
+        writerId = s"$topic-rel-$name")(op))
       .trigger(Trigger.AvailableNow())
       .start()
 }

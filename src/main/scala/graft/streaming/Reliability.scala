@@ -29,6 +29,15 @@ object Reliability {
 
   val DefaultMaxRetries = 3
 
+  /** The DLQ enrichment columns (annotateWithRetry's _error plus
+    * enrichForDlq's provenance) — single source of truth, referenced by
+    * connectors when deriving a DLQ topic's read schema. */
+  val dlqMetaFields: Seq[StructField] = Seq(
+    StructField("_error", StringType),
+    StructField("_original_stream", StringType),
+    StructField("_original_msg_id", StringType),
+    StructField("_moved_timestamp", org.apache.spark.sql.types.TimestampType))
+
   /** Reference's backoff schedule (pspf/processor.py:368-373), computed
     * deterministically (the reference adds random jitter to sleep time —
     * timing, not semantics). */
@@ -65,10 +74,14 @@ object Reliability {
       .withColumn("_original_msg_id", col(idCol).cast("string"))
       .withColumn("_moved_timestamp", current_timestamp())
 
-  /** Reliable foreachBatch body: per-row op with retry; terminal failures
-    * land enriched in `{topic}-dlq`. Returns (nOk, nFailed). */
+  /** Reliable foreachBatch body (a (batch, batchId) => Unit for
+    * writeStream.foreachBatch): per-row op with retry; terminal failures
+    * land enriched in `{topic}-dlq`. Outcomes are observable via the DLQ
+    * itself and GraftMetrics, not a return value. `writerId` scopes the
+    * DLQ write's replay idempotency to this subscription. */
   def reliableBatch(c: Connector, topic: String, idCol: String,
-                    maxRetries: Int = DefaultMaxRetries)(op: Row => Unit)
+                    maxRetries: Int = DefaultMaxRetries,
+                    writerId: String = "reliable")(op: Row => Unit)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       // persist (memory+disk) so the failure scan doesn't re-run `op`;
@@ -79,7 +92,7 @@ object Reliability {
         val failed = results.filter(col("_error").isNotNull)
         if (!failed.isEmpty)
           c.writeBatchIdempotent(enrichForDlq(failed, topic, idCol),
-            c.dlqTopic(topic), batchId)
+            c.dlqTopic(topic), batchId, writerId)
       } finally results.unpersist()
     }
 
@@ -105,7 +118,13 @@ object Reliability {
     val fresh =
       if (!fs.exists(tokenPath)) inBatch
       else {
-        val tok = spark.read.parquet(tokenDir)
+        // explicit schema: a crash can leave tokenDir with only an
+        // uncommitted _temporary dir, where schema inference would throw
+        // forever and wedge every batch; with a declared schema that
+        // state reads as an empty token set
+        val tok = spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(StructField("token_id", StringType))))
+          .parquet(tokenDir)
         // compare as strings — tokens persist as strings, and a
         // numeric-vs-string equality would coerce to double, corrupting
         // ids beyond 2^53
@@ -130,15 +149,29 @@ object Reliability {
     * per-event check — documented divergence). Returns (onTime, late). */
   def lateSplit(batch: DataFrame, tsCol: String, watermark: java.sql.Timestamp)
       : (DataFrame, DataFrame) =
+    // null event-times go to the LATE leg — both filters would otherwise
+    // drop them (SQL null comparisons), which is exactly the silent loss
+    // this helper exists to prevent
     (batch.filter(col(tsCol) >= lit(watermark)),
-      batch.filter(col(tsCol) < lit(watermark)))
+      batch.filter(col(tsCol) < lit(watermark) || col(tsCol).isNull))
 
-  /** DLQ replay: strip `_`-prefixed metadata, re-append to main topic. */
+  /** DLQ replay: strip `_`-prefixed metadata, re-append to the main
+    * topic, then PURGE the DLQ (the reference deletes each replayed
+    * message, pspf/utils/replay.py — without the purge a second replay
+    * would duplicate every event). A crash between append and purge
+    * re-replays on the next run: at-least-once, same as the reference's
+    * per-message re-inject-then-delete. */
   def replayDlq(spark: SparkSession, c: Connector, topic: String): Long = {
     val dlq = c.readBatch(spark, c.dlqTopic(topic))
     val clean = dlq.columns.filter(_.startsWith("_")).foldLeft(dlq)(_ drop _)
-    val n = clean.count()
-    if (n > 0) c.writeBatch(clean, topic)
-    n
+    val cleanC = clean.cache()
+    try {
+      val n = cleanC.count()
+      if (n > 0) {
+        c.writeBatch(cleanC, topic)
+        c.purgeTopic(spark, c.dlqTopic(topic))
+      }
+      n
+    } finally cleanC.unpersist()
   }
 }

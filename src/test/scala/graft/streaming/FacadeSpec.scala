@@ -71,7 +71,7 @@ class FacadeSpec extends AnyFunSuite {
     s.emit(events(("e9", "z", 1000.0, 0.0)), "tx")
     runAgg()
 
-    val agg = spark.read.json(s"$root/tx-agg")
+    val agg = spark.read.option("recursiveFileLookup", "true").json(s"$root/tx-agg")
     val got = agg.select(col("key"), col("total"))
       .as[(String, Double)].collect().toSet
     assert(got == Set(("a", 15.0), ("b", 100.0)))
