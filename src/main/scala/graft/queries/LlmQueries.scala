@@ -63,6 +63,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic dataset splitting: md5-range assignment gives every
+    // engine (and every rerun, at any parallelism) the same train/val/
+    // test membership — `sample()` is engine/partitioning-dependent and
+    // can't be used for reproducible holdout splits.
+    "l15_data_split" -> ((s, dir) => {
+      val bucket = substring(md5(concat(lit("split42|"), col("doc_id").cast("string"))), 1, 2)
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < "cc", "train")        // 0x00-0xcb ≈ 80%
+            .when(bucket < "e6", "val")       // 0xcc-0xe5 ≈ 10%
+            .otherwise("test"))               // 0xe6-0xff ≈ 10%
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("split"))
+    }),
+
     // Polynomial rolling-hash fingerprints (incremental-update capable).
     "l14_rolling_hash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -196,6 +212,12 @@ object LlmQueries {
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS simhash32
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "l15_data_split" ->
+      """SELECT CASE WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "l14_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(
