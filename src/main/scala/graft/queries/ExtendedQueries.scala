@@ -88,6 +88,17 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Arbitrary GROUPING SETS (beyond rollup/cube lattices).
+    "x8_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+          |  COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -142,6 +153,12 @@ object ExtendedQueries {
         |FROM part WHERE p_partkey % 53 = 0 ORDER BY p_partkey""".stripMargin,
     // x6 intentionally omitted → driver rows-only check (sketches are
     // engine-specific approximations).
+    "x8_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
