@@ -113,6 +113,34 @@ object Dedup {
       .select(col(id),
         graft.functions.SimHashFunctions.simhash32(col("toks")).as("simhash32"))
 
+  /** The production near-dup composition: LSH candidates → exact
+    * verification. Exact Jaccard math runs ONLY on bucket-mate pairs, so
+    * the quadratic probe space never materializes — per docs/
+    * SCALE_DESIGN.md this is the plan that runs at 100 TB, and on
+    * corpora where LSH recall covers the threshold band it returns
+    * exactly ngramJaccardPairs' rows. */
+  def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
+                       shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                       threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, id, text, shingleN)
+    val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val cand = minhashLshPairs(docs, id, text, shingleN, numHashes, rowsPerBand)
+    // intersection sizes for candidate pairs only: fan candidates out to
+    // the left side's shingles, then equi-join the right side on
+    // (doc, shingle) — work bounded by candidate docs' shingles
+    val inter = cand
+      .join(sh.select(col(id).as("da"), col("s")), "da")
+      .join(sh.select(col(id).as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col(id).as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col(id).as("db"), col("n_sh").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") > threshold)
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bit flips, found via
     * byte-band LSH: with 4 byte-bands, fingerprints differing in
     * ≤ maxHamming ≤ 3 bits must agree on at least one byte (pigeonhole:

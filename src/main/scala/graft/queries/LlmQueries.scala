@@ -57,6 +57,14 @@ object LlmQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Production dedup composition: LSH candidates → exact verification.
+    "l16_dedup_lsh_verified" -> ((s, dir) => {
+      Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 2,
+          threshold = 0.8)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // 32-bit SimHash fingerprints.
     "l7_simhash" -> ((s, dir) => {
       Dedup.simhash32(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -212,6 +220,29 @@ object LlmQueries {
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS simhash32
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "l16_dedup_lsh_verified" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.da
+        |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |          GROUP BY 1, 2)
+        |SELECT da, db, CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8
+        |ORDER BY da, db""".stripMargin,
     "l15_data_split" ->
       """SELECT CASE WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
