@@ -155,6 +155,19 @@ object Reliability {
     (batch.filter(col(tsCol) >= lit(watermark)),
       batch.filter(col(tsCol) < lit(watermark) || col(tsCol).isNull))
 
+  /** W6 end-to-end: split a batch on the watermark and write the late
+    * leg to `{topic}-late` (batchId-idempotent), returning the on-time
+    * leg for the caller's aggregation path. This is the full reference
+    * behavior (route late raw events to the side topic instead of
+    * dropping, pspf/stream.py:402-413) packaged for foreachBatch. */
+  def lateSideOutput(c: Connector, topic: String, batch: DataFrame, tsCol: String,
+                     watermark: java.sql.Timestamp, batchId: Long,
+                     writerId: String = "late"): DataFrame = {
+    val (onTime, late) = lateSplit(batch, tsCol, watermark)
+    if (!late.isEmpty) c.writeBatchIdempotent(late, c.lateTopic(topic), batchId, writerId)
+    onTime
+  }
+
   /** DLQ replay: strip `_`-prefixed metadata, re-append to the main
     * topic, then PURGE the DLQ (the reference deletes each replayed
     * message, pspf/utils/replay.py — without the purge a second replay

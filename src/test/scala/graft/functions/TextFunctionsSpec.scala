@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rolling hash matches the hand-computed polynomial") {
+    // "ab": ((0*31+97)*31+98) % 1e9+7 = 3105 ; includes the space for "a b"
+    val got = Seq("ab", "a b").toDF("text")
+      .select(TextFunctions.rollingHash(col("text")).as("h"))
+      .as[Long].collect()
+    assert(got(0) == 3105L)
+    assert(got(1) == ((97L * 31 + 32) * 31 + 98) % 1000000007L)
+  }
+
+  test("langId scores by stopword lists with fixed priority") {
+    val got = Seq(
+      "the cat and the hat",      // en hits
+      "der hund und die katze",   // de hits
+      "xyzzy plugh quux"          // no hits
+    ).toDF("text").select(TextFunctions.langId(col("text")).as("l")).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality columns: null-safe on empty text, exact ratios otherwise") {
+    val row = Seq("the big dog!", "").toDF("text")
+      .select(col("text") +: TextFunctions.qualityColumns(col("text")): _*)
+      .collect()
+    val full = row.find(_.getString(0).nonEmpty).get
+    assert(full.getAs[Int]("n_chars") == 12 && full.getAs[Int]("n_tokens") == 3)
+    assert(full.getAs[Double]("punct_ratio") == 1.0 / 12)
+    assert(full.getAs[Double]("stop_ratio") == 1.0 / 3)
+    val empty = row.find(_.getString(0).isEmpty).get
+    assert(empty.isNullAt(empty.fieldIndex("punct_ratio"))) // null, not crash
+  }
+}

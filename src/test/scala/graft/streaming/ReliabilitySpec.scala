@@ -60,12 +60,26 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(n2 == 1 && written.get() == 3)
   }
 
-  test("late split routes pre-watermark rows to the late leg") {
-    val batch = Seq(5.0, 50.0, 100.0).toDF("sec")
+  test("late split routes pre-watermark rows to the late leg; null ts goes late, not lost") {
+    val batch = Seq(Some(5.0), Some(50.0), Some(100.0), None).toDF("sec")
       .select(timestamp_seconds(col("sec")).as("ts"))
     val (onTime, late) = Reliability.lateSplit(batch, "ts", new java.sql.Timestamp(50L * 1000))
-    assert(onTime.count() == 2 && late.count() == 1)
-    assert(late.select(col("ts").cast("double")).as[Double].collect().toSeq == Seq(5.0))
+    assert(onTime.count() == 2 && late.count() == 2) // 5.0 and the null-ts row
+    assert(onTime.count() + late.count() == batch.count()) // nothing silently dropped
+  }
+
+  test("lateSideOutput lands the late leg in {topic}-late and returns on-time rows") {
+    val root = Files.createTempDirectory("graft_late").toString
+    val schema = StructType(Seq(StructField("event_id", StringType), StructField("sec", DoubleType)))
+    val conn = new FileConnector(root, schema)
+    val batch = Seq(("e1", 5.0), ("e2", 80.0)).toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val onTime = Reliability.lateSideOutput(conn, "tx", batch, "ts",
+      new java.sql.Timestamp(50L * 1000), batchId = 0L)
+    assert(onTime.select("event_id").as[String].collect().toSeq == Seq("e2"))
+    val lateTopic = new FileConnector(root, batch.schema)
+      .readBatch(spark, "tx-late").collect()
+    assert(lateTopic.map(_.getAs[String]("event_id")).toSeq == Seq("e1"))
   }
 
   test("backoff schedule doubles and caps (reference pspf/processor.py:368-373)") {
