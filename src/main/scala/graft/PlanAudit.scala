@@ -10,7 +10,11 @@ object PlanAudit {
     // brute-force ANN baseline: tiny query side (10 vecs) broadcast-
     // crossed with the corpus is the intended one-scan plan; the scale
     // path is Similarity.lshTopK's equi-joined buckets
-    "l9_ann_topk" -> "tiny broadcast query side x corpus scan (brute-force baseline)")
+    "l9_ann_topk" -> "tiny broadcast query side x corpus scan (brute-force baseline)",
+    // all-pairs cosine baseline: engine-managed broadcast self-join —
+    // Spark enforces the broadcast size bound (vs. a driver collect,
+    // which had no bound); Similarity.lshTopK buckets are the scale path
+    "l8_embed_pairs" -> "broadcast self-join all-pairs cosine baseline (size-bounded by engine)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

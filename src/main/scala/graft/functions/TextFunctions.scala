@@ -18,25 +18,35 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Counting features use regexp_count — one codegen'd scan of the
+    * string, no match-array materialization. size(regexp_extract_all)
+    * builds the full array of matches per row just to take its length;
+    * at 100 TB of documents that allocation IS the job. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   /** BPE-ish subword pre-tokenization count: letter runs, digit runs,
     * and single non-alphanumeric marks each count as one token — the
     * standard byte-pair pre-split shape, engine-portable as a regex. */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+    regexp_count(text, lit(bpeTokenPattern))
 
   /** Count of punctuation chars (fixed class, engine-portable). */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+    regexp_count(text, lit("[.,!?;:]"))
+
+  /** Count of tokens that are exactly one of `words`. Tokens are
+    * \S+ runs, so token boundaries are "not adjacent to non-whitespace"
+    * ((?<!\S) / (?!\S)) — exactly equivalent to extracting all \S+
+    * tokens and testing membership, without materializing the array. */
+  private def wordTokenCount(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit(words.mkString("(?<!\\S)(?:", "|", ")(?!\\S)")))
 
   private val stopEn = Seq("the", "a", "and", "of", "to", "in")
 
   /** COUNT of (English) stopword tokens; `qualityColumns` divides it by
     * the token count to form the stop_ratio quality feature. */
-  def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => t.isInCollection(stopEn)))
+  def stopwordCount(text: Column): Column = wordTokenCount(text, stopEn)
 
   /** Composite quality features; ratios are exact IEEE divisions of
     * integer counts → deterministic across engines and parallelism.
@@ -44,32 +54,33 @@ object TextFunctions {
     * semantics via nullif) rather than a job-killing error — real
     * corpora at 100 TB always contain a few empty rows. */
   def qualityColumns(text: Column): Seq[Column] = {
-    val toks = tokens(text)
     val nChars = nullif(length(text), lit(0))
-    val nToks = nullif(size(toks), lit(0))
+    val nToks = nullif(tokenCount(text), lit(0))
     Seq(
       length(text).as("n_chars"),
-      size(toks).as("n_tokens"),
+      tokenCount(text).as("n_tokens"),
       bpeTokenCount(text).as("n_bpe_tokens"),
       (punctCount(text).cast("double") / nChars).as("punct_ratio"),
-      (stopwordCount(toks).cast("double") / nToks).as("stop_ratio"),
-      (length(regexp_replace(text, "[^A-Z]", "")).cast("double") / nChars).as("upper_ratio")
+      (stopwordCount(text).cast("double") / nToks).as("stop_ratio"),
+      (regexp_count(text, lit("[A-Z]")).cast("double") / nChars).as("upper_ratio")
     )
   }
 
   /** Language-ID by stopword-list scoring (tiny n-gram-free heuristic;
     * deterministic argmax with fixed priority en>de>fr>es, 'und' if no
     * hits). Real pipelines would swap in fastText-style models via
-    * mapPartitions; the relational shape stays identical. */
-  def langScores(toks: Column): Map[String, Column] = Map(
-    "en" -> size(filter(toks, t => t.isInCollection(Seq("the", "a", "and", "of", "is")))),
-    "de" -> size(filter(toks, t => t.isInCollection(Seq("der", "die", "das", "und", "ist")))),
-    "fr" -> size(filter(toks, t => t.isInCollection(Seq("le", "la", "et", "les", "est")))),
-    "es" -> size(filter(toks, t => t.isInCollection(Seq("el", "los", "y", "las", "es"))))
+    * mapPartitions; the relational shape stays identical. Each score is
+    * one regexp_count scan — no token-array extraction, no interpreted
+    * higher-order filters. */
+  def langScores(text: Column): Map[String, Column] = Map(
+    "en" -> wordTokenCount(text, Seq("the", "a", "and", "of", "is")),
+    "de" -> wordTokenCount(text, Seq("der", "die", "das", "und", "ist")),
+    "fr" -> wordTokenCount(text, Seq("le", "la", "et", "les", "est")),
+    "es" -> wordTokenCount(text, Seq("el", "los", "y", "las", "es"))
   )
 
   def langId(text: Column): Column = {
-    val s = langScores(tokens(text))
+    val s = langScores(text)
     val (en, de, fr, es) = (s("en"), s("de"), s("fr"), s("es"))
     when(en + de + fr + es === 0, "und")
       .when(en >= de && en >= fr && en >= es, "en")

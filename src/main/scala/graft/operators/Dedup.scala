@@ -78,15 +78,21 @@ object Dedup {
     * Plan shape: all `numHashes` minima are computed as separate
     * aggregates over ONE pass of the shingle set (map-side partial mins;
     * the shuffle carries |shingles| rows, not |shingles|×numHashes as a
-    * seed-explode would), then bands unpivot at |docs|×bands rows. */
+    * seed-explode would), then bands unpivot at |docs|×bands rows.
+    *
+    * Hash cost: the variable-length shingle is md5'd ONCE into a 32-char
+    * fingerprint; each seed hash digests only `seed|fp` (fixed 34 bytes)
+    * instead of re-digesting the whole shingle per seed — still md5-only,
+    * so a DuckDB oracle reproduces signatures exactly. */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val sh = shingleSet(docs, id, text, shingleN)
+      .withColumn("fp", md5(col("s")))
     val wide = sh.groupBy(col(id)).agg(
-      min(md5(concat(lit("0"), lit("|"), col("s")))).as("mh_0"),
+      min(md5(concat(lit("0|"), col("fp")))).as("mh_0"),
       (1 until numHashes).map(i =>
-        min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"mh_$i")): _*)
+        min(md5(concat(lit(s"$i|"), col("fp")))).as(s"mh_$i")): _*)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val mems = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))

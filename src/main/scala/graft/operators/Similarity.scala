@@ -51,46 +51,33 @@ object Similarity extends Serializable {
       .select(col("qid"), col("cid"), col("cos"), col("rk"))
   }
 
-  /** All pairs with cosine above `threshold` (embedding near-dup dedup),
-    * via a broadcast of the corpus vectors + per-partition scoring loop:
-    * each input row scores against the broadcast table and emits ONLY
-    * passing pairs — the declarative self-join variant below materializes
-    * every candidate pair as a joined row (two arrays per row ≈ GBs of
-    * memcpy at 2k vectors) before scoring. Applies while one side fits
-    * in executor memory (same regime as a broadcast join); beyond that,
-    * lshTopK buckets are the path.
+  /** All pairs with cosine above `threshold` (embedding near-dup dedup):
+    * an engine-managed broadcast self-join. The smaller side ships to
+    * every executor (Spark enforces the broadcast size limit — no
+    * hand-rolled driver collect, which would make driver memory the
+    * scaling bound), the da<db inequality + codegen'd FloatVecDot
+    * scoring + threshold filter all run inside one whole-stage-codegen
+    * loop, emitting only passing pairs. Applies while one side fits the
+    * broadcast limit — the same regime any hand-broadcast would have;
+    * beyond that, lshTopK buckets are the scale path.
     *
-    * Arithmetic parity with the oracle: norms and dots are sequential
-    * double folds (identical to FloatVecDot), rounding replicates
-    * Spark's Round (BigDecimal.valueOf → HALF_UP). */
+    * The raw pre-filter at threshold - 1e-6 (one rounding ulp at scale
+    * 6) keeps Round's BigDecimal allocation off the all-pairs hot path;
+    * survivors are then rounded and exactly compared, so the output is
+    * identical to filtering on the rounded value directly. */
   def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
-    val table = ds.collect().sortBy(_._1).map { case (i, v) => (i, v, normOf(v)) }
-    val bc = spark.sparkContext.broadcast(table)
-    // Small inputs arrive in 1-2 parquet partitions — spread the O(n²/2)
-    // scoring loop across the cluster. Rounding runs only on survivors:
-    // a raw pre-filter at threshold - 1e-6 (one rounding ulp at scale 6)
-    // keeps the BigDecimal allocation off the 2M-pair hot path without
-    // changing which pairs survive the exact rounded comparison.
-    ds.repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
-        val t = bc.value
-        it.flatMap { case (ida, va) =>
-          val na = normOf(va)
-          t.iterator
-            .filter(_._1 > ida)
-            .map { case (idb, vb, nb) => (ida, idb, dotOf(va, vb) / math.sqrt(na * nb)) }
-            .filter(_._3 > threshold - 1e-6)
-            .map { case (a, b, raw) => (a, b, roundHalfUp6(raw)) }
-            .filter(_._3 > threshold)
-        }
-      }.toDF("da", "db", "cos")
+    val e = withNorm(df, vec)
+    val a = e.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na"))
+    val b = e.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb"))
+    val raw = dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+    a.join(broadcast(b), col("da") < col("db") && raw > threshold - 1e-6)
+      .select(col("da"), col("db"), round(raw, 6).as("cos"))
+      .filter(col("cos") > threshold)
   }
 
-  /** Declarative self-join formulation (kept as the executable spec the
-    * broadcast variant must match; see SimilaritySpec equivalence test). */
+  /** Plain (non-hinted) self-join formulation — the executable spec the
+    * broadcast variant must match; see DedupSimilaritySpec equivalence
+    * test. */
   def cosinePairsJoin(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
     val e = withNorm(df, vec)
     val a = e.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na"))
@@ -110,10 +97,6 @@ object Similarity extends Serializable {
     acc
   }
   private def normOf(a: Array[Float]): Double = dotOf(a, a)
-
-  /** Spark's Round(double, 6) semantics: BigDecimal.valueOf + HALF_UP. */
-  private def roundHalfUp6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** IVF-style ANN: coarse quantizer + inverted lists.
     *

@@ -194,7 +194,7 @@ object AnalyticQueries {
         |x AS (SELECT l_orderkey, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
         |      UNION ALL
         |      SELECT l_orderkey, -COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
-        |SELECT l_orderkey, SUM(n) AS net FROM x GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+        |SELECT l_orderkey, CAST(SUM(n) AS BIGINT) AS net FROM x GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "a11_frame_values" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER wf AS cheapest_order,

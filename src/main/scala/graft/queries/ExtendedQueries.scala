@@ -77,14 +77,22 @@ object ExtendedQueries {
         .orderBy(col("p_partkey"))
     }),
 
-    // Approximate sketches: capability demo (rows-only check — HLL/KLL
-    // sketches are engine-specific by construction, so no value oracle).
+    // Approximate sketches (HLL count-distinct + KLL-style quantile).
+    // Sketch VALUES are engine-private, so the cross-engine check is the
+    // sketch's error bound: Spark computes approx AND exact in one plan
+    // and emits the assertion columns; the oracle emits literal TRUE —
+    // the driver's hash compare then verifies the bound holds.
     "x6_approx_sketches" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+          approx_count_distinct(col("l_partkey")).as("ac"),
+          countDistinct(col("l_partkey")).as("ec"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"))
+        .select(col("l_returnflag"),
+          (abs(col("ac") - col("ec")) / col("ec") < 0.05).as("cnt_ok"),
+          (abs(col("am") - col("em")) / col("em") < 0.05).as("med_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -151,8 +159,11 @@ object ExtendedQueries {
         |  trim(p_name) AS name_trim,
         |  CAST(strpos(p_name, 'a') AS INT) AS first_a
         |FROM part WHERE p_partkey % 53 = 0 ORDER BY p_partkey""".stripMargin,
-    // x6 intentionally omitted → driver rows-only check (sketches are
-    // engine-specific approximations).
+    // x6: sketch values are engine-private; the oracle is the error-bound
+    // assertion itself (Spark emits booleans, DuckDB emits TRUE rows).
+    "x6_approx_sketches" ->
+      """SELECT l_returnflag, TRUE AS cnt_ok, TRUE AS med_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x8_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n

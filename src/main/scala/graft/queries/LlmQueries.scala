@@ -127,15 +127,17 @@ object LlmQueries {
 
     // End-to-end training-data filter: quality gate → language gate →
     // near-dup removal → surviving corpus. The composition every LLM
-    // data pipeline runs, as one declarative plan.
+    // data pipeline runs, as one declarative plan. Dedup goes through
+    // the LSH-candidates→exact-verify composition (the plan that runs
+    // at 100 TB — never materializes the quadratic pair space).
     "l12_data_pipeline" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toks = TextFunctions.tokens(col("text"))
       val filtered = docs
-        .filter(size(toks) >= 20 &&
+        .filter(TextFunctions.tokenCount(col("text")) >= 20 &&
           TextFunctions.punctCount(col("text")).cast("double") / length(col("text")) < lit(0.1) &&
           TextFunctions.langId(col("text")) === "en")
-      val dupVictims = Dedup.ngramJaccardPairs(filtered, "doc_id", "text", n = 3, threshold = 0.8)
+      val dupVictims = Dedup.lshVerifiedPairs(filtered, "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
         .select(col("db").as("doc_id")).distinct()
       filtered.join(dupVictims, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
@@ -200,7 +202,7 @@ object LlmQueries {
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
@@ -218,7 +220,7 @@ object LlmQueries {
         |  FROM h, UNNEST(generate_series(1, 8)) tp(p), UNNEST(generate_series(0, 3)) tb(b)),
         |s AS (SELECT doc_id, p, b, SUM(c) AS s FROM bits GROUP BY 1, 2, 3)
         |SELECT doc_id,
-        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS simhash32
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS BIGINT) AS simhash32
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l16_dedup_lsh_verified" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
@@ -226,7 +228,7 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
@@ -265,7 +267,7 @@ object LlmQueries {
         |  FROM h, UNNEST(generate_series(1, 8)) tp(p), UNNEST(generate_series(0, 3)) tb(b)),
         |s AS (SELECT doc_id, p, b, SUM(c) AS s FROM bits GROUP BY 1, 2, 3),
         |sh AS (SELECT doc_id,
-        |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS f
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << ((8 - p) * 4 + b)) ELSE 0 END) AS BIGINT) AS f
         |  FROM s GROUP BY doc_id)
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
@@ -321,11 +323,21 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.da
+        |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |          GROUP BY 1, 2),
         |victims AS (
-        |  SELECT DISTINCT db FROM pairs
+        |  SELECT DISTINCT db FROM inter
         |  JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
         |  WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8)
         |SELECT doc_id, n_chars FROM f

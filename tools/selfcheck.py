@@ -47,10 +47,20 @@ def main():
             exp = canon(con.execute(oracle[name]).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        # Normalize dtypes: compare stringified cells via hash
+        # Values compared via stringified-cell hash; dtype KINDS compared
+        # strictly first. The %.10g float normalization would mask
+        # type-class divergence (e.g. DuckDB widening SUM(BIGINT) to
+        # HUGEINT, which pandas renders as float64 while Spark stays
+        # int64) — exactly the class the driver's gate catches, so it
+        # must fail here too.
         hg, he = frame_hash(got), frame_hash(exp)
+        kg = [d.kind for d in got.dtypes]
+        ke = [d.kind for d in exp.dtypes]
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1
+        elif kg != ke:
+            print(f"FAIL {name}: dtype kinds {kg} vs {ke} "
+                  f"(spark {[str(d) for d in got.dtypes]} vs duck {[str(d) for d in exp.dtypes]})"); n_fail += 1
         elif len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1
         elif hg != he:
