@@ -34,20 +34,31 @@ object Bench {
 
     // min of 2 timed runs per query: shields the reported number from
     // transient host contention (observed 2-10x spikes on shared
-    // hardware) while still measuring a full honest execution.
+    // hardware) while still measuring a full honest execution. A query
+    // that THROWS reports the -1 sentinel and lands in "failed" — its
+    // (near-zero) elapsed time must not fold into the totals as if it
+    // were a fast success.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      }
     }
     val results = queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      val a = timeOnce(name, fn)
+      name -> (if (a < 0) a else { val b = timeOnce(name, fn); if (b < 0) b else math.min(a, b) })
     } :+ ("stream_window_agg" -> streamingWindowAgg(spark, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** Structured Streaming throughput probe: the full events table driven
@@ -74,7 +85,11 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } catch { case e: Throwable => System.err.println(s"[bench] stream_window_agg: ${e.getMessage}") }
-    (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] stream_window_agg: ${e.getMessage}")
+        -1.0
+    }
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.{FileConnector, Ops, Reliability}
+import org.apache.spark.sql.SparkSession
+
+/** Operational CLI — the reference's `pspfctl` (pspf/cli.py:18-228):
+  * inspect / dlq-inspect / dlq-count / dlq-purge / replay / state, over
+  * file-backed topics. Every verb dispatches to the same Ops/Reliability
+  * batch jobs a programmatic caller uses; this main only parses args.
+  *
+  * Usage:
+  *   Ctl <root> inspect     <topic> <orderCol> [limit]
+  *   Ctl <root> dlq-inspect <topic> [limit]
+  *   Ctl <root> dlq-count   <topic>
+  *   Ctl <root> dlq-purge   <topic>
+  *   Ctl <root> replay      <topic>
+  *   Ctl <root> state       <checkpointDir>
+  *
+  * Topic schemas are inferred from the on-disk JSON (a ctl inspects
+  * whatever is there; production pipelines declare schemas via
+  * FileConnector's constructor instead).
+  */
+object Ctl {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    val root = args(0)
+    val cmd = args(1)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, root, cmd, args.drop(2)) match {
+      case Right(out) => println(out)
+      case Left(err) => System.err.println(err); System.err.println(usage); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private val usage =
+    """usage: Ctl <root> <inspect|dlq-inspect|dlq-count|dlq-purge|replay> <topic> [args]
+      |       Ctl <root> state <checkpointDir>""".stripMargin
+
+  /** Infer the MAIN topic's schema from disk; the connector then derives
+    * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
+  private def connectorFor(spark: SparkSession, root: String, topic: String): FileConnector = {
+    val base = spark.read.option("recursiveFileLookup", "true").json(s"$root/$topic").schema
+    new FileConnector(root, base)
+  }
+
+  /** Dispatch, returning the printable result (testable without a JVM
+    * fork — the spec calls this directly). */
+  def run(spark: SparkSession, root: String, cmd: String, rest: Array[String])
+      : Either[String, String] = (cmd, rest.toList) match {
+    case ("inspect", topic :: orderCol :: tl) =>
+      val limit = tl.headOption.map(_.toInt).getOrElse(20)
+      val rows = Ops.inspect(spark, connectorFor(spark, root, topic), topic, orderCol, limit)
+      Right(showRows(rows))
+    case ("dlq-inspect", topic :: tl) =>
+      val limit = tl.headOption.map(_.toInt).getOrElse(20)
+      val rows = Ops.dlqInspect(spark, connectorFor(spark, root, topic), topic, limit)
+      Right(showRows(rows))
+    case ("dlq-count", topic :: Nil) =>
+      Right(Ops.dlqCount(spark, connectorFor(spark, root, topic), topic).toString)
+    case ("dlq-purge", topic :: Nil) =>
+      Right(s"purged=${Ops.dlqPurge(spark, connectorFor(spark, root, topic), topic)}")
+    case ("replay", topic :: Nil) =>
+      Right(s"replayed=${Reliability.replayDlq(spark, connectorFor(spark, root, topic), topic)}")
+    case ("state", ckpt :: Nil) =>
+      Right(showRows(Ops.stateQueryFlat(spark, ckpt)))
+    case _ =>
+      Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
+  }
+
+  private def showRows(df: org.apache.spark.sql.DataFrame): String = {
+    val rows = df.collect()
+    val header = df.columns.mkString(" | ")
+    (header +: rows.map(_.toSeq.map(String.valueOf).mkString(" | "))).mkString("\n")
+  }
+}

@@ -98,7 +98,19 @@ object Reliability {
 
   /** Idempotent write: skip rows whose id already holds a token; record
     * new tokens after the side effect (reference token
-    * `pspf:sink:{name}:{event_id}`, base.py:48-53). Returns rows written.
+    * `pspf:sink:{name}:{event_id}`, TTL'd — base.py:48-53, default
+    * ttl_seconds=86400). Returns rows written.
+    *
+    * TTL / bounded state: with `ttlMs` set, tokens land in time-bucketed
+    * subdirs (`bucket=<epochMs>`, bucket width = ttl). Each batch reads
+    * ONLY the buckets that can still hold unexpired tokens (at most 2)
+    * and deletes fully-expired ones — so the anti-join input is bounded
+    * by the id volume of ~2 TTL windows forever, instead of the full
+    * history. Dedup is guaranteed for at LEAST ttl after a write and at
+    * most 2·ttl (lazy bucket-granularity eviction — same
+    * approximate-over-never-under contract as the reference's lazy TTL
+    * eviction, pspf/state/backends/rocksdb_store.py:92-126). Without
+    * `ttlMs` the token set is flat and unbounded (full-history dedup).
     *
     * Granularity caveat: tokens commit once per BATCH, after the whole
     * side effect succeeds. A mid-batch failure records no tokens, so the
@@ -108,15 +120,39 @@ object Reliability {
     * Closing it fully needs a transactional token store (Delta / KV with
     * per-row commit) — a storage swap, not a shape change. */
   def idempotentWrite(spark: SparkSession, batch: DataFrame, idCol: String,
-                      tokenDir: String)(write: DataFrame => Unit): Long = {
+                      tokenDir: String, ttlMs: Option[Long] = None,
+                      nowMs: () => Long = () => System.currentTimeMillis())(
+                      write: DataFrame => Unit): Long = {
     val inBatch = batch.dropDuplicates(idCol)
     // Only a MISSING token dir means "no tokens yet" — any other read
     // failure (transient storage error, corrupt file) must fail the
     // batch, not silently disable idempotency and re-fire history.
     val tokenPath = new org.apache.hadoop.fs.Path(tokenDir)
     val fs = tokenPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (readPaths: Seq[String], writeDir: String) = ttlMs match {
+      case None =>
+        (if (fs.exists(tokenPath)) Seq(tokenDir) else Nil, tokenDir)
+      case Some(ttl) =>
+        require(ttl > 0, s"ttlMs must be positive, got $ttl")
+        val now = nowMs()
+        val bucket = now - (now % ttl)
+        val dirs =
+          if (!fs.exists(tokenPath)) Nil
+          else fs.listStatus(tokenPath).toSeq.filter(_.isDirectory).flatMap { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("bucket="))
+              scala.util.Try(nm.stripPrefix("bucket=").toLong).toOption.map(_ -> st.getPath)
+            else None
+          }
+        // bucket b holds tokens written in [b, b+ttl); the youngest of
+        // them expires at b + 2·ttl — older buckets are deleted, live
+        // ones are the entire anti-join input
+        val (live, dead) = dirs.partition { case (b, _) => b + 2 * ttl > now }
+        dead.foreach { case (_, p) => fs.delete(p, true) }
+        (live.map(_._2.toString), s"$tokenDir/bucket=$bucket")
+    }
     val fresh =
-      if (!fs.exists(tokenPath)) inBatch
+      if (readPaths.isEmpty) inBatch
       else {
         // explicit schema: a crash can leave tokenDir with only an
         // uncommitted _temporary dir, where schema inference would throw
@@ -124,7 +160,7 @@ object Reliability {
         // state reads as an empty token set
         val tok = spark.read
           .schema(org.apache.spark.sql.types.StructType(Seq(StructField("token_id", StringType))))
-          .parquet(tokenDir)
+          .parquet(readPaths: _*)
         // compare as strings — tokens persist as strings, and a
         // numeric-vs-string equality would coerce to double, corrupting
         // ids beyond 2^53
@@ -136,7 +172,7 @@ object Reliability {
       if (n > 0) {
         write(freshC)
         freshC.select(col(idCol).cast("string").as("token_id"))
-          .write.mode("append").parquet(tokenDir)
+          .write.mode("append").parquet(writeDir)
       }
       n
     } finally freshC.unpersist()

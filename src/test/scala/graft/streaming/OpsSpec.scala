@@ -30,4 +30,49 @@ class OpsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/t-dlq").exists())
     assert(Ops.dlqPurge(spark, conn, "t")) // idempotent on missing
   }
+
+  test("interactive state query reads keyed aggregation state from a checkpoint") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_state").toString
+    val conn = new FileConnector(root, schema)
+    Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("event_id", "v")
+      .write.mode("append").json(s"$root/in")
+    val q = conn.readStream(spark, "in")
+      .groupBy(col("event_id"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the reference exposes this over a cluster HTTP API
+    // (cluster_api.py:29-82); here it's a plain scan of the state store
+    // value struct holds the aggregation BUFFER (field names are the
+    // buffer's, e.g. `sum`/`count`, not the query's output aliases)
+    val state = Ops.stateQueryFlat(spark, s"$root/ckpt").collect()
+    val byKey = state.map(r => r.getAs[String]("event_id") -> r).toMap
+    assert(byKey.keySet == Set("a", "b"))
+    assert(byKey("a").getAs[Long]("sum") == 3L && byKey("a").getAs[Long]("count") == 2L)
+    assert(byKey("b").getAs[Long]("sum") == 5L && byKey("b").getAs[Long]("count") == 1L)
+  }
+
+  test("Ctl dispatches the pspfctl verbs over a file-backed topic") {
+    val root = Files.createTempDirectory("graft_ctl").toString
+    val conn = new FileConnector(root, schema)
+    val batch = Seq(("e1", 1L), ("e2", 2L)).toDF("event_id", "v")
+    conn.writeBatch(batch.limit(1), "t2") // main topic exists for schema inference
+    Reliability.reliableBatch(conn, "t2", "event_id", maxRetries = 0) { _ =>
+      throw new RuntimeException("always fails")
+    }.apply(batch, 0L)
+
+    assert(graft.Ctl.run(spark, root, "dlq-count", Array("t2")) == Right("2"))
+    val ins = graft.Ctl.run(spark, root, "dlq-inspect", Array("t2", "1"))
+    assert(ins.isRight && ins.toOption.get.contains("_error"))
+    assert(graft.Ctl.run(spark, root, "replay", Array("t2")) == Right("replayed=2"))
+    val main = conn.readBatch(spark, "t2").select("event_id")
+    assert(main.as[String].collect().sorted.toSeq == Seq("e1", "e1", "e2"))
+    assert(graft.Ctl.run(spark, root, "bogus", Array.empty).isLeft)
+  }
 }

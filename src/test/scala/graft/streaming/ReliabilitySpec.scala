@@ -60,6 +60,36 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(n2 == 1 && written.get() == 3)
   }
 
+  test("TTL'd token store: dedup within the window, tokens age out, state stays bounded") {
+    val tokenDir = Files.createTempDirectory("graft_tok_ttl").toString + "/tokens"
+    val clock = new java.util.concurrent.atomic.AtomicLong(1000L)
+    val ttl = Some(10000L) // 10 s buckets
+    val now = () => clock.get()
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    def eff(df: org.apache.spark.sql.DataFrame): Unit = written.addAndGet(df.count())
+
+    val n1 = Reliability.idempotentWrite(spark, Seq("e1", "e2").toDF("event_id"),
+      "event_id", tokenDir, ttl, now)(eff)
+    assert(n1 == 2 && written.get() == 2)
+
+    // same TTL window: e1 is suppressed
+    val n2 = Reliability.idempotentWrite(spark, Seq("e1", "e3").toDF("event_id"),
+      "event_id", tokenDir, ttl, now)(eff)
+    assert(n2 == 1 && written.get() == 3)
+
+    // jump past 2·ttl: e1's token has aged out → re-sent, not suppressed
+    clock.set(1000L + 25000L)
+    val n3 = Reliability.idempotentWrite(spark, Seq("e1", "e4").toDF("event_id"),
+      "event_id", tokenDir, ttl, now)(eff)
+    assert(n3 == 2 && written.get() == 5)
+
+    // bounded state: the expired bucket was deleted on the way — only
+    // live buckets (≤ 2 per the 2·ttl retention) remain as anti-join input
+    val buckets = new java.io.File(tokenDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(buckets.length == 1, s"expected only the live bucket, got ${buckets.toSeq}")
+  }
+
   test("late split routes pre-watermark rows to the late leg; null ts goes late, not lost") {
     val batch = Seq(Some(5.0), Some(50.0), Some(100.0), None).toDF("sec")
       .select(timestamp_seconds(col("sec")).as("ts"))
