@@ -9,16 +9,22 @@ import org.apache.spark.sql.SparkSession
   * partition coalescing) — at 100 TB these matter far more than at sf0.1.
   */
 object GraftSession {
-  /** Shared tuning applied to any builder (local or cluster). */
-  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+  /** Shared tuning applied to any builder (local or cluster). Knobs come
+    * from GraftSettings (env-driven, reference pspf/settings.py) instead
+    * of hardcoded values; the explicit `shufflePartitions` parameter
+    * (driver contract: match local core count) wins over the env. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int,
+           settings: GraftSettings = GraftSettings.fromEnv()): SparkSession.Builder = {
+    settings.validationWarnings.foreach(w => System.err.println(s"[graft] WARNING: $w"))
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", settings.broadcastThresholdBytes.toString)
       .config("spark.ui.enabled", "false")
+  }
 
   /** Local session for tests / verify / bench, with the engine's SQL
     * functions registered (vec_dot, simhash32). */

@@ -1,0 +1,68 @@
+package graft
+
+/** Env-driven engine configuration with legacy aliasing (reference:
+  * pspf/settings.py:25-109 — namespaced vars with `__` nesting, legacy
+  * unprefixed aliases kept for backward compatibility with namespaced
+  * names taking precedence, lenient numeric parsing that falls back to
+  * defaults, and a production-env validation warning).
+  *
+  * Spark analog of the nested blocks: the backend block configures the
+  * default Connector, the telemetry block the StreamingQueryListener
+  * surface (graft.streaming.Telemetry).
+  */
+final case class TelemetrySettings(
+    enabled: Boolean = false,
+    serviceName: String = "graft-service")
+
+final case class GraftSettings(
+    env: String = "dev",
+    defaultBatchSize: Int = 10,     // reference DEFAULT_BATCH_SIZE → maxFilesPerTrigger-ish admission
+    pollIntervalMs: Long = 100L,    // reference DEFAULT_POLL_INTERVAL (s → ms) → ProcessingTime trigger
+    maxRetries: Int = 3,            // reference DLO_MAX_RETRIES → Reliability.DefaultMaxRetries
+    shufflePartitions: Int = 32,
+    broadcastThresholdBytes: Long = 64L * 1024 * 1024,
+    checkpointRoot: Option[String] = None,
+    telemetry: TelemetrySettings = TelemetrySettings()) {
+
+  /** Reference validate_production: warn, don't fail. */
+  def validationWarnings: Seq[String] =
+    if (env == "prod" && checkpointRoot.isEmpty)
+      Seq("GRAFT_CHECKPOINT_ROOT is not set in production environment!")
+    else Nil
+}
+
+object GraftSettings {
+
+  /** Namespaced name first (`GRAFT_…`), then the legacy alias, then the
+    * default — the reference's map_legacy_environment precedence. */
+  private def pick(env: Map[String, String], key: String, legacy: String*): Option[String] =
+    (key +: legacy).iterator.flatMap(env.get).nextOption()
+
+  /** Lenient parses: a garbage value falls back to the default (the
+    * reference swallows conversion errors the same way). */
+  private def int(v: Option[String], d: Int): Int = v.flatMap(_.toIntOption).getOrElse(d)
+  private def long(v: Option[String], d: Long): Long = v.flatMap(_.toLongOption).getOrElse(d)
+  private def bool(v: Option[String], d: Boolean): Boolean =
+    v.map(s => Set("true", "1", "yes").contains(s.toLowerCase)).getOrElse(d)
+
+  def fromEnv(env: Map[String, String] = sys.env): GraftSettings = {
+    val d = GraftSettings()
+    GraftSettings(
+      env = pick(env, "GRAFT_ENV", "PSPF_ENV").getOrElse(d.env),
+      defaultBatchSize =
+        int(pick(env, "GRAFT_DEFAULT_BATCH_SIZE", "DEFAULT_BATCH_SIZE"), d.defaultBatchSize),
+      pollIntervalMs =
+        long(pick(env, "GRAFT_POLL_INTERVAL_MS", "DEFAULT_POLL_INTERVAL_MS"), d.pollIntervalMs),
+      maxRetries = int(pick(env, "GRAFT_MAX_RETRIES", "DLO_MAX_RETRIES"), d.maxRetries),
+      shufflePartitions =
+        int(pick(env, "GRAFT_SHUFFLE_PARTITIONS"), d.shufflePartitions),
+      broadcastThresholdBytes =
+        long(pick(env, "GRAFT_BROADCAST_THRESHOLD"), d.broadcastThresholdBytes),
+      checkpointRoot = pick(env, "GRAFT_CHECKPOINT_ROOT"),
+      telemetry = TelemetrySettings(
+        enabled = bool(pick(env, "GRAFT_TELEMETRY__ENABLED", "OTEL_ENABLED"),
+          d.telemetry.enabled),
+        serviceName = pick(env, "GRAFT_TELEMETRY__SERVICE_NAME", "OTEL_SERVICE_NAME")
+          .getOrElse(d.telemetry.serviceName)))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Producer/admin API for the graftlog broker emulation (reference:
+  * Valkey streams backend, pspf/connectors/valkey.py:83-389, and the
+  * LocalLog partitioned append-only log, pspf/log/local_log.py:17-266).
+  *
+  * Semantics mirrored:
+  *  - Redis-stream message ids `"<ms>-<seq>"`, monotonic per partition
+  *    (pspf/connectors/memory.py:80-103 mimics the same scheme);
+  *  - hash(key) % numPartitions routing with same-key ordering inside a
+  *    partition (pspf/log/local_log.py:48-49, docs/concurrency.md:5-11);
+  *  - complex values JSON-stringified before append
+  *    (pspf/connectors/valkey.py:281-293);
+  *  - consumer-group offsets + lag (XPENDING/XINFO, valkey.py:362-389):
+  *    the Spark checkpoint IS the consumer group — `lag` diffs the
+  *    latest log offsets against a checkpoint's last committed offsets.
+  *
+  * The storage is a directory per topic with one append-only JSONL file
+  * per partition (`p=<n>/log.jsonl`). A real deployment points the same
+  * read path at Kafka; this backend exists so the broker semantics are
+  * LIVE-testable with zero external processes. The producer is a
+  * client-side call (like XADD) — single-writer per process, like the
+  * reference's asyncio producer.
+  */
+object GraftLog {
+  import org.apache.spark.sql.types._
+
+  /** The fixed envelope schema every graftlog topic exposes —
+    * the reference's StreamRecord (pspf/models.py:5-16). */
+  val schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("key", StringType),
+    StructField("event_type", StringType),
+    StructField("value", StringType),
+    StructField("timestamp", TimestampType, nullable = false)))
+
+  private val mapper = new ObjectMapper()
+
+  /** Reference partitioner: hash(key) % num_partitions
+    * (pspf/log/local_log.py:48-49). String.hashCode is stable across
+    * JVMs, so routing is deterministic. */
+  def partitionFor(key: String, numPartitions: Int): Int =
+    math.floorMod(if (key == null) 0 else key.hashCode, numPartitions)
+
+  // last issued (ms, seq) per (dir, partition) — per-process monotonic,
+  // like the reference's in-process id generator
+  private val lastId = new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long)]()
+
+  private def nextId(dir: String, partition: Int, nowMs: Long): String = {
+    val k = (dir, partition)
+    val issued = lastId.compute(k, (_, prev) => prev match {
+      case null => (nowMs, 0L)
+      case (ms, seq) => if (nowMs > ms) (nowMs, 0L) else (ms, seq + 1)
+    })
+    s"${issued._1}-${issued._2}"
+  }
+
+  private def partitionFile(dir: String, p: Int): Path =
+    Paths.get(dir, s"p=$p", "log.jsonl")
+
+  /** XADD: append one record, returning its broker id. */
+  def append(dir: String, numPartitions: Int, key: String,
+             valueJson: String, eventType: String = null,
+             nowMs: Long = System.currentTimeMillis()): String = synchronized {
+    val p = partitionFor(key, numPartitions)
+    val id = nextId(dir, p, nowMs)
+    val node = mapper.createObjectNode()
+    node.put("id", id)
+    node.put("key", key)
+    if (eventType != null) node.put("event_type", eventType)
+    node.put("value", valueJson)
+    node.put("ts", nowMs)
+    val f = partitionFile(dir, p)
+    Files.createDirectories(f.getParent)
+    Files.write(f, (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    id
+  }
+
+  /** Current end offsets (line counts) per partition — the high
+    * watermark (pspf/log/interfaces.py high-watermark surface). */
+  def latestOffsets(dir: String): Map[Int, Long] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Map.empty
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p="))
+      .map { p =>
+        val part = p.getFileName.toString.stripPrefix("p=").toInt
+        val f = p.resolve("log.jsonl")
+        val n = if (Files.exists(f)) Files.lines(f).count() else 0L
+        part -> n
+      }.toMap
+  }
+
+  /** Consumer lag vs a Spark checkpoint (reference XPENDING / XINFO
+    * GROUPS lag, pspf/connectors/valkey.py:362-389): latest log offsets
+    * minus the checkpoint's last COMMITTED source offsets. */
+  def lag(dir: String, checkpointDir: String): Long = {
+    val latest = latestOffsets(dir).values.sum
+    val committed = committedOffsets(checkpointDir).values.sum
+    latest - committed
+  }
+
+  /** Parse the newest offsets file in `<ckpt>/offsets` (format: version
+    * line, metadata line, then one serialized Offset per source — ours
+    * is the partition→count JSON). */
+  def committedOffsets(checkpointDir: String): Map[Int, Long] = {
+    val dir = Paths.get(checkpointDir, "offsets")
+    if (!Files.isDirectory(dir)) return Map.empty
+    val newest = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxByOption(_.getFileName.toString.toLong)
+    newest match {
+      case None => Map.empty
+      case Some(f) =>
+        Files.readAllLines(f).asScala.drop(2)
+          .flatMap(line => scala.util.Try(parseOffsetJson(line)).toOption)
+          .headOption.getOrElse(Map.empty)
+    }
+  }
+
+  private[sources] def parseOffsetJson(json: String): Map[Int, Long] = {
+    val node = mapper.readTree(json)
+    node.properties().asScala.map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+  }
+
+  private[sources] def offsetJson(counts: Map[Int, Long]): String = {
+    val node = mapper.createObjectNode()
+    counts.toSeq.sortBy(_._1).foreach { case (p, n) => node.put(p.toString, n) }
+    mapper.writeValueAsString(node)
+  }
+}

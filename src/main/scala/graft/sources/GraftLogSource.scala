@@ -1,0 +1,146 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 for graftlog topics: `spark.read[Stream]
+  * .format("graftlog").load(topicDir)` (short name registered via
+  * META-INF/services — Spark's ServiceLoader plugin mechanism, the
+  * analog of the reference's entry-point plugin registry,
+  * pspf/plugins.py:7-73).
+  *
+  * This is the Valkey-source capability (SURVEY §2.1 S2,
+  * pspf/connectors/valkey.py:83-389) built natively on Spark's
+  * micro-batch contract instead of XREADGROUP polling:
+  *  - batch + micro-batch reads; one reader task per log partition, so
+  *    the scan scales with partitions and preserves per-partition order;
+  *  - offsets are (partition → line count) — dense ints like LocalLog
+  *    (pspf/log/local_log.py:150-191);
+  *  - the consumer group's committed position, XACK, and XAUTOCLAIM
+  *    crash recovery all collapse into Spark's checkpoint: offsets
+  *    commit atomically with state per micro-batch, and a restarted
+  *    query resumes from the last committed offset (the reference's
+  *    hand-built EOS + stuck-claim protocol, pspf/processor.py:303-328,
+  *    :382-404).
+  */
+final class GraftLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftlog requires a path (topic directory)"))
+    new GraftLogTable(path)
+  }
+}
+
+final class GraftLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graftlog:$path"
+  override def schema(): StructType = GraftLog.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftLogScan(path)
+    }
+}
+
+final class GraftLogScan(path: String) extends Scan {
+  override def readSchema(): StructType = GraftLog.schema
+  override def description(): String = s"graftlog $path"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftLogScan.plan(path, Map.empty, GraftLog.latestOffsets(path))
+    override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLogMicroBatchStream(path)
+}
+
+object GraftLogScan {
+  def plan(path: String, start: Map[Int, Long], end: Map[Int, Long]): Array[InputPartition] =
+    end.toSeq.sortBy(_._1).flatMap { case (p, endLine) =>
+      val startLine = start.getOrElse(p, 0L)
+      if (endLine > startLine) Some(GraftLogInputPartition(path, p, startLine, endLine))
+      else None
+    }.toArray
+}
+
+case class GraftLogOffset(counts: Map[Int, Long]) extends Offset {
+  override def json(): String = GraftLog.offsetJson(counts)
+}
+
+/** Micro-batch leg: latestOffset re-lists the log; each trigger reads
+  * the [committed, latest) slice per partition. `commit` is a no-op —
+  * the checkpoint's offset log is the committed consumer position (a
+  * broker-side trim job would hook retention there, like LocalLog's
+  * age-based cleanup, pspf/log/local_log.py:254-266). */
+final class GraftLogMicroBatchStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = GraftLogOffset(Map.empty)
+  override def latestOffset(): Offset = GraftLogOffset(GraftLog.latestOffsets(path))
+  override def deserializeOffset(json: String): Offset =
+    GraftLogOffset(GraftLog.parseOffsetJson(json))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftLogScan.plan(path,
+      start.asInstanceOf[GraftLogOffset].counts,
+      end.asInstanceOf[GraftLogOffset].counts)
+  override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GraftLogInputPartition(path: String, partition: Int,
+                                  startLine: Long, endLine: Long) extends InputPartition
+
+final class GraftLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLogPartitionReader(partition.asInstanceOf[GraftLogInputPartition])
+}
+
+/** Executor-side reader: streams one partition's log lines in order
+  * (per-key order inside a partition — docs/concurrency.md:5-11),
+  * skipping to startLine and stopping at endLine. */
+final class GraftLogPartitionReader(p: GraftLogInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val reader = Files.newBufferedReader(
+    Paths.get(p.path, s"p=${p.partition}", "log.jsonl"), StandardCharsets.UTF_8)
+  private var line = 0L
+  private var current: InternalRow = _
+  // skip already-committed lines (dense offsets, like LocalLog reads
+  // from a requested offset, pspf/log/local_log.py:193-252)
+  while (line < p.startLine && reader.readLine() != null) line += 1
+
+  override def next(): Boolean = {
+    if (line >= p.endLine) return false
+    val raw = reader.readLine()
+    if (raw == null) return false
+    val node = mapper.readTree(raw)
+    def str(field: String): UTF8String =
+      if (node.hasNonNull(field)) UTF8String.fromString(node.get(field).asText()) else null
+    current = new GenericInternalRow(Array[Any](
+      p.partition,
+      line,
+      str("id"),
+      str("key"),
+      str("event_type"),
+      str("value"),
+      node.get("ts").asLong() * 1000L)) // ms → µs for TimestampType
+    line += 1
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -28,8 +28,13 @@ final class GraftStream(spark: SparkSession, connector: Connector,
   def schemas: SchemaRegistry = registry
 
   /** Produce rows to a topic (reference emit: normalize + route to
-    * backend append). */
-  def emit(df: DataFrame, topic: String): Unit = connector.writeBatch(df, topic)
+    * backend append). With `traced`, trace-context columns are injected
+    * before the append (reference injects OTel context into every
+    * emitted payload, pspf/stream.py:249-251 / telemetry.py:108-112);
+    * consumers see them as ordinary columns and DLQ/replay preserve
+    * them. */
+  def emit(df: DataFrame, topic: String, traced: Boolean = false): Unit =
+    connector.writeBatch(if (traced) Trace.inject(df) else df, topic)
 
   /** Per-batch handler subscription (reference subscribe + handler
     * arity dispatch → one foreachBatch). Registered schemas are applied

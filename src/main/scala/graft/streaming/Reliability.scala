@@ -212,7 +212,12 @@ object Reliability {
     * per-message re-inject-then-delete. */
   def replayDlq(spark: SparkSession, c: Connector, topic: String): Long = {
     val dlq = c.readBatch(spark, c.dlqTopic(topic))
-    val clean = dlq.columns.filter(_.startsWith("_")).foldLeft(dlq)(_ drop _)
+    // strip exactly the DLQ metadata family — NOT every underscore
+    // column, which would destroy unrelated context the row carries
+    // (e.g. Trace's _trace_id, which must survive a DLQ round-trip the
+    // way the reference's in-payload trace context does)
+    val clean = (dlqMetaFields.map(_.name) :+ "_error")
+      .distinct.foldLeft(dlq)(_ drop _)
     val cleanC = clean.cache()
     try {
       val n = cleanC.count()
