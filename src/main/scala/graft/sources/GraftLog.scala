@@ -89,14 +89,17 @@ object GraftLog {
   def latestOffsets(dir: String): Map[Int, Long] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Map.empty
-    Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p="))
-      .map { p =>
-        val part = p.getFileName.toString.stripPrefix("p=").toInt
-        val f = p.resolve("log.jsonl")
-        val n = if (Files.exists(f)) Files.lines(f).count() else 0L
-        part -> n
-      }.toMap
+    scala.util.Using.resource(Files.list(root)) { ls =>
+      ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p="))
+        .map { p =>
+          val part = p.getFileName.toString.stripPrefix("p=").toInt
+          val f = p.resolve("log.jsonl")
+          val n = if (Files.exists(f))
+            scala.util.Using.resource(Files.lines(f))(_.count()) else 0L
+          part -> n
+        }.toMap
+    }
   }
 
   /** Consumer lag vs a Spark checkpoint (reference XPENDING / XINFO
@@ -114,9 +117,11 @@ object GraftLog {
   def committedOffsets(checkpointDir: String): Map[Int, Long] = {
     val dir = Paths.get(checkpointDir, "offsets")
     if (!Files.isDirectory(dir)) return Map.empty
-    val newest = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.forall(_.isDigit))
-      .maxByOption(_.getFileName.toString.toLong)
+    val newest = scala.util.Using.resource(Files.list(dir)) { ls =>
+      ls.iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxByOption(_.getFileName.toString.toLong)
+    }
     newest match {
       case None => Map.empty
       case Some(f) =>
