@@ -49,13 +49,13 @@ object Ctl {
   def run(spark: SparkSession, root: String, cmd: String, rest: Array[String])
       : Either[String, String] = (cmd, rest.toList) match {
     case ("inspect", topic :: orderCol :: tl) =>
-      val limit = tl.headOption.map(_.toInt).getOrElse(20)
-      val rows = Ops.inspect(spark, connectorFor(spark, root, topic), topic, orderCol, limit)
-      Right(showRows(rows))
+      parseLimit(tl).map { limit =>
+        showRows(Ops.inspect(spark, connectorFor(spark, root, topic), topic, orderCol, limit))
+      }
     case ("dlq-inspect", topic :: tl) =>
-      val limit = tl.headOption.map(_.toInt).getOrElse(20)
-      val rows = Ops.dlqInspect(spark, connectorFor(spark, root, topic), topic, limit)
-      Right(showRows(rows))
+      parseLimit(tl).map { limit =>
+        showRows(Ops.dlqInspect(spark, connectorFor(spark, root, topic), topic, limit))
+      }
     case ("dlq-count", topic :: Nil) =>
       Right(Ops.dlqCount(spark, connectorFor(spark, root, topic), topic).toString)
     case ("dlq-purge", topic :: Nil) =>
@@ -66,6 +66,12 @@ object Ctl {
       Right(showRows(Ops.stateQueryFlat(spark, ckpt)))
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
+  }
+
+  /** Bad-argument parses take the Left→usage path, not a stack trace. */
+  private def parseLimit(tl: List[String]): Either[String, Int] = tl match {
+    case Nil => Right(20)
+    case l :: _ => l.toIntOption.toRight(s"limit must be an integer, got '$l'")
   }
 
   private def showRows(df: org.apache.spark.sql.DataFrame): String = {

@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
   }
 
+  /** Fully settings-driven variant (GRAFT_SHUFFLE_PARTITIONS etc.). */
+  def tune(b: SparkSession.Builder, settings: GraftSettings): SparkSession.Builder =
+    tune(b, settings.shufflePartitions, settings)
+
   /** Local session for tests / verify / bench, with the engine's SQL
     * functions registered (vec_dot, simhash32). */
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {

@@ -29,6 +29,18 @@ final case class GraftSettings(
     if (env == "prod" && checkpointRoot.isEmpty)
       Seq("GRAFT_CHECKPOINT_ROOT is not set in production environment!")
     else Nil
+
+  /** Trigger for continuously-running consumption: the reference's poll
+    * cadence (DEFAULT_POLL_INTERVAL 0.1 s, pspf/settings.py:37 /
+    * pspf/processor.py:168-188). */
+  def continuousTrigger: org.apache.spark.sql.streaming.Trigger =
+    org.apache.spark.sql.streaming.Trigger.ProcessingTime(pollIntervalMs)
+
+  /** Read options applying the reference's per-poll batch_size
+    * (DEFAULT_BATCH_SIZE, pspf/settings.py:36) as graftlog admission
+    * control — pass to readStream.options(...). */
+  def graftlogReadOptions: Map[String, String] =
+    Map("maxRecordsPerTrigger" -> defaultBatchSize.toString)
 }
 
 object GraftSettings {

@@ -52,14 +52,16 @@ object Similarity extends Serializable {
   }
 
   /** All pairs with cosine above `threshold` (embedding near-dup dedup):
-    * an engine-managed broadcast self-join. The smaller side ships to
-    * every executor (Spark enforces the broadcast size limit — no
-    * hand-rolled driver collect, which would make driver memory the
-    * scaling bound), the da<db inequality + codegen'd FloatVecDot
-    * scoring + threshold filter all run inside one whole-stage-codegen
-    * loop, emitting only passing pairs. Applies while one side fits the
-    * broadcast limit — the same regime any hand-broadcast would have;
-    * beyond that, lshTopK buckets are the scale path.
+    * an engine-managed broadcast self-join — no driver collect in the
+    * data path (the old hand-rolled collect-and-broadcast made DRIVER
+    * memory the scaling bound; here the driver only coordinates). Note
+    * the explicit broadcast() hint bypasses autoBroadcastJoinThreshold:
+    * the enforced ceiling is Spark's hard broadcast cap (8 GB /
+    * executor memory), so the applicable regime is "one side fits an
+    * executor", same as any broadcast build side. The da<db inequality
+    * + codegen'd FloatVecDot scoring + threshold filter run inside one
+    * whole-stage-codegen loop, emitting only passing pairs. Beyond the
+    * broadcast regime, lshTopK buckets are the scale path.
     *
     * The raw pre-filter at threshold - 1e-6 (one rounding ulp at scale
     * 6) keeps Round's BigDecimal allocation off the all-pairs hot path;

@@ -111,24 +111,35 @@ object GraftLog {
     latest - committed
   }
 
-  /** Parse the newest offsets file in `<ckpt>/offsets` (format: version
-    * line, metadata line, then one serialized Offset per source — ours
-    * is the partition→count JSON). */
+  /** Offsets of the last batch CONFIRMED in `<ckpt>/commits` — a
+    * planned-but-uncommitted batch (crash mid-batch) does not count as
+    * consumed, so lag stays honest across restarts. Offset-file format:
+    * version line, metadata line, then one serialized Offset per
+    * source; ours is the partition→count JSON object (for multi-source
+    * checkpoints the first digit-keyed object line is taken — lag
+    * introspection targets single-graftlog-source queries). */
   def committedOffsets(checkpointDir: String): Map[Int, Long] = {
-    val dir = Paths.get(checkpointDir, "offsets")
-    if (!Files.isDirectory(dir)) return Map.empty
-    val newest = scala.util.Using.resource(Files.list(dir)) { ls =>
-      ls.iterator().asScala
-        .filter(p => p.getFileName.toString.forall(_.isDigit))
-        .maxByOption(_.getFileName.toString.toLong)
+    def newestBatch(sub: String): Option[Long] = {
+      val dir = Paths.get(checkpointDir, sub)
+      if (!Files.isDirectory(dir)) None
+      else scala.util.Using.resource(Files.list(dir)) { ls =>
+        ls.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit))
+          .maxOption.map(_.toLong)
+      }
     }
-    newest match {
-      case None => Map.empty
-      case Some(f) =>
-        Files.readAllLines(f).asScala.drop(2)
-          .flatMap(line => scala.util.Try(parseOffsetJson(line)).toOption)
-          .headOption.getOrElse(Map.empty)
-    }
+    newestBatch("commits").flatMap { committed =>
+      val f = Paths.get(checkpointDir, "offsets", committed.toString)
+      if (!Files.exists(f)) None
+      else Files.readAllLines(f).asScala.drop(2)
+        .flatMap { line =>
+          scala.util.Try {
+            val m = parseOffsetJson(line)
+            if (m.nonEmpty) Some(m) else None
+          }.toOption.flatten
+        }.headOption
+    }.getOrElse(Map.empty)
   }
 
   private[sources] def parseOffsetJson(json: String): Map[Int, Long] = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,13 +51,15 @@ final class GraftLogTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = GraftLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxRecords = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
     new ScanBuilder {
-      override def build(): Scan = new GraftLogScan(path)
+      override def build(): Scan = new GraftLogScan(path, maxRecords)
     }
+  }
 }
 
-final class GraftLogScan(path: String) extends Scan {
+final class GraftLogScan(path: String, maxRecordsPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = GraftLog.schema
   override def description(): String = s"graftlog $path"
   override def toBatch: Batch = new Batch {
@@ -66,7 +68,7 @@ final class GraftLogScan(path: String) extends Scan {
     override def createReaderFactory(): PartitionReaderFactory = new GraftLogReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(path)
+    new GraftLogMicroBatchStream(path, maxRecordsPerTrigger)
 }
 
 object GraftLogScan {
@@ -86,10 +88,46 @@ case class GraftLogOffset(counts: Map[Int, Long]) extends Offset {
   * the [committed, latest) slice per partition. `commit` is a no-op —
   * the checkpoint's offset log is the committed consumer position (a
   * broker-side trim job would hook retention there, like LocalLog's
-  * age-based cleanup, pspf/log/local_log.py:254-266). */
-final class GraftLogMicroBatchStream(path: String) extends MicroBatchStream {
+  * age-based cleanup, pspf/log/local_log.py:254-266).
+  *
+  * Admission control: `maxRecordsPerTrigger` caps how far a trigger
+  * advances (the reference's per-poll `batch_size`,
+  * pspf/settings.py:36 / pspf/processor.py:168-188 — read N, process,
+  * ack, repeat); Trigger.AvailableNow snapshots the end offsets up
+  * front and drains to exactly that point in capped batches. */
+final class GraftLogMicroBatchStream(path: String,
+                                     maxRecordsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private var availableNowEnd: Option[Map[Int, Long]] = None
+
   override def initialOffset(): Offset = GraftLogOffset(Map.empty)
-  override def latestOffset(): Offset = GraftLogOffset(GraftLog.latestOffsets(path))
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(GraftLog.latestOffsets(path))
+
+  private def targetEnd(): Map[Int, Long] =
+    availableNowEnd.getOrElse(GraftLog.latestOffsets(path))
+
+  override def latestOffset(): Offset = GraftLogOffset(targetEnd())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = targetEnd()
+    val startC = start.asInstanceOf[GraftLogOffset].counts
+    limit match {
+      case rm: ReadMaxRows =>
+        var budget = rm.maxRows()
+        val capped = end.toSeq.sortBy(_._1).map { case (p, e) =>
+          val s = startC.getOrElse(p, 0L)
+          val take = math.max(0L, math.min(e - s, budget))
+          budget -= take
+          p -> (s + take)
+        }.toMap
+        GraftLogOffset(capped)
+      case _ => GraftLogOffset(end)
+    }
+  }
+
   override def deserializeOffset(json: String): Offset =
     GraftLogOffset(GraftLog.parseOffsetJson(json))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

@@ -38,11 +38,28 @@ trait Connector {
   def purgeTopic(spark: SparkSession, topic: String): Boolean =
     throw new UnsupportedOperationException(s"purge not supported by ${getClass.getSimpleName}")
 
+  /** Remove DLQ metadata from rows read off a DLQ topic, returning the
+    * replayable original shape (reference strips `_`-prefixed keys on
+    * replay, pspf/utils/replay.py:12-51). Default: drop the metadata
+    * COLUMNS; connectors that fold metadata into a payload field
+    * override (GraftLogConnector rewrites the value JSON). */
+  def stripDlqMeta(df: DataFrame): DataFrame =
+    Reliability.dlqMetaFields.map(_.name).foldLeft(df)(_ drop _)
+
   /** DLQ topic naming, as the reference's `{topic}-dlq`
     * (pspf/connectors/valkey.py:222-248). */
   final def dlqTopic(topic: String): String = s"$topic-dlq"
   /** Late-event side topic `{topic}-late` (pspf/stream.py:402-413). */
   final def lateTopic(topic: String): String = s"$topic-late"
+}
+
+object Connector {
+  /** Shared recursive path delete for path-backed connectors' purge. */
+  def deletePath(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) || fs.delete(p, true)
+  }
 }
 
 /** File-backed topics: one directory per topic under `root`, NDJSON
@@ -86,11 +103,8 @@ final class FileConnector(root: String, schema: StructType,
     df.write.mode("overwrite").json(s"${path(topic)}/w-$safe-batch-$batchId")
   }
 
-  override def purgeTopic(spark: SparkSession, topic: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(topic))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    !fs.exists(p) || fs.delete(p, true)
-  }
+  override def purgeTopic(spark: SparkSession, topic: String): Boolean =
+    Connector.deletePath(spark, path(topic))
 
   /** Streaming writes go through foreachBatch + writeBatchIdempotent
     * rather than the json file sink: the file sink plants a

@@ -27,35 +27,90 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
   override def readBatch(spark: SparkSession, topic: String): DataFrame =
     spark.read.format("graftlog").load(path(topic))
 
-  /** Envelope-aware produce: frames that already carry a string `value`
-    * column append (key, event_type, value) as-is (re-produce / replay
-    * shape); arbitrary frames are JSON-wrapped wholesale into `value`
-    * with the key taken from `keyCol` when present (the reference
-    * JSON-stringifies complex payloads the same way,
-    * pspf/connectors/valkey.py:281-293). */
+  /** Envelope-aware produce, three shapes (no column is ever silently
+    * dropped):
+    *  - PURE envelope frames (key + string value, columns ⊆ envelope):
+    *    re-produce/replay — (key, event_type, value) append as-is;
+    *  - envelope + `_`-metadata frames (the DLQ-enrichment shape): the
+    *    metadata folds INTO the payload JSON flat, exactly the
+    *    reference's DLQ message shape (payload dict + `_error`/
+    *    `_original_*` keys merged, pspf/connectors/valkey.py:222-248);
+    *  - arbitrary frames: JSON-wrapped wholesale into `value` with the
+    *    key from `keyCol`/`key` when present (the reference
+    *    JSON-stringifies complex payloads the same way, valkey.py:281-293). */
   override def writeBatch(df: DataFrame, topic: String): Unit = {
     val cols = df.columns.toSet
-    // envelope path only for PURE envelope frames — anything carrying
-    // extra columns (e.g. DLQ _error metadata) wraps wholesale so no
-    // column is silently dropped
-    val normalized =
-      if (cols.contains("value") && df.schema("value").dataType ==
-          org.apache.spark.sql.types.StringType &&
-          cols.subsetOf(GraftLog.schema.fieldNames.toSet)) {
-        df.select(
-          (if (cols.contains("key")) col("key") else org.apache.spark.sql.functions.lit(null)).cast("string").as("key"),
-          (if (cols.contains("event_type")) col("event_type") else org.apache.spark.sql.functions.lit(null)).cast("string").as("event_type"),
-          col("value"))
-      } else {
-        val key = if (cols.contains(keyCol)) col(keyCol).cast("string")
-          else if (cols.contains("key")) col("key").cast("string")
-          else org.apache.spark.sql.functions.lit("default_key") // reference fallback key (pspf/stream.py:400)
-        df.select(key.as("key"),
-          org.apache.spark.sql.functions.lit(null).cast("string").as("event_type"),
-          to_json(struct(df.columns.map(col): _*)).as("value"))
+    val env = GraftLog.schema.fieldNames.toSet
+    val valueIsString = cols.contains("value") &&
+      df.schema("value").dataType == org.apache.spark.sql.types.StringType
+    val extra = (cols -- env).toSeq.sorted
+    val evtCol =
+      (if (cols.contains("event_type")) col("event_type")
+       else org.apache.spark.sql.functions.lit(null)).cast("string").as("event_type")
+
+    if (valueIsString && cols.contains("key") && extra.isEmpty) {
+      df.select(col("key").cast("string"), evtCol, col("value"))
+        .collect().foreach { r =>
+          GraftLog.append(path(topic), numPartitions, r.getString(0), r.getString(2), r.getString(1))
+        }
+    } else if (valueIsString && cols.contains("key") && extra.forall(_.startsWith("_"))) {
+      val sel = df.select(Seq(col("key").cast("string"), evtCol, col("value")) ++
+        extra.map(c => col(c).cast("string").as(c)): _*)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      sel.collect().foreach { r =>
+        val parsed = try mapper.readTree(r.getString(2)) catch { case _: Exception => null }
+        val obj =
+          if (parsed != null && parsed.isObject)
+            parsed.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else { val o = mapper.createObjectNode(); o.put("value", r.getString(2)); o }
+        extra.zipWithIndex.foreach { case (c, i) =>
+          val v = r.getString(3 + i)
+          if (v != null) obj.put(c, v)
+        }
+        GraftLog.append(path(topic), numPartitions, r.getString(0),
+          mapper.writeValueAsString(obj), r.getString(1))
       }
-    normalized.collect().foreach { r =>
-      GraftLog.append(path(topic), numPartitions, r.getString(0), r.getString(2), r.getString(1))
+    } else {
+      val key = if (cols.contains(keyCol)) col(keyCol).cast("string")
+        else if (cols.contains("key")) col("key").cast("string")
+        else org.apache.spark.sql.functions.lit("default_key") // reference fallback key (pspf/stream.py:400)
+      df.select(key.as("key"), evtCol,
+          to_json(struct(df.columns.map(col): _*)).as("value"))
+        .collect().foreach { r =>
+          GraftLog.append(path(topic), numPartitions, r.getString(0), r.getString(2), r.getString(1))
+        }
+    }
+  }
+
+  /** Replay-side inverse of the DLQ merge above: the `_`-metadata lives
+    * INSIDE the payload JSON for graftlog topics, so stripping means
+    * rewriting `value` without its `_`-prefixed keys (the reference
+    * strips the same keys from the payload dict on replay,
+    * pspf/utils/replay.py:12-51). */
+  override def stripDlqMeta(df: DataFrame): DataFrame = {
+    val base = super.stripDlqMeta(df)
+    if (!base.columns.contains("value")) base
+    else {
+      val schema = base.schema
+      val vIdx = schema.fieldIndex("value")
+      base.mapPartitions { it =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.map { r =>
+          val raw = if (r.isNullAt(vIdx)) null else r.getString(vIdx)
+          val cleaned =
+            if (raw == null) null
+            else try {
+              val node = mapper.readTree(raw)
+              if (node.isObject) {
+                val obj = node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                import scala.jdk.CollectionConverters._
+                obj.fieldNames().asScala.filter(_.startsWith("_")).toList.foreach(obj.remove)
+                mapper.writeValueAsString(obj)
+              } else raw
+            } catch { case _: Exception => raw }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(vIdx, cleaned))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
     }
   }
 
@@ -67,11 +122,8 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
       .foreachBatch { (batch: DataFrame, _: Long) => writeBatch(batch, topic) }
       .start()
 
-  override def purgeTopic(spark: SparkSession, topic: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(topic))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    !fs.exists(p) || fs.delete(p, true)
-  }
+  override def purgeTopic(spark: SparkSession, topic: String): Boolean =
+    Connector.deletePath(spark, path(topic))
 
   /** Consumer lag vs a checkpoint (reference XPENDING lag surface). */
   def lag(topic: String, checkpoint: String): Long =

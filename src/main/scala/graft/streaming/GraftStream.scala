@@ -96,3 +96,14 @@ final class GraftStream(spark: SparkSession, connector: Connector,
       .trigger(Trigger.AvailableNow())
       .start()
 }
+
+object GraftStream {
+  /** Settings-driven construction: the checkpoint root comes from
+    * GRAFT_CHECKPOINT_ROOT (reference settings-driven wiring,
+    * pspf/settings.py — prod validation warns when it is missing). */
+  def fromSettings(spark: SparkSession, connector: Connector,
+                   settings: graft.GraftSettings): GraftStream =
+    new GraftStream(spark, connector,
+      settings.checkpointRoot.getOrElse(throw new IllegalArgumentException(
+        "GRAFT_CHECKPOINT_ROOT must be set to build a GraftStream from settings")))
+}

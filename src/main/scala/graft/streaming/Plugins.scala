@@ -25,11 +25,13 @@ object ConnectorPlugins {
     java.util.ServiceLoader.load(classOf[ConnectorProvider]).asScala
       .map(p => p.name -> p).toMap
 
-  def create(name: String, conf: Map[String, String]): Connector =
-    discover().getOrElse(name,
+  def create(name: String, conf: Map[String, String]): Connector = {
+    val found = discover()
+    found.getOrElse(name,
       throw new IllegalArgumentException(
-        s"no connector plugin named '$name'; available: ${discover().keys.toSeq.sorted.mkString(", ")}"))
+        s"no connector plugin named '$name'; available: ${found.keys.toSeq.sorted.mkString(", ")}"))
       .create(conf)
+  }
 }
 
 final class FileConnectorProvider extends ConnectorProvider {

@@ -27,7 +27,10 @@ import scala.util.{Failure, Success, Try}
   */
 object Reliability {
 
-  val DefaultMaxRetries = 3
+  /** Reference DLO_MAX_RETRIES default 3, overridable via
+    * GRAFT_MAX_RETRIES / legacy DLO_MAX_RETRIES env
+    * (pspf/settings.py:38) — resolved once per JVM. */
+  lazy val DefaultMaxRetries: Int = graft.GraftSettings.fromEnv().maxRetries
 
   /** The DLQ enrichment columns (annotateWithRetry's _error plus
     * enrichForDlq's provenance) — single source of truth, referenced by
@@ -212,12 +215,13 @@ object Reliability {
     * per-message re-inject-then-delete. */
   def replayDlq(spark: SparkSession, c: Connector, topic: String): Long = {
     val dlq = c.readBatch(spark, c.dlqTopic(topic))
-    // strip exactly the DLQ metadata family — NOT every underscore
-    // column, which would destroy unrelated context the row carries
-    // (e.g. Trace's _trace_id, which must survive a DLQ round-trip the
-    // way the reference's in-payload trace context does)
-    val clean = (dlqMetaFields.map(_.name) :+ "_error")
-      .distinct.foldLeft(dlq)(_ drop _)
+    // strip exactly the DLQ metadata family (connector-owned: columns
+    // for column-shaped topics, in-payload keys for envelope brokers) —
+    // NOT every underscore column, which would destroy unrelated
+    // context the row carries (e.g. Trace's _trace_id, which must
+    // survive a DLQ round-trip the way the reference's in-payload trace
+    // context does)
+    val clean = c.stripDlqMeta(dlq)
     val cleanC = clean.cache()
     try {
       val n = cleanC.count()

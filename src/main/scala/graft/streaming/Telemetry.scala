@@ -51,4 +51,11 @@ object GraftMetrics {
     spark.streams.addListener(m)
     m
   }
+
+  /** Settings-gated install (reference: telemetry only starts when
+    * OTEL_ENABLED / TelemetrySettings.ENABLED, pspf/settings.py:18-23,
+    * pspf/telemetry.py). None when disabled. */
+  def installIfEnabled(spark: SparkSession,
+                       settings: graft.GraftSettings): Option[GraftMetrics] =
+    if (settings.telemetry.enabled) Some(install(spark)) else None
 }

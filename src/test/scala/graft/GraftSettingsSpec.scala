@@ -39,6 +39,16 @@ class GraftSettingsSpec extends AnyFunSuite {
     assert(!GraftSettings.fromEnv(Map("OTEL_ENABLED" -> "nope")).telemetry.enabled)
   }
 
+  test("settings are consumable by the engine: trigger, admission options, retry default") {
+    val s = GraftSettings.fromEnv(Map(
+      "GRAFT_POLL_INTERVAL_MS" -> "250", "GRAFT_DEFAULT_BATCH_SIZE" -> "42"))
+    assert(s.continuousTrigger ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    assert(s.graftlogReadOptions == Map("maxRecordsPerTrigger" -> "42"))
+    // lazy engine default resolves through the same settings path
+    assert(graft.streaming.Reliability.DefaultMaxRetries == GraftSettings.fromEnv().maxRetries)
+  }
+
   test("prod without a checkpoint root warns (reference validate_production)") {
     val prod = GraftSettings.fromEnv(Map("GRAFT_ENV" -> "prod"))
     assert(prod.validationWarnings.exists(_.contains("GRAFT_CHECKPOINT_ROOT")))

@@ -74,6 +74,52 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.lag(dir, ckpt) == 0L)
   }
 
+  test("maxRecordsPerTrigger paces consumption in capped batches without loss (reference batch_size)") {
+    val root = Files.createTempDirectory("graftlog_adm").toString
+    val dir = s"$root/topic"
+    (0 until 10).foreach(i => GraftLog.append(dir, 2, s"k$i", s"""{"n":$i}"""))
+
+    val batchSizes = new ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graftlog")
+      .option("maxRecordsPerTrigger", "3")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .start()
+    q.awaitTermination()
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(sizes.sum == 10, s"no loss; got ${sizes.toSeq}")
+    assert(sizes.forall(_ <= 3), s"cap respected; got ${sizes.toSeq}")
+    assert(sizes.length >= 4) // 10 records at <=3/trigger needs >=4 batches
+  }
+
+  test("DLQ replay round-trips the ORIGINAL payload: metadata folded in, then stripped back out") {
+    val root = Files.createTempDirectory("graftlog_rp").toString
+    val conn = new GraftLogConnector(root, numPartitions = 2, keyCol = "event_id")
+    conn.writeBatch(Seq(("e1", "ok"), ("e2", "boom")).toDF("event_id", "status"), "orders")
+    val originalByKey = conn.readBatch(spark, "orders").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+
+    Reliability.reliableBatch(conn, "orders", "key", maxRetries = 0) { row =>
+      if (row.getAs[String]("value").contains("boom")) throw new RuntimeException("bad")
+    }.apply(conn.readBatch(spark, "orders"), 0L)
+
+    // DLQ value = original payload + flat _-metadata (reference DLQ shape)
+    val dlqVal = conn.readBatch(spark, conn.dlqTopic("orders")).collect().head.getAs[String]("value")
+    assert(dlqVal.contains("\"_error\"") && dlqVal.contains("\"status\":\"boom\""))
+
+    assert(Reliability.replayDlq(spark, conn, "orders") == 1)
+    // replayed record equals the ORIGINAL: no nesting, no metadata
+    val replayed = conn.readBatch(spark, "orders").collect()
+      .filter(_.getAs[String]("key") == "e2").sortBy(_.getAs[Long]("offset")).last
+    assert(replayed.getAs[String]("value") == originalByKey("e2"))
+    assert(!replayed.getAs[String]("value").contains("_error"))
+  }
+
   test("connector: arbitrary frames wrap to value JSON; failures land in the DLQ topic") {
     val root = Files.createTempDirectory("graftlog_c").toString
     val conn = new GraftLogConnector(root, numPartitions = 2, keyCol = "event_id")
