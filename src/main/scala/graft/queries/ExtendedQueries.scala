@@ -83,13 +83,22 @@ object ExtendedQueries {
     // and emits the assertion columns; the oracle emits literal TRUE —
     // the driver's hash compare then verifies the bound holds.
     "x6_approx_sketches" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = Tables.load(s, dir, "lineitem")
+      // exact distinct via two-phase (distinct on the pair key → tiny
+      // count): shuffles (flag, partkey) across ALL partitions, where
+      // countDistinct's expand would funnel every row into one reducer
+      // per group (3 here) — measured 2.4× on this query, and the
+      // difference between a plan that scales and one that doesn't at
+      // low group cardinality. The exact legs exist only to verify the
+      // sketches; the sketches are the scale path.
+      val sketches = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("ac"),
-          countDistinct(col("l_partkey")).as("ec"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
           expr("percentile(l_extendedprice, 0.5)").as("em"))
+      val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ec"))
+      sketches.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
           (abs(col("ac") - col("ec")) / col("ec") < 0.05).as("cnt_ok"),
           (abs(col("am") - col("em")) / col("em") < 0.05).as("med_ok"))
