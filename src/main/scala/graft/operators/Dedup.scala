@@ -173,6 +173,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph → dedup GROUPS:
+    * every document labeled with the minimum doc id of its component
+    * (the canonical representative every real dedup pipeline keeps).
+    * Pairs→clusters matters because near-dup is not transitive at a
+    * threshold: A~B and B~C pairs must collapse into ONE group even
+    * when A~C alone would miss the cut.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint. Each
+    * round is one shuffle (neighbor-join + min-aggregate); rounds ≈
+    * component diameter, and near-dup clusters are shallow (dups of a
+    * common source), so 2-4 rounds close real corpora. `localCheckpoint`
+    * truncates the growing lineage each round — without it the plan
+    * doubles per iteration. Giant-component graphs would swap in the
+    * large-star/small-star variant; the per-round plan shape (equi-join
+    * + min agg) is already the scalable one. */
+  def connectedComponents(pairs: DataFrame, a: String = "da", b: String = "db"): DataFrame = {
+    val edges = pairs.select(col(a).as("x"), col(b).as("y"))
+      .union(pairs.select(col(b).as("x"), col(a).as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbr = edges.join(labels.select(col("id").as("y"), col("rep")), "y")
+        .select(col("x").as("id"), col("rep"))
+      val next = labels.union(nbr)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.select(col("id"), col("rep").as("prev")), "id")
+        .filter(col("rep") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
   /** Relational formulation of simhash32 (explode tokens × 8 hex chars ×
     * 4 bits → shuffle → majority vote) — kept as the cross-checkable
     * spec of the algorithm; the expression above must match it exactly. */

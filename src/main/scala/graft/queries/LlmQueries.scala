@@ -65,6 +65,19 @@ object LlmQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Dedup GROUPS: near-dup pairs (LSH-verified) collapsed into
+    // connected components; every member labeled with its canonical
+    // representative (min doc id). The pairs→clusters step of every
+    // production dedup pipeline.
+    "l17_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 32-bit SimHash fingerprints.
     "l7_simhash" -> ((s, dir) => {
       Dedup.simhash32(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -211,6 +224,34 @@ object LlmQueries {
         |FROM bands x JOIN bands y
         |  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
         |ORDER BY da, db""".stripMargin,
+    "l17_dedup_groups" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.da
+        |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |          JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |          WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8),
+        |edges AS (SELECT da AS x, db AS y FROM pairs UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT x AS id FROM edges),
+        |reach AS (SELECT id, id AS r FROM nodes
+        |          UNION
+        |          SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y)
+        |SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "l7_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
         |h AS (SELECT doc_id, md5(t) AS h FROM tok),

@@ -36,6 +36,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("connected components collapse transitive near-dup chains into one group") {
+    // chain 1-2-3 (1~3 never paired directly) + island 5-6 + 7-8 via 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 9L), (8L, 9L))
+      .toDF("da", "db")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("native simhash expression equals the relational formulation on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val expr = Dedup.simhash32(docs, "doc_id", "text")
