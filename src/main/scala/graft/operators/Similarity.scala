@@ -100,6 +100,10 @@ object Similarity extends Serializable {
   }
   private def normOf(a: Array[Float]): Double = dotOf(a, a)
 
+  /** Spark's Round(double, 6) semantics: BigDecimal.valueOf + HALF_UP. */
+  private def roundHalfUp6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** IVF-style ANN: coarse quantizer + inverted lists.
     *
     * Centroids are a deterministic subset (the `nCentroids` lowest ids —
@@ -122,7 +126,11 @@ object Similarity extends Serializable {
 
     def nearestCentroids(v: Array[Float], n: Int): Seq[Long] = {
       val nv = math.sqrt(normOf(v))
-      bc.value.map { case (ci, cv, cn) => (ci, dotOf(v, cv) / (nv * cn)) }
+      // assignment cosines round to 6 d.p. BEFORE the argmax (ties →
+      // lower centroid id): raw doubles would let a ~1e-15 summation-
+      // order difference flip an assignment between engines, making the
+      // whole query unverifiable — same discipline as the output cosine
+      bc.value.map { case (ci, cv, cn) => (ci, roundHalfUp6(dotOf(v, cv) / (nv * cn))) }
         .sortBy { case (ci, cos) => (-cos, ci) }.take(n).map(_._1).toSeq
     }
 

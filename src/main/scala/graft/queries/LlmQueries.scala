@@ -129,6 +129,19 @@ object LlmQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // IVF ANN — the bucketed scale path as a VERIFIED query (not just a
+    // spec): deterministic coarse quantizer (16 lowest-id centroids),
+    // every vector assigned to its nearest list, queries probe the 4
+    // nearest lists, scoring only bucket-mates. Assignment cosines are
+    // rounded to 6 d.p. before the argmax so the bucketing itself is
+    // engine-reproducible.
+    "l18_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids = 16, nProbe = 4, k = 3)
+        .filter(col("qid") < 20)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Multimodal binary metadata plumbing (payload byte length + hash).
     "l10_mm_binary" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -342,6 +355,32 @@ object LlmQueries {
     "l10_mm_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors ivfTopK exactly: assignment divides by sqrt(a)*sqrt(b)
+    // (per-vector norms), scoring by sqrt(a*b) (product of squared
+    // norms) — both rounded to 6 d.p. like the Spark side.
+    "l18_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nr
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
+        |ac AS (SELECT v.vec_id AS vid, c.vec_id AS ci,
+        |    round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) AS cos
+        |  FROM e v, c),
+        |ranked AS (SELECT vid, ci,
+        |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, ci) AS rnk FROM ac),
+        |buckets AS (SELECT ci AS bucket, vid AS cid FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT ci AS bucket, vid AS qid FROM ranked WHERE rnk <= 4),
+        |scored AS (SELECT DISTINCT p.qid, b.cid,
+        |    round(list_sum(list_transform(list_zip(q.embedding, t.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * t.n2), 6) AS cos
+        |  FROM probes p JOIN buckets b ON b.bucket = p.bucket AND b.cid <> p.qid
+        |  JOIN e q ON q.vec_id = p.qid JOIN e t ON t.vec_id = b.cid),
+        |rk AS (SELECT qid, cid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
+        |SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 3 AND qid < 20
+        |ORDER BY qid, rk""".stripMargin,
     "l12_data_pipeline" ->
       """WITH f AS (
         |  SELECT doc_id, text, n_chars FROM documents
