@@ -44,6 +44,21 @@ final class SchemaRegistry {
   private val byType = TrieMap.empty[String, StructType]
 
   def register(eventType: String, schema: StructType): Unit = byType.put(eventType, schema)
+
+  /** Register-time evolution gate (reference: the registry's
+    * compatibility-check hook, pspf/utils/schema_registry.py:18-34,
+    * with the real additive policy from docs/schema-evolution.md
+    * instead of the reference's field-count heuristic): replacing a
+    * type's schema requires the new one to be additively compatible,
+    * else the registration throws and the old schema stays. */
+  def registerChecked(eventType: String, schema: StructType): Unit =
+    byType.get(eventType) match {
+      case Some(old) if !compatible(old, schema) =>
+        throw new IllegalArgumentException(
+          s"incompatible schema evolution for '$eventType': every existing field must keep " +
+            "its type and new fields must be nullable")
+      case _ => byType.put(eventType, schema)
+    }
   def schemaFor(eventType: String): Option[StructType] = byType.get(eventType)
   def registered: Set[String] = byType.keySet.toSet
 

@@ -48,4 +48,28 @@ class DedupPropertySpec extends AnyFunSuite {
     // identical shingle sets have identical minhash signatures → always bucketed
     assert(perfect.subsetOf(lsh))
   }
+
+  test("connected components equal a reference union-find on random graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    for (seed <- Seq(3L, 17L, 23L)) {
+      val gen = Gen.listOfN(25,
+        Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(p => p._1 != p._2))
+      val edges = gen(Gen.Parameters.default, Seed(seed)).get
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = Dedup.connectedComponents(edges.toDF("da", "db"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"seed $seed, edges $edges")
+    }
+  }
 }

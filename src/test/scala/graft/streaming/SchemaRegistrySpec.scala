@@ -43,4 +43,16 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(!reg.compatible(v1, v3))
     assert(!reg.compatible(v1, v4))
   }
+
+  test("registerChecked enforces the evolution policy at registration time") {
+    val reg = new SchemaRegistry
+    val v1 = StructType(Seq(StructField("a", LongType)))
+    val v2 = StructType(Seq(StructField("a", LongType), StructField("b", StringType, nullable = true)))
+    val bad = StructType(Seq(StructField("a", StringType)))
+    reg.registerChecked("t", v1)
+    reg.registerChecked("t", v2) // additive → allowed
+    assert(reg.schemaFor("t").contains(v2))
+    intercept[IllegalArgumentException] { reg.registerChecked("t", bad) }
+    assert(reg.schemaFor("t").contains(v2)) // old schema survives the rejected update
+  }
 }
