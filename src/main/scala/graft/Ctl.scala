@@ -71,7 +71,8 @@ object Ctl {
   /** Bad-argument parses take the Left→usage path, not a stack trace. */
   private def parseLimit(tl: List[String]): Either[String, Int] = tl match {
     case Nil => Right(20)
-    case l :: _ => l.toIntOption.toRight(s"limit must be an integer, got '$l'")
+    case l :: _ => l.toIntOption.filter(_ >= 0)
+      .toRight(s"limit must be a non-negative integer, got '$l'")
   }
 
   private def showRows(df: org.apache.spark.sql.DataFrame): String = {

@@ -183,32 +183,43 @@ object Dedup {
     * Algorithm: iterative min-label propagation to a fixpoint. Each
     * round is one shuffle (neighbor-join + min-aggregate); rounds ≈
     * component diameter, and near-dup clusters are shallow (dups of a
-    * common source), so 2-4 rounds close real corpora. `localCheckpoint`
-    * truncates the growing lineage each round — without it the plan
-    * doubles per iteration. Giant-component graphs would swap in the
-    * large-star/small-star variant; the per-round plan shape (equi-join
-    * + min agg) is already the scalable one. */
+    * common source), so 2-4 rounds close real corpora. Each round
+    * materializes into a persisted RDD and rebuilds the frame from it
+    * (truncating the otherwise per-round-doubling lineage), and the
+    * SUPERSEDED round's blocks are released immediately — storage stays
+    * at one labels copy + edges, not one per round. The returned frame
+    * is backed by the final persisted copy. Giant-component graphs
+    * would swap in the large-star/small-star variant; the per-round
+    * plan shape (equi-join + min agg) is already the scalable one. */
   def connectedComponents(pairs: DataFrame, a: String = "da", b: String = "db"): DataFrame = {
-    val edges = pairs.select(col(a).as("x"), col(b).as("y"))
-      .union(pairs.select(col(b).as("x"), col(a).as("y")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
+    val spark = pairs.sparkSession
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(level)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (edges, edgesRdd) = materialize(
+      pairs.select(col(a).as("x"), col(b).as("y"))
+        .union(pairs.select(col(b).as("x"), col(a).as("y")))
+        .distinct())
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("x").as("id")).distinct()
+        .select(col("id"), col("id").as("rep")))
     var converged = false
     while (!converged) {
       val nbr = edges.join(labels.select(col("id").as("y"), col("rep")), "y")
         .select(col("x").as("id"), col("rep"))
-      val next = labels.union(nbr)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
+      val (next, nextRdd) = materialize(
+        labels.union(nbr).groupBy(col("id")).agg(min(col("rep")).as("rep")))
       converged = next.as("n")
         .join(labels.select(col("id"), col("rep").as("prev")), "id")
         .filter(col("rep") =!= col("prev"))
         .isEmpty
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
     }
+    edgesRdd.unpersist(blocking = false)
     labels
   }
 

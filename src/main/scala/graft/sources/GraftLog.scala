@@ -126,7 +126,8 @@ object GraftLog {
         ls.iterator().asScala
           .map(_.getFileName.toString)
           .filter(n => n.nonEmpty && n.forall(_.isDigit))
-          .maxOption.map(_.toLong)
+          .map(_.toLong) // numeric max — lexicographic would pick "9" over "10"
+          .maxOption
       }
     }
     newestBatch("commits").flatMap { committed =>

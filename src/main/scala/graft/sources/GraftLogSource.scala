@@ -52,7 +52,10 @@ final class GraftLogTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val maxRecords = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+    val maxRecords = Option(options.get("maxRecordsPerTrigger")).map { v =>
+      v.toLongOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"maxRecordsPerTrigger must be a positive integer, got '$v'"))
+    }
     new ScanBuilder {
       override def build(): Scan = new GraftLogScan(path, maxRecords)
     }

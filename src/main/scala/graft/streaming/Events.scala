@@ -51,14 +51,24 @@ final class SchemaRegistry {
     * instead of the reference's field-count heuristic): replacing a
     * type's schema requires the new one to be additively compatible,
     * else the registration throws and the old schema stays. */
-  def registerChecked(eventType: String, schema: StructType): Unit =
-    byType.get(eventType) match {
-      case Some(old) if !compatible(old, schema) =>
-        throw new IllegalArgumentException(
-          s"incompatible schema evolution for '$eventType': every existing field must keep " +
-            "its type and new fields must be nullable")
-      case _ => byType.put(eventType, schema)
+  def registerChecked(eventType: String, schema: StructType): Unit = {
+    // CAS loop: check-then-put on the concurrent map would let two
+    // racing registrations each validate against the SAME old schema
+    // and both win — the replace/putIfAbsent retry validates against
+    // exactly the schema being replaced
+    while (true) {
+      byType.get(eventType) match {
+        case None =>
+          if (byType.putIfAbsent(eventType, schema).isEmpty) return
+        case Some(old) =>
+          if (!compatible(old, schema))
+            throw new IllegalArgumentException(
+              s"incompatible schema evolution for '$eventType': every existing field must " +
+                "keep its type and new fields must be nullable")
+          if (byType.replace(eventType, old, schema)) return
+      }
     }
+  }
   def schemaFor(eventType: String): Option[StructType] = byType.get(eventType)
   def registered: Set[String] = byType.keySet.toSet
 

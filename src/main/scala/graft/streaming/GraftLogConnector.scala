@@ -48,13 +48,18 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
       (if (cols.contains("event_type")) col("event_type")
        else org.apache.spark.sql.functions.lit(null)).cast("string").as("event_type")
 
-    if (valueIsString && cols.contains("key") && extra.isEmpty) {
-      df.select(col("key").cast("string"), evtCol, col("value"))
+    // key is optional on the envelope paths: a keyless envelope frame
+    // appends with a null key (partition 0), NOT a double-JSON-wrap
+    val keyCol0 =
+      (if (cols.contains("key")) col("key")
+       else org.apache.spark.sql.functions.lit(null)).cast("string").as("key")
+    if (valueIsString && extra.isEmpty) {
+      df.select(keyCol0, evtCol, col("value"))
         .collect().foreach { r =>
           GraftLog.append(path(topic), numPartitions, r.getString(0), r.getString(2), r.getString(1))
         }
-    } else if (valueIsString && cols.contains("key") && extra.forall(_.startsWith("_"))) {
-      val sel = df.select(Seq(col("key").cast("string"), evtCol, col("value")) ++
+    } else if (valueIsString && extra.forall(_.startsWith("_"))) {
+      val sel = df.select(Seq(keyCol0, evtCol, col("value")) ++
         extra.map(c => col(c).cast("string").as(c)): _*)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       sel.collect().foreach { r =>
@@ -103,8 +108,10 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
               val node = mapper.readTree(raw)
               if (node.isObject) {
                 val obj = node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-                import scala.jdk.CollectionConverters._
-                obj.fieldNames().asScala.filter(_.startsWith("_")).toList.foreach(obj.remove)
+                // remove ONLY the DLQ metadata family — other _-keys in
+                // the payload (e.g. Trace's _trace_id) must survive
+                // replay, same invariant as the column-based default
+                Reliability.dlqMetaFields.map(_.name).foreach(obj.remove)
                 mapper.writeValueAsString(obj)
               } else raw
             } catch { case _: Exception => raw }

@@ -100,7 +100,10 @@ class GraftLogSpec extends AnyFunSuite {
   test("DLQ replay round-trips the ORIGINAL payload: metadata folded in, then stripped back out") {
     val root = Files.createTempDirectory("graftlog_rp").toString
     val conn = new GraftLogConnector(root, numPartitions = 2, keyCol = "event_id")
-    conn.writeBatch(Seq(("e1", "ok"), ("e2", "boom")).toDF("event_id", "status"), "orders")
+    // _trace_id rides INSIDE the payload (trace-context propagation) —
+    // replay must strip only the DLQ family, never the trace
+    conn.writeBatch(Seq(("e1", "ok", "t-abc"), ("e2", "boom", "t-def"))
+      .toDF("event_id", "status", "_trace_id"), "orders")
     val originalByKey = conn.readBatch(spark, "orders").collect()
       .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
 
@@ -118,6 +121,7 @@ class GraftLogSpec extends AnyFunSuite {
       .filter(_.getAs[String]("key") == "e2").sortBy(_.getAs[Long]("offset")).last
     assert(replayed.getAs[String]("value") == originalByKey("e2"))
     assert(!replayed.getAs[String]("value").contains("_error"))
+    assert(replayed.getAs[String]("value").contains("\"_trace_id\":\"t-def\""))
   }
 
   test("connector: arbitrary frames wrap to value JSON; failures land in the DLQ topic") {
