@@ -55,7 +55,8 @@ object Bench {
       // first measurement: failed only when BOTH runs threw
       name -> (if (a < 0) timeOnce(name, fn)
                else { val b = timeOnce(name, fn); if (b < 0) a else math.min(a, b) })
-    } :+ ("stream_window_agg" -> streamingWindowAgg(spark, sfDir))
+    } :+ ("stream_window_agg" -> streamingWindowAgg(spark, sfDir)) :+
+      ("stream_graftlog" -> streamingGraftLog(spark))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -92,6 +93,38 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream_window_agg: ${e.getMessage}")
+        -1.0
+    }
+  }
+
+  /** Broker-read throughput probe: 50k records pre-produced into a
+    * graftlog topic (8 partitions), then one timed streaming drain
+    * (DSv2 micro-batch source → keyed agg → noop). Produce time is NOT
+    * in the measurement — it is the client's cost, as with any broker. */
+  private def streamingGraftLog(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_log").toString
+      val dir = s"$root/topic"
+      var i = 0
+      while (i < 50000) {
+        graft.sources.GraftLog.append(dir, 8, s"k${i % 97}", s"""{"n":$i}""")
+        i += 1
+      }
+      val ckpt = s"$root/ckpt"
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graftlog").load(dir)
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] stream_graftlog: ${e.getMessage}")
         -1.0
     }
   }
