@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> dlq-count   <topic>
   *   Ctl <root> dlq-purge   <topic>
   *   Ctl <root> replay      <topic>
-  *   Ctl <root> state       <checkpointDir>
+  *   Ctl <root> state       <checkpointDir> [limit]
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -35,7 +35,7 @@ object Ctl {
 
   private val usage =
     """usage: Ctl <root> <inspect|dlq-inspect|dlq-count|dlq-purge|replay> <topic> [args]
-      |       Ctl <root> state <checkpointDir>""".stripMargin
+      |       Ctl <root> state <checkpointDir> [limit]""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -62,8 +62,9 @@ object Ctl {
       Right(s"purged=${Ops.dlqPurge(spark, connectorFor(spark, root, topic), topic)}")
     case ("replay", topic :: Nil) =>
       Right(s"replayed=${Reliability.replayDlq(spark, connectorFor(spark, root, topic), topic)}")
-    case ("state", ckpt :: Nil) =>
-      Right(showRows(Ops.stateQueryFlat(spark, ckpt)))
+    case ("state", ckpt :: tl) =>
+      // bounded dump — live keyed state can be arbitrarily large
+      parseLimit(tl).map(limit => showRows(Ops.stateQueryFlat(spark, ckpt).limit(limit)))
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
   }
