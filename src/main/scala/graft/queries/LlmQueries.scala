@@ -170,6 +170,25 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal decode + frame sampling end-to-end: binary payload →
+    // partition-parallel (stub) decode → every-2nd-frame sampler →
+    // per-doc sample stats joined back to decode metadata. The decode
+    // is a deterministic byte-derived fake (no media libs in env), so
+    // the WHOLE plumbing chain — binary column, mapPartitions decode,
+    // typed meta, frame explosion, agg — is oracle-checkable.
+    "l19_mm_frames" -> ((s, dir) => {
+      val bin = graft.operators.Multimodal.asBinary(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val meta = graft.operators.Multimodal.decodeMeta(s, bin)
+      val frames = graft.operators.Multimodal.sampleFrames(s, meta, everyK = 2)
+      frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+        .join(meta.toDF().select(col("doc_id"), col("format"), col("frames")), "doc_id")
+        .select(col("doc_id"), col("format"), col("frames"),
+          col("n_sampled"), col("last_frame"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-modal join: documents enriched with their embedding's norm
     // and label (text + vector modality in one row — the shape of a
     // multimodal training record).
@@ -423,6 +442,19 @@ object LlmQueries {
         |SELECT doc_id, n_chars FROM f
         |WHERE doc_id NOT IN (SELECT db FROM victims)
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors Multimodal.stubDecode byte-derived metadata + the every-
+    // 2nd-frame sampler: frames ∈ 1..4 → n_sampled = ceil(frames/2),
+    // last sampled index = 2·floor((frames-1)/2).
+    "l19_mm_frames" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN strlen(text) % 3 = 0 THEN 'png'
+        |         WHEN strlen(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |    CAST(1 + strlen(text) % 4 AS INT) AS frames
+        |  FROM documents)
+        |SELECT doc_id, format, frames,
+        |  CAST((frames + 1) // 2 AS BIGINT) AS n_sampled,
+        |  CAST(((frames - 1) // 2) * 2 AS INT) AS last_frame
+        |FROM m ORDER BY doc_id""".stripMargin,
     "l11_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 6) AS norm2
