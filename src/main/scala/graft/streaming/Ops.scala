@@ -32,6 +32,22 @@ object Ops {
     * query.stop() + restart from checkpoint; provided for API parity. */
   def pause(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = q.stop()
 
+  /** Health / cluster status (reference cluster_api.py:13-28 — worker
+    * health + cluster membership over HTTP): one row per ACTIVE
+    * streaming query with its latest progress. In Spark the "cluster"
+    * is the session's query set; per-executor liveness is the cluster
+    * manager's surface. */
+  def health(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.streams.active.toSeq.map { q =>
+      val p = Option(q.lastProgress)
+      (q.id.toString, Option(q.name).getOrElse(""), q.isActive,
+        p.map(_.batchId).getOrElse(-1L),
+        p.map(_.numInputRows).getOrElse(0L),
+        q.status.message)
+    }.toDF("query_id", "name", "active", "last_batch", "last_input_rows", "status")
+  }
+
   /** Interactive keyed-state query (reference: cluster_api.py:29-82 —
     * query live per-key state over HTTP with leader routing). Spark's
     * first-class answer is the state-store reader: point it at a running

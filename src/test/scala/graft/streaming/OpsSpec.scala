@@ -31,6 +31,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Ops.dlqPurge(spark, conn, "t")) // idempotent on missing
   }
 
+  test("health reports active queries and empties when they stop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    assert(Ops.health(spark).filter($"name" === "graft_health_probe").isEmpty)
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Int]
+    ms.addData(1, 2, 3)
+    val q = ms.toDF().writeStream.queryName("graft_health_probe")
+      .format("memory")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_health").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      val row = Ops.health(spark).filter($"name" === "graft_health_probe").collect()
+      assert(row.length == 1 && row.head.getAs[Boolean]("active"))
+      assert(row.head.getAs[Long]("last_input_rows") >= 0L)
+    } finally q.stop()
+    assert(Ops.health(spark).filter($"name" === "graft_health_probe").isEmpty)
+  }
+
   test("interactive state query reads keyed aggregation state from a checkpoint") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_state").toString
