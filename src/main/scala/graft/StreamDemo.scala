@@ -85,6 +85,29 @@ object StreamDemo {
     }.awaitTermination()
     println(s"[demo] metrics: messagesProcessed=${metrics.messagesProcessed.sum()} " +
       s"batches=${metrics.batchesCompleted.sum()}")
+
+    // 7. the broker leg: graftlog DSv2 topic — produce with broker ids,
+    // streaming drain with checkpointed consumer position, lag, and the
+    // Ctl verbs over the same root
+    val broker = new GraftLogConnector(s"$root/broker", numPartitions = 2, keyCol = "event_id")
+    broker.writeBatch(Seq(("b1", 10.0), ("b2", 20.0), ("b3", 30.0)).toDF("event_id", "amount"), "orders")
+    val bq = broker.readStream(spark, "orders")
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/broker-ckpt")
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    bq.awaitTermination()
+    println(s"[demo] graftlog consumer lag after drain: ${broker.lag("orders", s"$root/broker-ckpt")}")
+    broker.writeBatch(Seq(("b4", 40.0)).toDF("event_id", "amount"), "orders")
+    println(s"[demo] lag after producing one more: ${broker.lag("orders", s"$root/broker-ckpt")}")
+
+    // 8. ops surface: keyed state from the agg checkpoint + pspfctl verbs
+    println("[demo] Ctl state dump of the broker agg checkpoint:")
+    Ctl.run(spark, root, "state", Array(s"$root/broker-ckpt", "5")).foreach(println)
+    println("[demo] Ctl inspect of the broker topic (raw log records):")
+    Ctl.run(spark, s"$root/broker", "inspect", Array("orders", "id", "5")).foreach(println)
     spark.stop()
   }
 }
