@@ -143,7 +143,7 @@ final class FileConnector(root: String, schema: StructType,
 final class KafkaConnector(bootstrap: String) extends Connector {
   import org.apache.spark.sql.functions.{col, get_json_object, struct, to_json}
 
-  private def unwrap(df: DataFrame): DataFrame =
+  private[streaming] def unwrap(df: DataFrame): DataFrame =
     df.select(
       col("key").cast("string").as("key"),
       col("value").cast("string").as("payload"),
@@ -151,7 +151,7 @@ final class KafkaConnector(bootstrap: String) extends Connector {
       col("topic"), col("partition"), col("offset"),
       col("timestamp").as("timestamp"))
 
-  private def wrap(df: DataFrame): DataFrame =
+  private[streaming] def wrap(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
   override def readStream(spark: SparkSession, topic: String): DataFrame =
