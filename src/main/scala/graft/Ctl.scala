@@ -44,27 +44,49 @@ object Ctl {
     new FileConnector(root, base)
   }
 
+  /** DLQ verbs must work when the MAIN topic is missing or empty —
+    * exactly the incident state where they matter — so their schema
+    * comes from the DLQ topic itself (base = inferred minus the DLQ
+    * metadata family). */
+  private def connectorForDlq(spark: SparkSession, root: String, topic: String): FileConnector = {
+    val inferred = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$root/$topic-dlq").schema
+    val metaNames = graft.streaming.Reliability.dlqMetaFields.map(_.name).toSet
+    val base = org.apache.spark.sql.types.StructType(
+      inferred.fields.filterNot(f => metaNames.contains(f.name)))
+    new FileConnector(root, base, Map(s"$topic-dlq" -> inferred))
+  }
+
+  /** Errors (missing topics, unreadable dirs) take the Left→usage path
+    * like bad arguments, not a stack trace. */
+  private def attempt(body: => String): Either[String, String] =
+    scala.util.Try(body).toEither.left.map(e =>
+      s"${e.getClass.getSimpleName}: ${e.getMessage}")
+
   /** Dispatch, returning the printable result (testable without a JVM
     * fork — the spec calls this directly). */
   def run(spark: SparkSession, root: String, cmd: String, rest: Array[String])
       : Either[String, String] = (cmd, rest.toList) match {
     case ("inspect", topic :: orderCol :: tl) =>
-      parseLimit(tl).map { limit =>
-        showRows(Ops.inspect(spark, connectorFor(spark, root, topic), topic, orderCol, limit))
+      parseLimit(tl).flatMap { limit =>
+        attempt(showRows(Ops.inspect(spark, connectorFor(spark, root, topic), topic, orderCol, limit)))
       }
     case ("dlq-inspect", topic :: tl) =>
-      parseLimit(tl).map { limit =>
-        showRows(Ops.dlqInspect(spark, connectorFor(spark, root, topic), topic, limit))
+      parseLimit(tl).flatMap { limit =>
+        attempt(showRows(Ops.dlqInspect(spark, connectorForDlq(spark, root, topic), topic, limit)))
       }
     case ("dlq-count", topic :: Nil) =>
-      Right(Ops.dlqCount(spark, connectorFor(spark, root, topic), topic).toString)
+      attempt(Ops.dlqCount(spark, connectorForDlq(spark, root, topic), topic).toString)
     case ("dlq-purge", topic :: Nil) =>
-      Right(s"purged=${Ops.dlqPurge(spark, connectorFor(spark, root, topic), topic)}")
+      // purge never reads — no schema needed at all
+      attempt(s"purged=${Ops.dlqPurge(spark,
+        new FileConnector(root, new org.apache.spark.sql.types.StructType()), topic)}")
     case ("replay", topic :: Nil) =>
-      Right(s"replayed=${Reliability.replayDlq(spark, connectorFor(spark, root, topic), topic)}")
+      attempt(s"replayed=${Reliability.replayDlq(spark, connectorForDlq(spark, root, topic), topic)}")
     case ("state", ckpt :: tl) =>
       // bounded dump — live keyed state can be arbitrarily large
-      parseLimit(tl).map(limit => showRows(Ops.stateQueryFlat(spark, ckpt).limit(limit)))
+      parseLimit(tl).flatMap(limit =>
+        attempt(showRows(Ops.stateQueryFlat(spark, ckpt).limit(limit))))
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
   }

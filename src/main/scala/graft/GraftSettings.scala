@@ -51,11 +51,17 @@ object GraftSettings {
     (key +: legacy).iterator.flatMap(env.get).nextOption()
 
   /** Lenient parses: a garbage value falls back to the default (the
-    * reference swallows conversion errors the same way). */
+    * reference swallows conversion errors the same way) — including for
+    * booleans, where an unrecognized token keeps the default instead of
+    * silently meaning false. */
   private def int(v: Option[String], d: Int): Int = v.flatMap(_.toIntOption).getOrElse(d)
   private def long(v: Option[String], d: Long): Long = v.flatMap(_.toLongOption).getOrElse(d)
   private def bool(v: Option[String], d: Boolean): Boolean =
-    v.map(s => Set("true", "1", "yes").contains(s.toLowerCase)).getOrElse(d)
+    v.map(_.trim.toLowerCase) match {
+      case Some(s) if Set("true", "1", "yes").contains(s) => true
+      case Some(s) if Set("false", "0", "no").contains(s) => false
+      case _ => d
+    }
 
   def fromEnv(env: Map[String, String] = sys.env): GraftSettings = {
     val d = GraftSettings()
@@ -64,7 +70,12 @@ object GraftSettings {
       defaultBatchSize =
         int(pick(env, "GRAFT_DEFAULT_BATCH_SIZE", "DEFAULT_BATCH_SIZE"), d.defaultBatchSize),
       pollIntervalMs =
-        long(pick(env, "GRAFT_POLL_INTERVAL_MS", "DEFAULT_POLL_INTERVAL_MS"), d.pollIntervalMs),
+        pick(env, "GRAFT_POLL_INTERVAL_MS").flatMap(_.toLongOption)
+          // legacy name carries the REFERENCE unit — seconds
+          // (DEFAULT_POLL_INTERVAL=0.1, pspf/settings.py:37) → convert
+          .orElse(pick(env, "DEFAULT_POLL_INTERVAL").flatMap(_.toDoubleOption)
+            .map(s => (s * 1000).toLong))
+          .getOrElse(d.pollIntervalMs),
       maxRetries = int(pick(env, "GRAFT_MAX_RETRIES", "DLO_MAX_RETRIES"), d.maxRetries),
       shufflePartitions =
         int(pick(env, "GRAFT_SHUFFLE_PARTITIONS"), d.shufflePartitions),

@@ -69,7 +69,11 @@ object Similarity extends Serializable {
     * identical to filtering on the rounded value directly. */
   def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
     val e = withNorm(df, vec)
+    // small corpora arrive in 1-2 parquet partitions; the stream side of
+    // the broadcast join carries the O(n²/2) scoring loop, so spread it
+    // across the cluster before the join or one task does all the work
     val a = e.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = e.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb"))
     val raw = dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
     a.join(broadcast(b), col("da") < col("db") && raw > threshold - 1e-6)

@@ -91,17 +91,24 @@ object ExtendedQueries {
       // difference between a plan that scales and one that doesn't at
       // low group cardinality. The exact legs exist only to verify the
       // sketches; the sketches are the scale path.
+      // the assertions verify each sketch's OWN contract: HLL advertises
+      // ~5% relative-standard-deviation on the count (3σ bound below —
+      // a 1σ bound would legitimately fail ~1/3 of the time), and the
+      // quantile sketch guarantees RANK accuracy (1/1000 here), not
+      // value closeness — so the approx median must land inside a
+      // generous exact rank window, whatever the value distribution
       val sketches = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("ac"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-          expr("percentile(l_extendedprice, 0.5)").as("em"))
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
       val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ec"))
       sketches.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
-          (abs(col("ac") - col("ec")) / col("ec") < 0.05).as("cnt_ok"),
-          (abs(col("am") - col("em")) / col("em") < 0.05).as("med_ok"))
+          (abs(col("ac") - col("ec")) / col("ec") < 0.15).as("cnt_ok"),
+          (col("am") >= col("p45") && col("am") <= col("p55")).as("med_ok"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -79,10 +79,29 @@ object GraftLog {
     node.put("ts", nowMs)
     val f = partitionFile(dir, p)
     Files.createDirectories(f.getParent)
+    sealTornTail(f)
     Files.write(f, (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     id
   }
+
+  /** Torn-tail recovery (reference LocalLog CRC-scan + truncate,
+    * pspf/log/local_log.py:75-138): a producer crash mid-append can
+    * leave a partial line with no trailing newline. Sealing it with a
+    * newline turns it into a permanent unparseable TOMBSTONE line —
+    * readers count it (offsets stay dense and stable) but emit nothing,
+    * and the next record never concatenates onto torn bytes. */
+  private def sealTornTail(f: Path): Unit =
+    if (Files.exists(f) && Files.size(f) > 0) {
+      val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+      try {
+        ch.position(Files.size(f) - 1)
+        val bb = java.nio.ByteBuffer.allocate(1)
+        ch.read(bb)
+        if (bb.get(0) != '\n'.toByte)
+          Files.write(f, "\n".getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
+      } finally ch.close()
+    }
 
   /** Current end offsets (line counts) per partition — the high
     * watermark (pspf/log/interfaces.py high-watermark surface). */

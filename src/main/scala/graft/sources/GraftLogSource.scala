@@ -165,22 +165,30 @@ final class GraftLogPartitionReader(p: GraftLogInputPartition)
   while (line < p.startLine && reader.readLine() != null) line += 1
 
   override def next(): Boolean = {
-    if (line >= p.endLine) return false
-    val raw = reader.readLine()
-    if (raw == null) return false
-    val node = mapper.readTree(raw)
-    def str(field: String): UTF8String =
-      if (node.hasNonNull(field)) UTF8String.fromString(node.get(field).asText()) else null
-    current = new GenericInternalRow(Array[Any](
-      p.partition,
-      line,
-      str("id"),
-      str("key"),
-      str("event_type"),
-      str("value"),
-      node.get("ts").asLong() * 1000L)) // ms → µs for TimestampType
-    line += 1
-    true
+    while (line < p.endLine) {
+      val raw = reader.readLine()
+      if (raw == null) return false
+      val off = line
+      line += 1
+      // torn-tail tombstones (sealed partial appends) parse as garbage:
+      // they occupy their line/offset for stability but emit no row —
+      // the LocalLog truncate-on-recovery semantics
+      val node = try mapper.readTree(raw) catch { case _: Exception => null }
+      if (node != null && node.isObject && node.hasNonNull("id") && node.hasNonNull("ts")) {
+        def str(field: String): UTF8String =
+          if (node.hasNonNull(field)) UTF8String.fromString(node.get(field).asText()) else null
+        current = new GenericInternalRow(Array[Any](
+          p.partition,
+          off,
+          str("id"),
+          str("key"),
+          str("event_type"),
+          str("value"),
+          node.get("ts").asLong() * 1000L)) // ms → µs for TimestampType
+        return true
+      }
+    }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()

@@ -121,6 +121,26 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
     }
   }
 
+  /** Batch-replay-safe append via a completion marker per
+    * (writerId, batchId): the common engine-replay case — crash AFTER
+    * the side write but before the micro-batch commit — finds the
+    * marker and skips, leaving one copy. A crash DURING the append
+    * itself can still duplicate the torn prefix on retry (at-least-once
+    * in that narrow window) — the same contract as any broker without
+    * transactions; GraftLog's torn-tail sealing keeps the log readable
+    * through it. Markers live under `_markers/` inside the topic dir,
+    * invisible to readers (they only scan `p=*`). */
+  override def writeBatchIdempotent(df: DataFrame, topic: String, batchId: Long,
+                                    writerId: String): Unit = {
+    val safe = writerId.replaceAll("[^A-Za-z0-9_-]", "_")
+    val marker = java.nio.file.Paths.get(path(topic), "_markers", s"$safe-$batchId")
+    if (!java.nio.file.Files.exists(marker)) {
+      writeBatch(df, topic)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+  }
+
   override def writeStream(df: DataFrame, topic: String, checkpoint: String,
                            outputMode: String): StreamingQuery =
     df.writeStream.outputMode(outputMode)

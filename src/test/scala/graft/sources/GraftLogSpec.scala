@@ -74,6 +74,22 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.lag(dir, ckpt) == 0L)
   }
 
+  test("torn-tail recovery: a partial append is sealed as a tombstone, later records read cleanly") {
+    val dir = Files.createTempDirectory("graftlog_torn").toString + "/t"
+    GraftLog.append(dir, 1, "k1", """{"n":1}""")
+    // simulate a producer crash mid-append: partial line, no newline
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p=0", "log.jsonl"),
+      """{"id":"999-0","key":"k2","val""".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    // next append seals the torn line and lands intact
+    GraftLog.append(dir, 1, "k3", """{"n":3}""")
+    val rows = spark.read.format("graftlog").load(dir).collect()
+    // tombstone line occupies offset 1 but emits no row
+    assert(rows.map(_.getAs[String]("key")).toSet == Set("k1", "k3"))
+    assert(rows.map(_.getAs[Long]("offset")).toSet == Set(0L, 2L))
+    assert(GraftLog.latestOffsets(dir) == Map(0 -> 3L))
+  }
+
   test("maxRecordsPerTrigger paces consumption in capped batches without loss (reference batch_size)") {
     val root = Files.createTempDirectory("graftlog_adm").toString
     val dir = s"$root/topic"
