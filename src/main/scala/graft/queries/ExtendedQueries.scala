@@ -101,14 +101,14 @@ object ExtendedQueries {
         .agg(
           approx_count_distinct(col("l_partkey")).as("ac"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-          expr("percentile(l_extendedprice, 0.45)").as("p45"),
-          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+          // both rank bounds from ONE exact-percentile buffer pass
+          expr("percentile(l_extendedprice, array(0.45D, 0.55D))").as("pr"))
       val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ec"))
       sketches.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
           (abs(col("ac") - col("ec")) / col("ec") < 0.15).as("cnt_ok"),
-          (col("am") >= col("p45") && col("am") <= col("p55")).as("med_ok"))
+          (col("am") >= col("pr")(0) && col("am") <= col("pr")(1)).as("med_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
