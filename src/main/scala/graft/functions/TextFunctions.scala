@@ -95,9 +95,16 @@ object TextFunctions {
 
   /** Polynomial rolling hash h = fold(h*31 + codepoint) mod 1e9+7 — the
     * classic incremental document fingerprint (cheap to maintain over
-    * sliding content windows, unlike md5). Sequential fold → exactly
-    * reproducible in any engine with a list fold. */
+    * sliding content windows, unlike md5). Native codegen'd expression;
+    * `rollingHashRelational` below is the executable spec it must match
+    * (and what the DuckDB oracle replicates). */
   def rollingHash(text: Column): Column =
+    RollingHashFunctions.rollingHash(text)
+
+  /** HOF formulation of the rolling hash — kept as the cross-checkable
+    * spec of the algorithm (sequential fold, reproducible in any engine
+    * with a list fold); the native expression must match it exactly. */
+  def rollingHashRelational(text: Column): Column =
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),

@@ -17,6 +17,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(1) == ((97L * 31 + 32) * 31 + 98) % 1000000007L)
   }
 
+  test("native rolling hash equals the HOF formulation on real docs + edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "a", "multi byte: é € 𝄞").toDF("text"))
+    val both = docs.select(
+      TextFunctions.rollingHash(col("text")).as("native"),
+      TextFunctions.rollingHashRelational(col("text")).as("spec")).collect()
+    assert(both.length == 503)
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("langId scores by stopword lists with fixed priority") {
     val got = Seq(
       "the cat and the hat",      // en hits
