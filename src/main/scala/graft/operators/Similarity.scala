@@ -158,7 +158,11 @@ object Similarity extends Serializable {
 
   /** Random-hyperplane LSH bucket key: sign bits of dot(v, h_i) for
     * deterministic pseudo-hyperplanes derived from md5(i || dim) — no
-    * RNG, so signatures are reproducible across runs and engines. */
+    * RNG, so signatures are reproducible across runs and engines. The
+    * projection is rounded to 6 d.p. before the sign test, so the
+    * BUCKETING itself is engine-reproducible (a ~1e-15 summation-order
+    * difference cannot flip a bit) — same discipline as ivfTopK's
+    * assignment argmax. */
   def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { i =>
       // h_i[d] = (md5-derived value in [-0.5, 0.5))
@@ -168,7 +172,7 @@ object Similarity extends Serializable {
             (conv(substring(md5(concat(lit(i.toString), lit("_"), d.cast("string"))), 1, 6), 16, 10)
               .cast("double") / lit(16777216.0) - lit(0.5))),
         lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      when(round(proj, 6) >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat(bits: _*)
   }

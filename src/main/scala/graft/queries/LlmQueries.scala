@@ -142,6 +142,18 @@ object LlmQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // LSH ANN — the second bucketed scale path, also VERIFIED: random-
+    // hyperplane signatures (md5-derived planes, no RNG) bucket the
+    // corpus; scoring touches bucket-mates only. Bits come from
+    // 6-d.p.-rounded projections, so the bucketing is reproducible in
+    // any engine.
+    "l20_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, nPlanes = 8, k = 3)
+        .filter(col("qid") < 20)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Multimodal binary metadata plumbing (payload byte length + hash).
     "l10_mm_binary" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -374,6 +386,29 @@ object LlmQueries {
     "l10_mm_binary" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors Similarity.lshSignature exactly: plane value
+    // h_i[d] = hex6(md5(i||'_'||d))/2^24 - 0.5, projection rounded to
+    // 6 d.p. before the sign bit; scoring divides by sqrt(n2a*n2b).
+    "l20_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |sig AS (SELECT vec_id, embedding, n2,
+        |    array_to_string(list_transform(generate_series(0, 7), i ->
+        |      CASE WHEN round(list_sum(list_transform(generate_series(1, 64), d ->
+        |          CAST(embedding[d] AS DOUBLE) *
+        |          (CAST('0x' || substr(md5(CONCAT(i, '_', d - 1)), 1, 6) AS BIGINT)
+        |             / 16777216.0 - 0.5))), 6) >= 0
+        |        THEN '1' ELSE '0' END), '') AS sig
+        |  FROM e),
+        |scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(a.n2 * b.n2), 6) AS cos
+        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |rk AS (SELECT qid, cid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
+        |SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 3 AND qid < 20
+        |ORDER BY qid, rk""".stripMargin,
     // Mirrors ivfTopK exactly: assignment divides by sqrt(a)*sqrt(b)
     // (per-vector norms), scoring by sqrt(a*b) (product of squared
     // norms) — both rounded to 6 d.p. like the Spark side.
