@@ -36,6 +36,10 @@ class GraftSettingsSpec extends AnyFunSuite {
       "GRAFT_TELEMETRY__ENABLED" -> "1"))
     assert(s.maxRetries == 3)
     assert(s.telemetry.enabled)
+    // explicit false tokens parse as false; unrecognized tokens keep the
+    // default (indistinguishable here while the only bool default is
+    // false — a default-true setting would pin the fallback direction)
+    assert(!GraftSettings.fromEnv(Map("OTEL_ENABLED" -> "0")).telemetry.enabled)
     assert(!GraftSettings.fromEnv(Map("OTEL_ENABLED" -> "nope")).telemetry.enabled)
   }
 

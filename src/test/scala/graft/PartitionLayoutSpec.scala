@@ -32,6 +32,9 @@ class PartitionLayoutSpec extends AnyFunSuite {
   test("bucketed tables join without an exchange") {
     // warehouse.dir is a static conf — bucketed tables land in the
     // default ./spark-warehouse (gitignored), dropped in finally.
+    // save/restore: the session's threshold is settings-driven, so a
+    // hardcoded restore would silently rewrite it for later suites
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
       Tables.load(spark, "/root/testdata/sf0.001", "orders")
@@ -47,7 +50,7 @@ class PartitionLayoutSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() == 6000)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }

@@ -91,19 +91,20 @@ class FacadeSpec extends AnyFunSuite {
   test("metrics listener counts processed rows; function sink is idempotent") {
     val (root, s) = mkStream()
     val metrics = GraftMetrics.install(spark)
-    s.emit(events(("e1", "a", 1.0, 1.0), ("e2", "b", 2.0, 2.0)), "tx")
-    s.subscribe("tx") { (b, _) => b.count(); () }.awaitTermination()
-    spark.streams.listListeners // ensure listener bus flushed via await below
-    eventuallyProcessed(metrics, 2)
+    try {
+      s.emit(events(("e1", "a", 1.0, 1.0), ("e2", "b", 2.0, 2.0)), "tx")
+      s.subscribe("tx") { (b, _) => b.count(); () }.awaitTermination()
+      // listener events arrive asynchronously; eventuallyProcessed polls
+      eventuallyProcessed(metrics, 2)
 
-    FacadeSpec.sent.set(0)
-    val sink = new FunctionSink("http", s"$root/tokens")(_ => FacadeSpec.sent.incrementAndGet())
-    val b = events(("e1", "a", 1.0, 1.0), ("e1", "a", 1.0, 1.0), ("e2", "b", 2.0, 2.0))
-    assert(sink.write(spark, b, "event_id") == 2)
-    assert(FacadeSpec.sent.get() == 2)
-    assert(sink.write(spark, events(("e2", "b", 2.0, 2.0)), "event_id") == 0)
-    assert(FacadeSpec.sent.get() == 2)
-    spark.streams.removeListener(metrics)
+      FacadeSpec.sent.set(0)
+      val sink = new FunctionSink("http", s"$root/tokens")(_ => FacadeSpec.sent.incrementAndGet())
+      val b = events(("e1", "a", 1.0, 1.0), ("e1", "a", 1.0, 1.0), ("e2", "b", 2.0, 2.0))
+      assert(sink.write(spark, b, "event_id") == 2)
+      assert(FacadeSpec.sent.get() == 2)
+      assert(sink.write(spark, events(("e2", "b", 2.0, 2.0)), "event_id") == 0)
+      assert(FacadeSpec.sent.get() == 2)
+    } finally spark.streams.removeListener(metrics)
   }
 
   private def eventuallyProcessed(m: GraftMetrics, atLeast: Long): Unit = {

@@ -19,12 +19,14 @@ class HttpSinkSpec extends AnyFunSuite {
 
   test("posts once per event id with idempotency key; 5xx fails the batch then retry delivers") {
     val keys = new ConcurrentLinkedQueue[String]()
+    val bodies = new ConcurrentLinkedQueue[String]()
     val failMode = new AtomicBoolean(false)
     val server = com.sun.net.httpserver.HttpServer.create(
       new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/sink", (ex: com.sun.net.httpserver.HttpExchange) => {
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      assert(body.contains("event_id")) // JSON payload of the full row
+      // no asserts on the server thread — a failure there surfaces as an
+      // opaque connection error; record and assert from the test thread
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
       val code = if (failMode.get()) 500 else 200
       if (code == 200) keys.add(ex.getRequestHeaders.getFirst("X-Idempotency-Key"))
       ex.sendResponseHeaders(code, 0)
@@ -39,6 +41,7 @@ class HttpSinkSpec extends AnyFunSuite {
       val n1 = sink.write(spark, Seq(("e1", "x"), ("e2", "y")).toDF("event_id", "payload"), "event_id")
       assert(n1 == 2)
       assert(keys.toArray.toSet == Set("orders:e1", "orders:e2"))
+      assert(bodies.toArray(Array.empty[String]).forall(_.contains("event_id"))) // full-row JSON payloads
 
       // redelivery batch: e2 already has a token → one delivery only
       val n2 = sink.write(spark, Seq(("e2", "y"), ("e3", "z")).toDF("event_id", "payload"), "event_id")

@@ -84,7 +84,7 @@ class OpsSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_ctl").toString
     val conn = new FileConnector(root, schema)
     val batch = Seq(("e1", 1L), ("e2", 2L)).toDF("event_id", "v")
-    conn.writeBatch(batch.limit(1), "t2") // main topic exists for schema inference
+    conn.writeBatch(batch.filter($"event_id" === "e1"), "t2") // main topic exists for schema inference
     Reliability.reliableBatch(conn, "t2", "event_id", maxRetries = 0) { _ =>
       throw new RuntimeException("always fails")
     }.apply(batch, 0L)

@@ -42,7 +42,13 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(n == 1)
     val replayed = conn.readBatch(spark, "orders").collect()
     assert(replayed.map(_.getAs[String]("event_id")).toSeq == Seq("e2"))
-    assert(!replayed.head.schema.fieldNames.exists(_.startsWith("_")))
+    // metadata really stripped ON DISK: schema INFERENCE over the topic
+    // dir would surface any _-column a replay regression wrote (the
+    // declared-schema read above silently drops undeclared columns, so
+    // it cannot see them)
+    val inferred = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$root/orders").schema.fieldNames
+    assert(!inferred.exists(_.startsWith("_")), inferred.toSeq)
   }
 
   test("idempotent sink executes the side effect once per event_id across batches") {

@@ -23,6 +23,9 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val batch = aggregate(Tables.load(spark, dir, "events"))
       .collect().map(_.toSeq).toSet
 
+    // the RAW parquet read below bypasses Tables.load, so it needs the
+    // ns-timestamp conf itself (Tables.load set it above, but this read
+    // must not depend on that call order)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file streaming source needs a directory; glob-filter to the table

@@ -113,11 +113,15 @@ class StreamingSliceSpec extends AnyFunSuite {
   test("windowed arbitrary fold: reference fixture via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double, Double)] // key, amount, sec
-    // non-algebraic fold: keep the max-so-far minus min-so-far spread
-    val folded = KeyedState.windowedFold[String, (String, Double, Double), Double](
-      in.toDS(), _._1, _._3, windowSizeSec = 10L, zero = 0.0)((s, v) => s + v._2)
-      .map { case ((k, ws), s) => (k, ws, s) }
-      .toDF("key", "ws", "total")
+    // a fold windowAgg can NOT express as one aggregate: tuple state
+    // tracking (max-so-far, min-so-far), emitted as the spread — the
+    // arbitrary-user-fold capability windowedFold exists for
+    val folded = KeyedState.windowedFold[String, (String, Double, Double), (Double, Double)](
+      in.toDS(), _._1, _._3, windowSizeSec = 10L,
+      zero = (Double.MinValue, Double.MaxValue))(
+      (s, v) => (math.max(s._1, v._2), math.min(s._2, v._2)))
+      .map { case ((k, ws), (mx, mn)) => (k, ws, mx - mn) }
+      .toDF("key", "ws", "spread")
     val q = folded.writeStream.outputMode("update")
       .format("memory").queryName("wfold_out").start()
     try {
@@ -126,7 +130,8 @@ class StreamingSliceSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("wfold_out")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(got == Set(("user_1", 0L, 15.0), ("user_1", 10L, 20.0), ("user_2", 0L, 100.0)))
+      // user_1 [0,10): amounts {10,5} → spread 5; [10,20): {20} → 0
+      assert(got == Set(("user_1", 0L, 5.0), ("user_1", 10L, 0.0), ("user_2", 0L, 0.0)))
     } finally q.stop()
   }
 

@@ -19,17 +19,6 @@ class WindowSemanticsSpec extends AnyFunSuite {
     epochSecs.toSeq.toDF("sec")
       .select(timestamp_seconds(col("sec")).as("ts"))
 
-  private def windowStarts(sizeSlide: (String, Option[String]), secs: Double*): Seq[(Double, Long)] = {
-    val df = tsDf(secs: _*)
-    val w = sizeSlide match {
-      case (size, None) => window(col("ts"), size)
-      case (size, Some(slide)) => window(col("ts"), size, slide)
-    }
-    df.select(col("ts"), w.as("w"))
-      .select(unix_timestamp(col("ts")).cast("double").as("sec"), col("w.start").cast("long").as("ws"))
-      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
-  }
-
   test("tumbling 10s is end-exclusive (reference tests/test_windows.py:5-20)") {
     val t = TumblingWindow(10000)
     val got = tsDf(12.5, 10.0, 9.9)
