@@ -62,8 +62,26 @@ object GraftLog {
     s"${issued._1}-${issued._2}"
   }
 
-  private def partitionFile(dir: String, p: Int): Path =
-    Paths.get(dir, s"p=$p", "log.jsonl")
+  /** Current log file of a partition and its BASE offset. The base is
+    * encoded in the FILE NAME (`log-<base>.jsonl`, plain `log.jsonl` ≡
+    * base 0) so a retention trim commits data+base in one atomic
+    * rename; when multiple logs exist (crash between rename and stale
+    * delete), the highest base wins and the stale file is ignored. */
+  private[sources] def currentLog(dir: String, p: Int): (Long, Path) = {
+    val pdir = Paths.get(dir, s"p=$p")
+    val logs: Seq[(Long, Path)] =
+      if (!Files.isDirectory(pdir)) Nil
+      else scala.util.Using.resource(Files.list(pdir)) { ls =>
+        ls.iterator().asScala.flatMap { f =>
+          val n = f.getFileName.toString
+          if (n == "log.jsonl") Some(0L -> f)
+          else if (n.startsWith("log-") && n.endsWith(".jsonl"))
+            n.stripPrefix("log-").stripSuffix(".jsonl").toLongOption.map(_ -> f)
+          else None
+        }.toSeq
+      }
+    logs.maxByOption(_._1).getOrElse(0L -> pdir.resolve("log.jsonl"))
+  }
 
   /** XADD: append one record, returning its broker id. */
   def append(dir: String, numPartitions: Int, key: String,
@@ -77,7 +95,7 @@ object GraftLog {
     if (eventType != null) node.put("event_type", eventType)
     node.put("value", valueJson)
     node.put("ts", nowMs)
-    val f = partitionFile(dir, p)
+    val f = currentLog(dir, p)._2
     Files.createDirectories(f.getParent)
     sealTornTail(f)
     Files.write(f, (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
@@ -103,7 +121,13 @@ object GraftLog {
       } finally ch.close()
     }
 
-  /** Current end offsets (line counts) per partition — the high
+  /** Trimmed-prefix base offset of a partition (0 until trimmed).
+    * Offsets are ABSOLUTE: base + line index within the current file —
+    * like LocalLog's segment base offsets (local_log.py:51-52), so
+    * retention never shifts a consumer's position. */
+  def baseOffset(dir: String, p: Int): Long = currentLog(dir, p)._1
+
+  /** Current end offsets (base + line counts) per partition — the high
     * watermark (pspf/log/interfaces.py high-watermark surface). */
   def latestOffsets(dir: String): Map[Int, Long] = {
     val root = Paths.get(dir)
@@ -111,15 +135,59 @@ object GraftLog {
     scala.util.Using.resource(Files.list(root)) { ls =>
       ls.iterator().asScala
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p="))
-        .map { p =>
-          val part = p.getFileName.toString.stripPrefix("p=").toInt
-          val f = p.resolve("log.jsonl")
+        .map(_.getFileName.toString.stripPrefix("p=").toInt)
+        .map { part =>
+          val (base, f) = currentLog(dir, part)
           val n = if (Files.exists(f))
             scala.util.Using.resource(Files.lines(f))(_.count()) else 0L
-          part -> n
+          part -> (base + n)
         }.toMap
     }
   }
+
+  /** Retention trim (reference: LocalLog age-based cleanup,
+    * pspf/log/local_log.py:254-266; Redis XTRIM): physically drop each
+    * partition's prefix up to `upTo(p)`. The surviving suffix is
+    * written to `log-<newBase>.jsonl` and installed with ONE atomic
+    * rename — data and base offset commit together, so absolute offsets
+    * (and therefore checkpointed consumer positions) are valid in every
+    * crash window; a stale lower-base log left by a crash before the
+    * cleanup delete is ignored (highest base wins) and removed by the
+    * next trim. Single-writer like the producer. */
+  def trim(dir: String, upTo: Map[Int, Long]): Unit = synchronized {
+    upTo.foreach { case (p, target) =>
+      val (base, f) = currentLog(dir, p)
+      if (Files.exists(f)) {
+        val lines = Files.readAllLines(f, StandardCharsets.UTF_8)
+        val drop = math.min(math.max(0L, target - base), lines.size.toLong).toInt
+        if (drop > 0) {
+          val newBase = base + drop
+          val kept = lines.subList(drop, lines.size).asScala
+          val tmp = f.getParent.resolve("log.jsonl.tmp")
+          Files.write(tmp, (kept.mkString("\n") + (if (kept.nonEmpty) "\n" else ""))
+            .getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, f.getParent.resolve(s"log-$newBase.jsonl"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // remove every other log generation (the pre-trim current and
+          // any stale crash leftovers)
+          scala.util.Using.resource(Files.list(f.getParent)) { ls =>
+            ls.iterator().asScala
+              .filter { g =>
+                val n = g.getFileName.toString
+                (n == "log.jsonl" || (n.startsWith("log-") && n.endsWith(".jsonl"))) &&
+                  n != s"log-$newBase.jsonl"
+              }.toList
+          }.foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
+  /** Trim everything every consumer of `checkpointDir` has committed —
+    * the retention policy "keep only unconsumed data". */
+  def trimToCommitted(dir: String, checkpointDir: String): Unit =
+    trim(dir, committedOffsets(checkpointDir))
 
   /** Consumer lag vs a Spark checkpoint (reference XPENDING / XINFO
     * GROUPS lag, pspf/connectors/valkey.py:362-389): latest log offsets

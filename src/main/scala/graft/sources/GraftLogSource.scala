@@ -152,17 +152,23 @@ final class GraftLogReaderFactory extends PartitionReaderFactory {
 
 /** Executor-side reader: streams one partition's log lines in order
   * (per-key order inside a partition — docs/concurrency.md:5-11),
-  * skipping to startLine and stopping at endLine. */
+  * skipping to startLine and stopping at endLine. Offsets are ABSOLUTE
+  * (base + line index within the current log generation): a retention
+  * trim grows the base but never shifts a consumer's checkpointed
+  * position. A start below the base means retention passed the
+  * consumer — reading resumes at the earliest retained record (Kafka
+  * earliest-available semantics; trimmed records are gone by policy). */
 final class GraftLogPartitionReader(p: GraftLogInputPartition)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val reader = Files.newBufferedReader(
-    Paths.get(p.path, s"p=${p.partition}", "log.jsonl"), StandardCharsets.UTF_8)
-  private var line = 0L
+  private val (base, logFile) = GraftLog.currentLog(p.path, p.partition)
+  private val reader = Files.newBufferedReader(logFile, StandardCharsets.UTF_8)
+  private var line = math.max(base, math.min(p.startLine, p.endLine))
   private var current: InternalRow = _
   // skip already-committed lines (dense offsets, like LocalLog reads
   // from a requested offset, pspf/log/local_log.py:193-252)
-  while (line < p.startLine && reader.readLine() != null) line += 1
+  private var toSkip = line - base
+  while (toSkip > 0 && reader.readLine() != null) toSkip -= 1
 
   override def next(): Boolean = {
     while (line < p.endLine) {

@@ -140,6 +140,47 @@ class GraftLogSpec extends AnyFunSuite {
     assert(replayed.getAs[String]("value").contains("\"_trace_id\":\"t-def\""))
   }
 
+  test("retention trim drops consumed prefixes; absolute offsets and consumer positions survive") {
+    val root = Files.createTempDirectory("graftlog_trim").toString
+    val dir = s"$root/topic"
+    val ckpt = s"$root/ckpt"
+    (0 until 10).foreach(i => GraftLog.append(dir, 4, s"k$i", s"""{"n":$i}"""))
+
+    val seen = new ConcurrentLinkedQueue[String]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftlog").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("value").collect().foreach(r => seen.add(r.getString(0))); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(seen.size == 10 && GraftLog.lag(dir, ckpt) == 0L)
+
+    GraftLog.trimToCommitted(dir, ckpt)
+    // physically gone, but the high watermark (absolute offsets) is unchanged
+    assert(spark.read.format("graftlog").load(dir).count() == 0)
+    assert(GraftLog.latestOffsets(dir).values.sum == 10L)
+    assert(GraftLog.lag(dir, ckpt) == 0L)
+
+    // appends continue at stable absolute offsets; the consumer reads
+    // EXACTLY the new records from its checkpointed position
+    (10 until 13).foreach(i => GraftLog.append(dir, 4, s"k$i", s"""{"n":$i}"""))
+    assert(GraftLog.lag(dir, ckpt) == 3L)
+    runOnce()
+    assert(seen.size == 13 && seen.toArray.distinct.length == 13)
+    assert(GraftLog.lag(dir, ckpt) == 0L)
+    // batch read sees only retained records, with offsets >= their base
+    val rows = spark.read.format("graftlog").load(dir).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getAs[Long]("offset") >=
+      GraftLog.baseOffset(dir, r.getAs[Int]("partition"))))
+  }
+
   test("connector: arbitrary frames wrap to value JSON; failures land in the DLQ topic") {
     val root = Files.createTempDirectory("graftlog_c").toString
     val conn = new GraftLogConnector(root, numPartitions = 2, keyCol = "event_id")
