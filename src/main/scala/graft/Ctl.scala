@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> dlq-purge   <topic>
   *   Ctl <root> replay      <topic>
   *   Ctl <root> state       <checkpointDir> [limit]
+  *   Ctl <root> lag         <topic> <checkpointDir>   (graftlog topics)
+  *   Ctl <root> trim        <topic> <checkpointDir>   (graftlog retention)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -35,7 +37,8 @@ object Ctl {
 
   private val usage =
     """usage: Ctl <root> <inspect|dlq-inspect|dlq-count|dlq-purge|replay> <topic> [args]
-      |       Ctl <root> state <checkpointDir> [limit]""".stripMargin
+      |       Ctl <root> state <checkpointDir> [limit]
+      |       Ctl <root> <lag|trim> <topic> <checkpointDir>""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -87,6 +90,12 @@ object Ctl {
       // bounded dump — live keyed state can be arbitrarily large
       parseLimit(tl).flatMap(limit =>
         attempt(showRows(Ops.stateQueryFlat(spark, ckpt).limit(limit))))
+    case ("lag", topic :: ckpt :: Nil) =>
+      // broker consumer lag (graftlog topics; reference XPENDING)
+      attempt(graft.sources.GraftLog.lag(s"$root/$topic", ckpt).toString)
+    case ("trim", topic :: ckpt :: Nil) =>
+      // retention: drop everything the checkpoint's consumer committed
+      attempt { graft.sources.GraftLog.trimToCommitted(s"$root/$topic", ckpt); "trimmed" }
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
   }

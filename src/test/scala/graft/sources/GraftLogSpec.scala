@@ -179,6 +179,11 @@ class GraftLogSpec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.forall(r => r.getAs[Long]("offset") >=
       GraftLog.baseOffset(dir, r.getAs[Int]("partition"))))
+
+    // the ctl verbs drive the same surfaces
+    assert(graft.Ctl.run(spark, root, "lag", Array("topic", ckpt)) == Right("0"))
+    assert(graft.Ctl.run(spark, root, "trim", Array("topic", ckpt)) == Right("trimmed"))
+    assert(spark.read.format("graftlog").load(dir).count() == 0)
   }
 
   test("connector: arbitrary frames wrap to value JSON; failures land in the DLQ topic") {
