@@ -68,19 +68,50 @@ object GraftLog {
     * rename; when multiple logs exist (crash between rename and stale
     * delete), the highest base wins and the stale file is ignored. */
   private[sources] def currentLog(dir: String, p: Int): (Long, Path) = {
+    // appends resolve this per record — cache, invalidated whenever the
+    // cached generation's file vanished (e.g. an external trim renamed
+    // it), so the hot path does zero directory listings
+    val cached = logCache.get((dir, p))
+    if (cached != null && Files.exists(cached._2)) cached
+    else {
+      val resolved = listLogs(dir, p).maxByOption(_._1)
+        .getOrElse(0L -> Paths.get(dir, s"p=$p", "log.jsonl"))
+      logCache.put((dir, p), resolved)
+      resolved
+    }
+  }
+
+  private val logCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Path)]()
+
+  private def listLogs(dir: String, p: Int): Seq[(Long, Path)] = {
     val pdir = Paths.get(dir, s"p=$p")
-    val logs: Seq[(Long, Path)] =
-      if (!Files.isDirectory(pdir)) Nil
-      else scala.util.Using.resource(Files.list(pdir)) { ls =>
-        ls.iterator().asScala.flatMap { f =>
-          val n = f.getFileName.toString
-          if (n == "log.jsonl") Some(0L -> f)
-          else if (n.startsWith("log-") && n.endsWith(".jsonl"))
-            n.stripPrefix("log-").stripSuffix(".jsonl").toLongOption.map(_ -> f)
-          else None
-        }.toSeq
-      }
-    logs.maxByOption(_._1).getOrElse(0L -> pdir.resolve("log.jsonl"))
+    if (!Files.isDirectory(pdir)) Nil
+    else scala.util.Using.resource(Files.list(pdir)) { ls =>
+      ls.iterator().asScala.flatMap { f =>
+        val n = f.getFileName.toString
+        if (n == "log.jsonl") Some(0L -> f)
+        else if (n.startsWith("log-") && n.endsWith(".jsonl"))
+          n.stripPrefix("log-").stripSuffix(".jsonl").toLongOption.map(_ -> f)
+        else None
+      }.toSeq
+    }
+  }
+
+  /** Cross-PROCESS mutual exclusion between append and trim (the object
+    * monitor only covers one JVM; Ctl trim runs in its own): both hold
+    * the partition's lock FILE while mutating, so a trim can never
+    * shadow a record a concurrent producer appends to the old
+    * generation. */
+  private def withPartitionLock[T](dir: String, p: Int)(body: => T): T = {
+    val pdir = Paths.get(dir, s"p=$p")
+    Files.createDirectories(pdir)
+    val ch = java.nio.channels.FileChannel.open(pdir.resolve(".lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
   }
 
   /** XADD: append one record, returning its broker id. */
@@ -95,11 +126,14 @@ object GraftLog {
     if (eventType != null) node.put("event_type", eventType)
     node.put("value", valueJson)
     node.put("ts", nowMs)
-    val f = currentLog(dir, p)._2
-    Files.createDirectories(f.getParent)
-    sealTornTail(f)
-    Files.write(f, (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    withPartitionLock(dir, p) {
+      // resolve the generation INSIDE the lock — a cross-process trim
+      // cannot rename it away between resolution and write
+      val f = currentLog(dir, p)._2
+      sealTornTail(f)
+      Files.write(f, (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
     id
   }
 
@@ -156,38 +190,55 @@ object GraftLog {
     * next trim. Single-writer like the producer. */
   def trim(dir: String, upTo: Map[Int, Long]): Unit = synchronized {
     upTo.foreach { case (p, target) =>
-      val (base, f) = currentLog(dir, p)
-      if (Files.exists(f)) {
-        val lines = Files.readAllLines(f, StandardCharsets.UTF_8)
-        val drop = math.min(math.max(0L, target - base), lines.size.toLong).toInt
-        if (drop > 0) {
-          val newBase = base + drop
-          val kept = lines.subList(drop, lines.size).asScala
-          val tmp = f.getParent.resolve("log.jsonl.tmp")
-          Files.write(tmp, (kept.mkString("\n") + (if (kept.nonEmpty) "\n" else ""))
-            .getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, f.getParent.resolve(s"log-$newBase.jsonl"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          // remove every other log generation (the pre-trim current and
-          // any stale crash leftovers)
-          scala.util.Using.resource(Files.list(f.getParent)) { ls =>
-            ls.iterator().asScala
-              .filter { g =>
-                val n = g.getFileName.toString
-                (n == "log.jsonl" || (n.startsWith("log-") && n.endsWith(".jsonl"))) &&
-                  n != s"log-$newBase.jsonl"
-              }.toList
-          }.foreach(Files.deleteIfExists(_))
+      withPartitionLock(dir, p) {
+        logCache.remove((dir, p))
+        // housekeeping runs unconditionally: crash leftovers (stale
+        // lower-base generations, orphaned tmp) must not wait for a
+        // trim that actually drops lines
+        val logs = listLogs(dir, p)
+        logs.maxByOption(_._1).foreach { case (base, f) =>
+          logs.filter(_._2 != f).foreach(g => Files.deleteIfExists(g._2))
+          Files.deleteIfExists(f.getParent.resolve("log.jsonl.tmp"))
+          val total = scala.util.Using.resource(Files.lines(f))(_.count())
+          val drop = math.min(math.max(0L, target - base), total)
+          if (drop > 0) {
+            val newBase = base + drop
+            val tmp = f.getParent.resolve("log.jsonl.tmp")
+            // stream the survivor suffix — never the whole log in heap
+            scala.util.Using.resources(
+              Files.newBufferedReader(f, StandardCharsets.UTF_8),
+              Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)) { (r, w) =>
+              var skipped = 0L
+              while (skipped < drop && r.readLine() != null) skipped += 1
+              var ln = r.readLine()
+              while (ln != null) { w.write(ln); w.write("\n"); ln = r.readLine() }
+            }
+            Files.move(tmp, f.getParent.resolve(s"log-$newBase.jsonl"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Files.deleteIfExists(f)
+            logCache.remove((dir, p))
+          }
         }
       }
     }
   }
 
   /** Trim everything every consumer of `checkpointDir` has committed —
-    * the retention policy "keep only unconsumed data". */
-  def trimToCommitted(dir: String, checkpointDir: String): Unit =
-    trim(dir, committedOffsets(checkpointDir))
+    * the retention policy "keep only unconsumed data". DESTRUCTIVE, so
+    * unlike the lenient lag heuristic it REFUSES multi-source
+    * checkpoints: the first-parseable-line guess could hand back
+    * another source's offsets and destroy unconsumed records. */
+  def trimToCommitted(dir: String, checkpointDir: String): Unit = {
+    val lines = committedOffsetLines(checkpointDir)
+    val parsed = lines.flatMap(l => scala.util.Try(parseOffsetJson(l)).toOption)
+    if (lines.size > 1)
+      throw new IllegalArgumentException(
+        s"checkpoint $checkpointDir has ${lines.size} source offset entries — " +
+          "trimToCommitted supports single-graftlog-source checkpoints only; " +
+          "call trim(dir, offsets) with this topic's offsets explicitly")
+    parsed.headOption.filter(_.nonEmpty).foreach(trim(dir, _))
+  }
 
   /** Consumer lag vs a Spark checkpoint (reference XPENDING / XINFO
     * GROUPS lag, pspf/connectors/valkey.py:362-389): latest log offsets
@@ -205,7 +256,18 @@ object GraftLog {
     * source; ours is the partition→count JSON object (for multi-source
     * checkpoints the first digit-keyed object line is taken — lag
     * introspection targets single-graftlog-source queries). */
-  def committedOffsets(checkpointDir: String): Map[Int, Long] = {
+  def committedOffsets(checkpointDir: String): Map[Int, Long] =
+    committedOffsetLines(checkpointDir)
+      .flatMap { line =>
+        scala.util.Try {
+          val m = parseOffsetJson(line)
+          if (m.nonEmpty) Some(m) else None
+        }.toOption.flatten
+      }.headOption.getOrElse(Map.empty)
+
+  /** The per-source offset lines of the newest COMMITTED batch's
+    * offsets file (empty when nothing committed yet). */
+  private def committedOffsetLines(checkpointDir: String): Seq[String] = {
     def newestBatch(sub: String): Option[Long] = {
       val dir = Paths.get(checkpointDir, sub)
       if (!Files.isDirectory(dir)) None
@@ -217,17 +279,11 @@ object GraftLog {
           .maxOption
       }
     }
-    newestBatch("commits").flatMap { committed =>
+    newestBatch("commits").map { committed =>
       val f = Paths.get(checkpointDir, "offsets", committed.toString)
-      if (!Files.exists(f)) None
-      else Files.readAllLines(f).asScala.drop(2)
-        .flatMap { line =>
-          scala.util.Try {
-            val m = parseOffsetJson(line)
-            if (m.nonEmpty) Some(m) else None
-          }.toOption.flatten
-        }.headOption
-    }.getOrElse(Map.empty)
+      if (!Files.exists(f)) Nil
+      else Files.readAllLines(f).asScala.toSeq.drop(2)
+    }.getOrElse(Nil)
   }
 
   private[sources] def parseOffsetJson(json: String): Map[Int, Long] = {

@@ -77,7 +77,10 @@ final class GraftLogScan(path: String, maxRecordsPerTrigger: Option[Long] = None
 object GraftLogScan {
   def plan(path: String, start: Map[Int, Long], end: Map[Int, Long]): Array[InputPartition] =
     end.toSeq.sortBy(_._1).flatMap { case (p, endLine) =>
-      val startLine = start.getOrElse(p, 0L)
+      // clamp to the retention base: offsets below it are trimmed away,
+      // so a fresh consumer starts at the earliest retained record
+      // instead of planning empty reads over the trimmed range
+      val startLine = math.max(start.getOrElse(p, 0L), GraftLog.baseOffset(path, p))
       if (endLine > startLine) Some(GraftLogInputPartition(path, p, startLine, endLine))
       else None
     }.toArray
@@ -121,7 +124,9 @@ final class GraftLogMicroBatchStream(path: String,
       case rm: ReadMaxRows =>
         var budget = rm.maxRows()
         val capped = end.toSeq.sortBy(_._1).map { case (p, e) =>
-          val s = startC.getOrElse(p, 0L)
+          // budget measures REAL records: clamp the start to the
+          // retention base so a trimmed prefix doesn't consume triggers
+          val s = math.max(startC.getOrElse(p, 0L), GraftLog.baseOffset(path, p))
           val take = math.max(0L, math.min(e - s, budget))
           budget -= take
           p -> (s + take)
@@ -161,8 +166,23 @@ final class GraftLogReaderFactory extends PartitionReaderFactory {
 final class GraftLogPartitionReader(p: GraftLogInputPartition)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val (base, logFile) = GraftLog.currentLog(p.path, p.partition)
-  private val reader = Files.newBufferedReader(logFile, StandardCharsets.UTF_8)
+  // resolve + open with retry: a concurrent trim can rename the current
+  // generation between the listing and the open — re-resolve and the
+  // new generation is there (the window is the rename itself)
+  private val (base, reader) = {
+    var attempt = 0
+    var out: (Long, java.io.BufferedReader) = null
+    while (out == null) {
+      val (b, f) = GraftLog.currentLog(p.path, p.partition)
+      try out = (b, Files.newBufferedReader(f, StandardCharsets.UTF_8))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    out
+  }
   private var line = math.max(base, math.min(p.startLine, p.endLine))
   private var current: InternalRow = _
   // skip already-committed lines (dense offsets, like LocalLog reads
