@@ -207,16 +207,25 @@ object Dedup {
         .select(col("id"), col("id").as("rep")))
     var converged = false
     while (!converged) {
+      // self rows ride the same shuffle as neighbor propagations, tagged
+      // so the aggregate recovers BOTH the new label (min over all) and
+      // the previous one (the single self row) in one pass — the
+      // convergence probe then reads the materialized round from cache
+      // instead of re-running a join against the prior labels (which
+      // used to double per-round work)
       val nbr = edges.join(labels.select(col("id").as("y"), col("rep")), "y")
-        .select(col("x").as("id"), col("rep"))
-      val (next, nextRdd) = materialize(
-        labels.union(nbr).groupBy(col("id")).agg(min(col("rep")).as("rep")))
-      converged = next.as("n")
-        .join(labels.select(col("id"), col("rep").as("prev")), "id")
-        .filter(col("rep") =!= col("prev"))
-        .isEmpty
+        .select(col("x").as("id"), col("rep"), lit(false).as("self"))
+      val round = labels.select(col("id"), col("rep"), lit(true).as("self"))
+        .union(nbr)
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"),
+          min(when(col("self"), col("rep"))).as("prev"))
+      val (next, nextRdd) = materialize(round)
+      // first action computes + caches the round; the probe itself scans
+      // the cache (and short-circuits at the first changed label)
+      converged = next.filter(col("rep") =!= col("prev")).isEmpty
       labelsRdd.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("id"), col("rep"))
       labelsRdd = nextRdd
     }
     edgesRdd.unpersist(blocking = false)

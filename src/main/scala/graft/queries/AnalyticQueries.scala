@@ -17,12 +17,18 @@ object AnalyticQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP grouping sets; nulls replaced with a sentinel so ordering is
-    // engine-independent.
+    // engine-independent. The fact is pre-aggregated per (flag, status)
+    // FIRST — rollup's Expand otherwise multiplies the full fact ×3
+    // before the hash agg; here Expand sees only the ~9-row aggregate,
+    // which is also the plan that survives a 100× fact. Decimal sums are
+    // exact, so re-aggregating partial sums is value-identical.
     "a1_rollup" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
-          count(lit(1)).as("n"))
+      val pre = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      pre.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pq")).cast(DoubleType).as("sum_qty"),
+          sum(col("pn")).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
@@ -91,13 +97,22 @@ object AnalyticQueries {
     }),
 
     // Multiset set-ops: EXCEPT ALL / INTERSECT ALL keep duplicates.
+    // Formulated as ONE shuffle: per-key multiset cardinalities in both
+    // sides from a single fact scan, then the multiset identities
+    // |A∖B| = max(ca−cb, 0) and |A∩B| = min(ca, cb) — the operator-level
+    // exceptAll/intersectAll chain (4 wide shuffles through Spark's
+    // replicate-rows rewrite) is retained in AnalyticQueriesSpec as the
+    // executable spec this plan must match.
     "a10_setops_all" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val a = li.filter(col("l_quantity") >= 25).select(col("l_orderkey"))
-      val b = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
-      a.exceptAll(b).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-        .union(a.intersectAll(b).groupBy(col("l_orderkey")).agg((count(lit(1)) * -1).as("n")))
-        .groupBy(col("l_orderkey")).agg(sum(col("n")).as("net"))
+      li.select(col("l_orderkey"),
+          when(col("l_quantity") >= 25, 1L).otherwise(0L).as("ina"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("inb"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("ina")).as("ca"), sum(col("inb")).as("cb"))
+        .filter(col("ca") > 0)
+        .select(col("l_orderkey"),
+          (greatest(col("ca") - col("cb"), lit(0L)) - least(col("ca"), col("cb"))).as("net"))
         .orderBy(col("l_orderkey"))
     }),
 

@@ -147,20 +147,34 @@ object EventQueries {
     // J3 as-of join (composed from built-ins — Spark lacks a native
     // ASOF): each click paired with the user's most recent prior-or-
     // simultaneous purchase. DuckDB verifies with its native ASOF JOIN.
+    //
+    // Scale shape: union-tag both event kinds, ONE per-user window pass
+    // carrying last(purchase_ts, ignoreNulls) over (ts, kind) order —
+    // |clicks| + |purchases| rows through a single shuffle, zero
+    // expansion. The previous join+row_number formulation materialized
+    // clicks × all-prior-purchases per user (quadratic in per-user
+    // activity: the 100× scale-up killer); EventQueriesSpec keeps it as
+    // the executable spec this plan must match. Purchases sort BEFORE
+    // clicks at the same ts (kind 0 < 1), making the bound inclusive
+    // (p_ts <= c_ts), exactly the ASOF contract.
     "j3_asof_join" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       val c = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"), lit(1).as("kind"), lit(null).cast("timestamp").as("p_ts"))
       val p = e.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .select(lit(null).cast("long").as("click_id"), col("user_id"),
+          col("ts"), lit(0).as("kind"), col("ts").as("p_ts"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("click_id")).orderBy(col("p_ts").desc)
-      c.join(p, col("user_id") === col("p_user") && col("p_ts") <= col("c_ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      c.union(p)
+        .withColumn("asof_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
         .select(col("click_id"),
-          unix_timestamp(col("c_ts")).as("click_sec"),
-          unix_timestamp(col("p_ts")).as("purchase_sec"))
+          unix_timestamp(col("ts")).as("click_sec"),
+          unix_timestamp(col("asof_ts")).as("purchase_sec"))
         .orderBy(col("click_id"))
     }),
 
