@@ -68,9 +68,11 @@ object GraftLog {
     * rename; when multiple logs exist (crash between rename and stale
     * delete), the highest base wins and the stale file is ignored. */
   private[sources] def currentLog(dir: String, p: Int): (Long, Path) = {
-    // appends resolve this per record — cache, invalidated whenever the
-    // cached generation's file vanished (e.g. an external trim renamed
-    // it), so the hot path does zero directory listings
+    // READ-path resolution — cache, invalidated whenever the cached
+    // generation's file vanished (e.g. an external trim renamed it), so
+    // hot reads do zero directory listings. Writers must NOT use this:
+    // the existence check cannot see a crashed trim's newer generation
+    // (freshLogForWrite), and readers already ignore stale lower bases.
     val cached = logCache.get((dir, p))
     if (cached != null && Files.exists(cached._2)) cached
     else {
@@ -102,39 +104,90 @@ object GraftLog {
     * monitor only covers one JVM; Ctl trim runs in its own): both hold
     * the partition's lock FILE while mutating, so a trim can never
     * shadow a record a concurrent producer appends to the old
-    * generation. */
+    * generation. A JVM-level monitor per (dir, partition) wraps the file
+    * lock: two threads of ONE JVM locking the same region would throw
+    * OverlappingFileLockException (file locks are held per-JVM), and
+    * local-mode executor tasks are exactly that case. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
   private def withPartitionLock[T](dir: String, p: Int)(body: => T): T = {
-    val pdir = Paths.get(dir, s"p=$p")
-    Files.createDirectories(pdir)
-    val ch = java.nio.channels.FileChannel.open(pdir.resolve(".lock"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
-      try body finally lock.release()
-    } finally ch.close()
+    val monitor = jvmLocks.computeIfAbsent((dir, p), _ => new Object)
+    monitor.synchronized {
+      val pdir = Paths.get(dir, s"p=$p")
+      Files.createDirectories(pdir)
+      val ch = java.nio.channels.FileChannel.open(pdir.resolve(".lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Generation resolution that does NOT trust the cache: writers must
+    * call this INSIDE the partition lock. The read-path cache's
+    * existence check is not enough for a writer — a trim that crashed
+    * between installing log-<newBase>.jsonl and deleting the stale file
+    * leaves BOTH on disk, and a warm cache would keep appending to the
+    * stale lower-base generation whose records the next trim's
+    * housekeeping deletes (silent data loss). Listing the directory and
+    * taking the highest base upholds the documented crash invariant. */
+  private def freshLogForWrite(dir: String, p: Int): (Long, Path) = {
+    val resolved = listLogs(dir, p).maxByOption(_._1)
+      .getOrElse(0L -> Paths.get(dir, s"p=$p", "log.jsonl"))
+    logCache.put((dir, p), resolved)
+    resolved
   }
 
   /** XADD: append one record, returning its broker id. */
   def append(dir: String, numPartitions: Int, key: String,
              valueJson: String, eventType: String = null,
-             nowMs: Long = System.currentTimeMillis()): String = synchronized {
+             nowMs: Long = System.currentTimeMillis()): String = {
     val p = partitionFor(key, numPartitions)
-    val id = nextId(dir, p, nowMs)
-    val node = mapper.createObjectNode()
-    node.put("id", id)
-    node.put("key", key)
-    if (eventType != null) node.put("event_type", eventType)
-    node.put("value", valueJson)
-    node.put("ts", nowMs)
+    appendBatch(dir, p, Iterator((key, eventType, valueJson)), nowMs).head
+  }
+
+  /** Batch append to ONE partition — the executor-side produce path
+    * (GraftLogConnector routes each log partition to exactly one task,
+    * so a distributed produce has a single writer per partition). Holds
+    * the partition lock ONCE for the whole batch, seals the torn tail
+    * once, and streams records through one buffered writer — per-record
+    * lock/open cost is what made the driver-collect produce the only
+    * option before. Returns the broker ids in append order.
+    *
+    * Id semantics: `"<ms>-<seq>"` per-process monotonic (the reference's
+    * in-process generator); one writer task per partition per job keeps
+    * ids monotonic WITHIN a produce. Offsets (line numbers) — not ids —
+    * are the ordering/consumption contract, as in LocalLog. */
+  def appendBatch(dir: String, p: Int,
+                  records: Iterator[(String, String, String)],
+                  nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    if (!records.hasNext) return Nil
+    val ids = Seq.newBuilder[String]
     withPartitionLock(dir, p) {
-      // resolve the generation INSIDE the lock — a cross-process trim
-      // cannot rename it away between resolution and write
-      val f = currentLog(dir, p)._2
+      // resolve the generation INSIDE the lock, by directory listing —
+      // never the cache: see freshLogForWrite for the crashed-trim case
+      val f = freshLogForWrite(dir, p)._2
       sealTornTail(f)
-      Files.write(f, (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
+      val w = Files.newBufferedWriter(f, StandardCharsets.UTF_8,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      try {
+        records.foreach { case (key, eventType, valueJson) =>
+          val id = nextId(dir, p, nowMs)
+          val node = mapper.createObjectNode()
+          node.put("id", id)
+          node.put("key", key)
+          if (eventType != null) node.put("event_type", eventType)
+          node.put("value", valueJson)
+          node.put("ts", nowMs)
+          w.write(mapper.writeValueAsString(node))
+          w.write("\n")
+          ids += id
+        }
+      } finally w.close()
     }
-    id
+    ids.result()
   }
 
   /** Torn-tail recovery (reference LocalLog CRC-scan + truncate,
@@ -162,7 +215,11 @@ object GraftLog {
   def baseOffset(dir: String, p: Int): Long = currentLog(dir, p)._1
 
   /** Current end offsets (base + line counts) per partition — the high
-    * watermark (pspf/log/interfaces.py high-watermark surface). */
+    * watermark (pspf/log/interfaces.py high-watermark surface).
+    * Resolve+count retries on NoSuchFileException like the partition
+    * reader does: a concurrent trim can rename the generation away
+    * between the cache hit and the open — re-resolving finds the new
+    * generation (the race window is the rename itself). */
   def latestOffsets(dir: String): Map[Int, Long] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return Map.empty
@@ -171,10 +228,25 @@ object GraftLog {
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p="))
         .map(_.getFileName.toString.stripPrefix("p=").toInt)
         .map { part =>
-          val (base, f) = currentLog(dir, part)
-          val n = if (Files.exists(f))
-            scala.util.Using.resource(Files.lines(f))(_.count()) else 0L
-          part -> (base + n)
+          var attempt = 0
+          var out = -1L
+          while (out < 0) {
+            val (base, f) = currentLog(dir, part)
+            try out = base + (if (Files.exists(f))
+              scala.util.Using.resource(Files.lines(f))(_.count()) else 0L)
+            catch {
+              case e: java.io.UncheckedIOException
+                if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+                logCache.remove((dir, part))
+                attempt += 1
+                if (attempt > 5) throw e
+              case e: java.nio.file.NoSuchFileException =>
+                logCache.remove((dir, part))
+                attempt += 1
+                if (attempt > 5) throw e
+            }
+          }
+          part -> out
         }.toMap
     }
   }
@@ -242,8 +314,16 @@ object GraftLog {
 
   /** Consumer lag vs a Spark checkpoint (reference XPENDING / XINFO
     * GROUPS lag, pspf/connectors/valkey.py:362-389): latest log offsets
-    * minus the checkpoint's last COMMITTED source offsets. */
+    * minus the checkpoint's last COMMITTED source offsets. Refuses
+    * multi-source checkpoints just like trimToCommitted — guessing the
+    * first parseable offsets line could silently diff ANOTHER source's
+    * offsets against this topic and report a nonsense lag. */
   def lag(dir: String, checkpointDir: String): Long = {
+    val lines = committedOffsetLines(checkpointDir)
+    if (lines.size > 1)
+      throw new IllegalArgumentException(
+        s"checkpoint $checkpointDir has ${lines.size} source offset entries — " +
+          "lag supports single-graftlog-source checkpoints only")
     val latest = latestOffsets(dir).values.sum
     val committed = committedOffsets(checkpointDir).values.sum
     latest - committed

@@ -40,6 +40,14 @@ final class GraftLogProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
+    // every graftlog topic has the fixed envelope schema — silently
+    // returning it for a DIFFERENT user-supplied schema would mask the
+    // mismatch until analysis-time column errors far from the cause
+    if (schema != null && schema != GraftLog.schema)
+      throw new IllegalArgumentException(
+        s"graftlog exposes the fixed envelope schema ${GraftLog.schema.simpleString}; " +
+          s"a custom read schema (${schema.simpleString}) is not supported — " +
+          "drop the .schema(...) call and select/cast from the envelope instead")
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graftlog requires a path (topic directory)"))
     new GraftLogTable(path)
@@ -122,15 +130,36 @@ final class GraftLogMicroBatchStream(path: String,
     val startC = start.asInstanceOf[GraftLogOffset].counts
     limit match {
       case rm: ReadMaxRows =>
-        var budget = rm.maxRows()
-        val capped = end.toSeq.sortBy(_._1).map { case (p, e) =>
-          // budget measures REAL records: clamp the start to the
-          // retention base so a trimmed prefix doesn't consume triggers
+        // budget measures REAL records: clamp each start to the
+        // retention base so a trimmed prefix doesn't consume triggers
+        val backlog = end.toSeq.sortBy(_._1).map { case (p, e) =>
           val s = math.max(startC.getOrElse(p, 0L), GraftLog.baseOffset(path, p))
-          val take = math.max(0L, math.min(e - s, budget))
-          budget -= take
-          p -> (s + take)
-        }.toMap
+          (p, s, math.max(0L, e - s))
+        }
+        val total = backlog.map(_._3).sum
+        val budget = rm.maxRows()
+        val capped =
+          if (total <= budget) backlog.map { case (p, s, b) => p -> (s + b) }.toMap
+          else {
+            // allocate PROPORTIONALLY to backlog (Kafka's
+            // maxOffsetsPerTrigger discipline) — filling partitions in
+            // ascending id order would let a sustained producer on low
+            // partitions starve high ones indefinitely. Largest-remainder
+            // rounding keeps the allocation deterministic and exactly
+            // budget-sized.
+            val floors = backlog.map { case (p, s, b) =>
+              val share = budget * b / total // floor; b, total, budget >= 0
+              (p, s, b, share, budget * b % total)
+            }
+            var left = budget - floors.map(_._4).sum
+            val bumped = floors.sortBy { case (p, _, _, _, rem) => (-rem, p) }
+              .map { case (p, s, b, share, _) =>
+                val bump = if (left > 0 && share < b) 1L else 0L
+                left -= bump
+                p -> (s + math.min(b, share + bump))
+              }
+            bumped.toMap
+          }
         GraftLogOffset(capped)
       case _ => GraftLogOffset(end)
     }

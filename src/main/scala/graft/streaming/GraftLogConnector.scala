@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * side topics, and lag introspection, with zero external processes.
   *
   * Reads are fully distributed (one task per log partition, DSv2).
-  * Produce is a client-side call like XADD — rows funnel through the
-  * producer (the reference's emit is a single asyncio client too,
-  * pspf/stream.py:221-264); high-volume produce belongs on a real
-  * broker (KafkaConnector), not this emulation.
+  * Produce is distributed too: rows shuffle to ONE writer task per log
+  * partition (identity partitioner on the reference's hash(key)%N
+  * routing), sorted by their source order so per-key append order is
+  * exactly the frame's order; each task batch-appends under the
+  * partition's cross-process lock. Nothing funnels through the driver —
+  * an error-storm DLQ leg no longer presses driver memory.
   */
 final class GraftLogConnector(root: String, numPartitions: Int = 4,
                               keyCol: String = "key") extends Connector {
@@ -54,35 +56,74 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
       (if (cols.contains("key")) col("key")
        else org.apache.spark.sql.functions.lit(null)).cast("string").as("key")
     if (valueIsString && extra.isEmpty) {
-      df.select(keyCol0, evtCol, col("value"))
-        .collect().foreach { r =>
-          GraftLog.append(path(topic), numPartitions, r.getString(0), r.getString(2), r.getString(1))
-        }
+      produce(df.select(keyCol0, evtCol, col("value")), topic)
     } else if (valueIsString && extra.forall(_.startsWith("_"))) {
       val sel = df.select(Seq(keyCol0, evtCol, col("value")) ++
         extra.map(c => col(c).cast("string").as(c)): _*)
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      sel.collect().foreach { r =>
-        val parsed = try mapper.readTree(r.getString(2)) catch { case _: Exception => null }
-        val obj =
-          if (parsed != null && parsed.isObject)
-            parsed.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          else { val o = mapper.createObjectNode(); o.put("value", r.getString(2)); o }
-        extra.zipWithIndex.foreach { case (c, i) =>
-          val v = r.getString(3 + i)
-          if (v != null) obj.put(c, v)
+      // fold the _-metadata into the payload JSON executor-side, then
+      // hand the pure (key, event_type, value) envelope to produce
+      val extraNames = extra
+      val outSchema = org.apache.spark.sql.types.StructType(sel.schema.fields.take(3))
+      val folded = sel.mapPartitions { it =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.map { r =>
+          val parsed = try mapper.readTree(r.getString(2)) catch { case _: Exception => null }
+          val obj =
+            if (parsed != null && parsed.isObject)
+              parsed.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            else { val o = mapper.createObjectNode(); o.put("value", r.getString(2)); o }
+          extraNames.zipWithIndex.foreach { case (c, i) =>
+            val v = r.getString(3 + i)
+            if (v != null) obj.put(c, v)
+          }
+          org.apache.spark.sql.Row(r.getString(0), r.getString(1), mapper.writeValueAsString(obj))
         }
-        GraftLog.append(path(topic), numPartitions, r.getString(0),
-          mapper.writeValueAsString(obj), r.getString(1))
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      produce(folded.toDF("key", "event_type", "value"), topic)
     } else {
       val key = if (cols.contains(keyCol)) col(keyCol).cast("string")
         else if (cols.contains("key")) col("key").cast("string")
         else org.apache.spark.sql.functions.lit("default_key") // reference fallback key (pspf/stream.py:400)
-      df.select(key.as("key"), evtCol,
-          to_json(struct(df.columns.map(col): _*)).as("value"))
-        .collect().foreach { r =>
-          GraftLog.append(path(topic), numPartitions, r.getString(0), r.getString(2), r.getString(1))
+      produce(df.select(key.as("key"), evtCol,
+        to_json(struct(df.columns.map(col): _*)).as("value")), topic)
+    }
+  }
+
+  /** Distributed produce of a (key, event_type, value) frame:
+    *  1. tag every row with monotonically_increasing_id — (source
+    *     partition << 33 | index), i.e. the frame's row order;
+    *  2. key by (log partition via the reference's hash(key)%N, tag) and
+    *     repartitionAndSortWithinPartitions with an IDENTITY partitioner
+    *     — every log partition lands in exactly one task, externally
+    *     sorted back into source order (spill-safe, never in-heap);
+    *  3. each task appends its whole slice under the partition's
+    *     cross-process lock in ONE locked batch (GraftLog.appendBatch).
+    * One writer per partition preserves per-key order (same key → same
+    * partition → same task, sorted) and dense offsets, with produce
+    * bandwidth scaling with partitions instead of driver memory. */
+  private def produce(sel: DataFrame, topic: String): Unit = {
+    val dir = path(topic)
+    val np = numPartitions
+    val tagged = sel
+      .select(col(sel.columns(0)).cast("string").as("key"),
+        col(sel.columns(1)).cast("string").as("event_type"),
+        col(sel.columns(2)).cast("string").as("value"))
+      .withColumn("_seq", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val keyed = tagged.rdd.map { r =>
+      val key = r.getString(0)
+      ((GraftLog.partitionFor(key, np), r.getLong(3)),
+        (key, r.getString(1), r.getString(2)))
+    }
+    val identity = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = np
+      override def getPartition(k: Any): Int = k.asInstanceOf[(Int, Long)]._1
+    }
+    keyed.repartitionAndSortWithinPartitions(identity).foreachPartition {
+      it: Iterator[((Int, Long), (String, String, String))] =>
+        if (it.hasNext) {
+          val buffered = it.buffered
+          val p = buffered.head._1._1
+          GraftLog.appendBatch(dir, p, buffered.map(_._2))
         }
     }
   }

@@ -39,6 +39,30 @@ class GraftLogSpec extends AnyFunSuite {
     assert(k0.toSeq == Seq("""{"n":0}""", """{"n":3}""", """{"n":6}""", """{"n":9}"""))
   }
 
+  test("distributed produce: one writer task per log partition keeps per-key order and dense offsets") {
+    val root = Files.createTempDirectory("graftlog_dist").toString
+    val conn = new GraftLogConnector(root, numPartitions = 4)
+    val n = 2000
+    val rows = (0 until n).map(i => (s"k${i % 7}", "tick", s"""{"n":$i}"""))
+    // 8 source partitions exercise the shuffle: several source slices
+    // feed each log partition, and the _seq sort must re-interleave
+    // them back into frame order
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("key", "event_type", "value")
+    conn.writeBatch(df, "bulk")
+    val got = conn.readBatch(spark, "bulk").collect()
+    assert(got.length == n)
+    got.groupBy(_.getAs[Int]("partition")).values.foreach { part =>
+      assert(part.map(_.getAs[Long]("offset")).sorted.toSeq == (0L until part.length).toSeq)
+    }
+    (0 until 7).foreach { k =>
+      val vals = got.filter(_.getAs[String]("key") == s"k$k")
+      assert(vals.map(_.getAs[Int]("partition")).distinct.length == 1)
+      val inOffsetOrder = vals.sortBy(_.getAs[Long]("offset")).map(_.getAs[String]("value")).toSeq
+      val inFrameOrder = (0 until n).filter(_ % 7 == k).map(i => s"""{"n":$i}""")
+      assert(inOffsetOrder == inFrameOrder)
+    }
+  }
+
   test("micro-batch stream resumes from checkpoint offsets; lag reflects unread records") {
     val root = Files.createTempDirectory("graftlog_s").toString
     val dir = s"$root/topic"
@@ -72,6 +96,53 @@ class GraftLogSpec extends AnyFunSuite {
     assert(seen.size == 15)
     assert(seen.toArray.distinct.length == 15)
     assert(GraftLog.lag(dir, ckpt) == 0L)
+  }
+
+  test("admission control allocates the trigger budget proportionally to backlog") {
+    val dir = Files.createTempDirectory("graftlog_adm").toString + "/topic"
+    def fill(p: Int, n: Int): Unit =
+      GraftLog.appendBatch(dir, p, (0 until n).iterator.map(i => (s"k$i", null, s"""{"n":$i}""")))
+    fill(0, 60); fill(1, 30); fill(2, 10)
+    val stream = new GraftLogMicroBatchStream(dir)
+    val end = stream.latestOffset(GraftLogOffset(Map.empty),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(50))
+      .asInstanceOf[GraftLogOffset].counts
+    // ascending-order filling would hand all 50 to partition 0 and
+    // starve 1/2 under a sustained producer; proportional = 30/15/5
+    assert(end == Map(0 -> 30L, 1 -> 15L, 2 -> 5L))
+    assert(end.values.sum == 50L)
+  }
+
+  test("a user-supplied read schema that differs from the envelope is rejected, not ignored") {
+    val dir = Files.createTempDirectory("graftlog_sch").toString + "/topic"
+    GraftLog.append(dir, 1, "k", """{"n":1}""")
+    val custom = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("whatever", org.apache.spark.sql.types.StringType)))
+    // Spark 4 rejects the user schema before getTable (no
+    // supportsExternalMetadata); the provider-level guard below is the
+    // same contract for direct DSv2 callers — both must throw, never
+    // silently serve the envelope schema under a different label
+    val e = intercept[Exception] {
+      spark.read.schema(custom).format("graftlog").load(dir).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("schema"))
+    val g = intercept[IllegalArgumentException] {
+      new GraftLogProvider().getTable(custom, Array.empty, new java.util.HashMap())
+    }
+    assert(g.getMessage.contains("fixed envelope schema"))
+  }
+
+  test("lag refuses multi-source checkpoints instead of guessing which offsets line is ours") {
+    val dir = Files.createTempDirectory("graftlog_lag").toString + "/topic"
+    GraftLog.append(dir, 1, "k", """{"n":1}""")
+    val ckpt = Files.createTempDirectory("graftlog_lag_ckpt").toString
+    Files.createDirectories(java.nio.file.Paths.get(ckpt, "commits"))
+    Files.createDirectories(java.nio.file.Paths.get(ckpt, "offsets"))
+    Files.write(java.nio.file.Paths.get(ckpt, "commits", "0"), "v1\n{}".getBytes)
+    Files.write(java.nio.file.Paths.get(ckpt, "offsets", "0"),
+      "v1\n{\"batchTimestampMs\":1}\n{\"0\":1}\n{\"0\":2}".getBytes)
+    val e = intercept[IllegalArgumentException](GraftLog.lag(dir, ckpt))
+    assert(e.getMessage.contains("source offset entries"))
   }
 
   test("torn-tail recovery: a partial append is sealed as a tombstone, later records read cleanly") {
