@@ -40,10 +40,52 @@ object Event {
   * schema keep a `_corrupt` flag for the caller to route to the DLQ leg
   * (see Reliability.scala).
   */
+/** Per-type evolution declarations (reference:
+  * docs/schema-evolution.md:30-57 — `AliasChoices` renames and
+  * `field_validator(mode='before')` coercions):
+  *  - `aliases`: canonical field → old wire names still accepted; the
+  *    first non-null among canonical-then-aliases wins (AliasChoices
+  *    order semantics).
+  *  - `coerced`: fields whose old wire TYPE differed (e.g. price sent
+  *    as "42.5" or 42): parsed leniently as string — Spark's JSON
+  *    string converter accepts any scalar token — then cast to the
+  *    canonical type, so old and new wire formats both validate. A
+  *    present-but-uncastable value flags `_corrupt` (the reference's
+  *    ValidationError → DLQ path). Pure numeric widening (int → float)
+  *    needs no declaration: Spark's JSON parser already accepts it.
+  */
+case class Evolution(
+    aliases: Map[String, Seq[String]] = Map.empty,
+    coerced: Set[String] = Set.empty)
+
 final class SchemaRegistry {
   private val byType = TrieMap.empty[String, StructType]
+  private val evolutions = TrieMap.empty[String, Evolution]
 
   def register(eventType: String, schema: StructType): Unit = byType.put(eventType, schema)
+
+  /** Declare rename aliases / type coercions for a registered type.
+    * Alias names must not collide with canonical fields (a payload
+    * carrying both would silently shadow one) and every referenced
+    * field must exist. */
+  def registerEvolution(eventType: String, evo: Evolution): Unit = {
+    val schema = byType.getOrElse(eventType,
+      throw new IllegalArgumentException(s"no schema registered for '$eventType'"))
+    val fields = schema.fieldNames.toSet
+    val badField = (evo.aliases.keySet ++ evo.coerced).filterNot(fields)
+    if (badField.nonEmpty)
+      throw new IllegalArgumentException(
+        s"evolution for '$eventType' references unknown fields: ${badField.mkString(", ")}")
+    val allAliases = evo.aliases.values.flatten.toSeq
+    val clash = allAliases.toSet.intersect(fields)
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"evolution aliases for '$eventType' collide with canonical fields: ${clash.mkString(", ")}")
+    if (allAliases.distinct.size != allAliases.size)
+      throw new IllegalArgumentException(
+        s"evolution for '$eventType' maps one alias to multiple fields")
+    evolutions.put(eventType, evo)
+  }
 
   /** Register-time evolution gate (reference: the registry's
     * compatibility-check hook, pspf/utils/schema_registry.py:18-34,
@@ -103,19 +145,62 @@ final class SchemaRegistry {
       // the JSON isn't parsed twice per row in the hot path.
       val crField = "_corrupt_record"
       val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> crField)
+      val evos = evolutions.readOnlySnapshot().toMap
       // index-keyed hidden names: sanitizing the type name could collide
       // ("order.created" vs "order_created" → same column, wrong schema)
       val hidden = types.zipWithIndex.map { case ((t, _), i) => t -> s"_parsed_$i" }.toMap
-      val withParsed = types.foldLeft(df) { case (d, (t, s)) =>
-        d.withColumn(hidden(t),
-          from_json(col("payload"), StructType(s.fields :+ StructField(crField, StringType)), opts))
+
+      // WIRE schema per type: coerced fields parse as string (Spark's
+      // JSON string converter accepts any scalar token, so every legacy
+      // wire type lands), alias fields ride alongside with the same
+      // wire type as their canonical field
+      def wireSchema(t: String, s: StructType): StructType = {
+        val evo = evos.getOrElse(t, Evolution())
+        def wireType(f: StructField) = if (evo.coerced(f.name)) StringType else f.dataType
+        val canon = s.fields.map(f => StructField(f.name, wireType(f), nullable = true))
+        val aliased = s.fields.flatMap { f =>
+          evo.aliases.getOrElse(f.name, Nil).map(a => StructField(a, wireType(f), nullable = true))
+        }
+        StructType(canon ++ aliased :+ StructField(crField, StringType))
       }
-      val corrupt = types.map { case (t, _) =>
+      // first-non-null of canonical-then-aliases (AliasChoices order)
+      def wireVal(t: String, h: Column, f: String): Column =
+        evos.get(t).flatMap(_.aliases.get(f)) match {
+          case Some(as) => coalesce(h.getField(f) +: as.map(h.getField): _*)
+          case None => h.getField(f)
+        }
+      // canonical struct: aliases folded in, coercions cast (try_cast:
+      // an uncastable legacy value must flag _corrupt, not throw under
+      // ANSI), alias/corrupt columns dropped
+      def rebuilt(t: String, s: StructType, h: Column): Column = {
+        val evo = evos.getOrElse(t, Evolution())
+        var c = h
+        s.fields.foreach { f =>
+          val wire = wireVal(t, h, f.name)
+          if (evo.coerced(f.name)) c = c.withField(f.name, wire.try_cast(f.dataType))
+          else if (evo.aliases.contains(f.name)) c = c.withField(f.name, wire)
+        }
+        val drop = evo.aliases.values.flatten.toSeq :+ crField
+        c.dropFields(drop: _*)
+      }
+      def corruptFor(t: String, s: StructType, h: Column): Column = {
+        val evo = evos.getOrElse(t, Evolution())
+        val coerceBad = s.fields.filter(f => evo.coerced(f.name)).map { f =>
+          val wire = wireVal(t, h, f.name)
+          wire.isNotNull && wire.try_cast(f.dataType).isNull
+        }
+        (h.getField(crField).isNotNull +: coerceBad).reduce(_ || _)
+      }
+
+      val withParsed = types.foldLeft(df) { case (d, (t, s)) =>
+        d.withColumn(hidden(t), from_json(col("payload"), wireSchema(t, s), opts))
+      }
+      val corrupt = types.map { case (t, s) =>
         col("event_type") === t && col("payload").isNotNull &&
-          col(hidden(t)).getField(crField).isNotNull
+          corruptFor(t, s, col(hidden(t)))
       }.reduce(_ || _)
-      val parsed = types.foldRight(lit(null).cast(StringType)) { case ((t, _), acc) =>
-        when(col("event_type") === t, to_json(col(hidden(t)).dropFields(crField))).otherwise(acc)
+      val parsed = types.foldRight(lit(null).cast(StringType)) { case ((t, s), acc) =>
+        when(col("event_type") === t, to_json(rebuilt(t, s, col(hidden(t))))).otherwise(acc)
       }
       types.foldLeft(
         withParsed.withColumn("parsed", parsed)

@@ -44,6 +44,78 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(!reg.compatible(v1, v4))
   }
 
+  test("alias rename: old and new wire names both parse into the canonical field") {
+    val reg = new SchemaRegistry
+    reg.register("signup", StructType(Seq(
+      StructField("user_id", StringType), StructField("plan", StringType))))
+    reg.registerEvolution("signup", Evolution(aliases = Map("user_id" -> Seq("uid"))))
+
+    val df = Seq(
+      ("signup", """{"user_id": "new1", "plan": "pro"}"""),
+      ("signup", """{"uid": "old1", "plan": "free"}"""),
+      ("signup", """{"user_id": "both", "uid": "loser", "plan": "pro"}""")
+    ).toDF("event_type", "payload")
+
+    val out = reg.parse(df).select("parsed", "_corrupt")
+      .as[(String, Boolean)].collect().toSet
+    assert(out == Set(
+      ("""{"user_id":"new1","plan":"pro"}""", false),
+      ("""{"user_id":"old1","plan":"free"}""", false),
+      // canonical name wins when both are present (AliasChoices order)
+      ("""{"user_id":"both","plan":"pro"}""", false)))
+  }
+
+  test("coercion: legacy wire types cast to the canonical type; uncastable flags corrupt") {
+    val reg = new SchemaRegistry
+    reg.register("order", StructType(Seq(
+      StructField("sku", StringType), StructField("price", DoubleType))))
+    reg.registerEvolution("order", Evolution(coerced = Set("price")))
+
+    val df = Seq(
+      ("order", """{"sku": "a", "price": 42.5}"""),   // new wire: double
+      ("order", """{"sku": "b", "price": 41}"""),     // legacy int
+      ("order", """{"sku": "c", "price": "40.25"}"""),// legacy stringified
+      ("order", """{"sku": "d", "price": "oops"}"""), // garbage → corrupt
+      ("order", """{"sku": "e"}""")                   // absent stays null, not corrupt
+    ).toDF("event_type", "payload")
+
+    val out = reg.parse(df).select("parsed", "_corrupt")
+      .as[(String, Boolean)].collect().toSet
+    assert(out == Set(
+      ("""{"sku":"a","price":42.5}""", false),
+      ("""{"sku":"b","price":41.0}""", false),
+      ("""{"sku":"c","price":40.25}""", false),
+      ("""{"sku":"d"}""", true),
+      ("""{"sku":"e"}""", false)))
+  }
+
+  test("rename + coercion compose: aliased legacy field coerces through the alias") {
+    val reg = new SchemaRegistry
+    reg.register("m", StructType(Seq(StructField("amount", DoubleType))))
+    reg.registerEvolution("m", Evolution(
+      aliases = Map("amount" -> Seq("amt")), coerced = Set("amount")))
+    val df = Seq(("m", """{"amt": "7.75"}""")).toDF("event_type", "payload")
+    val out = reg.parse(df).select("parsed", "_corrupt").as[(String, Boolean)].collect()
+    assert(out.toSeq == Seq(("""{"amount":7.75}""", false)))
+  }
+
+  test("evolution registration validates field references and alias collisions") {
+    val reg = new SchemaRegistry
+    reg.register("t", StructType(Seq(StructField("a", StringType), StructField("b", StringType))))
+    intercept[IllegalArgumentException] {
+      reg.registerEvolution("t", Evolution(aliases = Map("missing" -> Seq("x"))))
+    }
+    intercept[IllegalArgumentException] {
+      reg.registerEvolution("t", Evolution(aliases = Map("a" -> Seq("b")))) // collides with canonical
+    }
+    intercept[IllegalArgumentException] {
+      reg.registerEvolution("t", Evolution(aliases = Map("a" -> Seq("x"), "b" -> Seq("x"))))
+    }
+    intercept[IllegalArgumentException] {
+      reg.registerEvolution("unregistered", Evolution())
+    }
+  }
+
   test("registerChecked enforces the evolution policy at registration time") {
     val reg = new SchemaRegistry
     val v1 = StructType(Seq(StructField("a", LongType)))
