@@ -154,6 +154,18 @@ object LlmQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Multi-table LSH ANN — the recall-oriented variant as a VERIFIED
+    // query: 4 independent md5-salted plane sets (table 0 = exactly
+    // l20's planes), candidate union deduped before scoring. The
+    // recall knob every deployment turns (see DedupSimilaritySpec's
+    // recall floor), still bucket equi-joins only.
+    "l21_ann_lsh_multi" -> ((s, dir) => {
+      Similarity.lshTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, nPlanes = 6, k = 3, nTables = 4)
+        .filter(col("qid") < 20)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Multimodal binary metadata plumbing (payload byte length + hash).
     "l10_mm_binary" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -405,6 +417,32 @@ object LlmQueries {
         |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(a.n2 * b.n2), 6) AS cos
         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |rk AS (SELECT qid, cid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
+        |SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 3 AND qid < 20
+        |ORDER BY qid, rk""".stripMargin,
+    // Mirrors the multi-table lshTopK: per-table signatures over salted
+    // plane keys (t=0 the l20 formula, t>0 't<t>_<i>_<d>'), candidate
+    // pairs unioned across tables and deduped before scoring.
+    "l21_ann_lsh_multi" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |sig AS (SELECT vec_id, t,
+        |    array_to_string(list_transform(generate_series(0, 5), i ->
+        |      CASE WHEN round(list_sum(list_transform(generate_series(1, 64), d ->
+        |          CAST(embedding[d] AS DOUBLE) *
+        |          (CAST('0x' || substr(md5(CASE WHEN t = 0 THEN CONCAT(i, '_', d - 1)
+        |                                       ELSE CONCAT('t', t, '_', i, '_', d - 1) END), 1, 6) AS BIGINT)
+        |             / 16777216.0 - 0.5))), 6) >= 0
+        |        THEN '1' ELSE '0' END), '') AS sig
+        |  FROM e, UNNEST(generate_series(0, 3)) tt(t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |scored AS (SELECT c.qid, c.cid,
+        |    round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) AS cos
+        |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e x ON x.vec_id = c.cid),
         |rk AS (SELECT qid, cid, cos,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
         |SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 3 AND qid < 20
