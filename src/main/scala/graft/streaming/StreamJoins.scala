@@ -46,4 +46,53 @@ object StreamJoins {
     * reference — SURVEY §2.4): broadcast the static dim when small. */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming as-of join: every left row paired with the key's most
+    * recent right-side event time at-or-before it (j3's semantics; the
+    * batch query's window formulation needs a finite frame, so the
+    * streaming form carries ONE long per key — the latest right ts — in
+    * flatMapGroupsWithState, exactly the "per-key running state" shape
+    * the reference builds its Joiner state on, pspf/topology.py:49-102).
+    *
+    * Each micro-batch's group slice is sorted by (ts, right-before-left)
+    * before folding, so in-batch disorder is handled and a same-ts right
+    * event is visible to its left row (inclusive bound, ASOF contract).
+    * Across batches arrival order is trusted: a right event arriving in
+    * a LATER batch than a left event it should have matched cannot
+    * retro-emit — the horizon trade-off every streaming as-of makes
+    * (the batch formulation is the reconciliation run).
+    *
+    * `ts` may be a timestamp (converted to epoch micros) or an integral
+    * micros column. Output: (id, ts_us, asof_ts_us nullable). Runs
+    * identically on batch frames (GroupState backed by a plain agg). */
+  def asofStreaming(left: DataFrame, right: DataFrame,
+                    key: String, ts: String, id: String): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(df: DataFrame): Column = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(df(ts))
+      case _ => df(ts).cast("long")
+    }
+    val l = left.select(col(key).cast("string").as("k"), micros(left).as("t"),
+      lit(1).as("kind"), col(id).cast("long").as("id"))
+    val r = right.select(col(key).cast("string").as("k"), micros(right).as("t"),
+      lit(0).as("kind"), lit(null).cast("long").as("id"))
+    l.unionByName(r).as[(String, Long, Int, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(String, Long, Int, Option[Long])],
+         state: GroupState[Long]) =>
+          val rows = it.toArray.sortBy(x => (x._2, x._3))
+          var latest = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[(Long, Long, Option[Long])]
+          rows.foreach { case (_, t, kind, idOpt) =>
+            if (kind == 0) latest = math.max(latest, t)
+            else out += ((idOpt.get, t, if (latest == Long.MinValue) None else Some(latest)))
+          }
+          state.update(latest)
+          out.result().iterator
+      }
+      .toDF("id", "ts_us", "asof_ts_us")
+  }
 }

@@ -40,4 +40,70 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streaming == batch && batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("as-of join: streaming state result == batch window formulation on sf0.001 events") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        col("event_id").cast("long").as("event_id"))
+      .collect()
+    val clicks = e.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val purchases = e.filter(_.getString(2) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+
+    // batch ground truth: j3's union-tag window formulation at micros
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("user_id", "ts_us", "event_id")
+    val expected = StreamJoins.asofStreaming(
+        df(clicks.toSeq), df(purchases.toSeq), "user_id", "ts_us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // cross-check the batch run itself against an independent in-memory
+    // reference (per-key sorted fold) before using it as ground truth
+    val ref = {
+      val byUser = (clicks.map(c => (c._1, c._2, 1, c._3)) ++
+        purchases.map(p => (p._1, p._2, 0, p._3))).groupBy(_._1)
+      byUser.values.flatMap { rows =>
+        var latest = Option.empty[Long]
+        rows.sortBy(x => (x._2, x._3)).flatMap {
+          case (_, t, 0, _) => latest = Some(latest.fold(t)(math.max(t, _))); None
+          case (_, t, _, id) => Some((id, t, latest))
+        }
+      }.toSet
+    }
+    assert(expected == ref && expected.nonEmpty)
+
+    // streaming: feed both sides in three CHRONOLOGICAL chunks (arrival
+    // order = event order, the contract the operator documents)
+    val cuts = {
+      val all = (clicks ++ purchases).map(_._2).sorted
+      Seq(all((all.length * 1) / 3), all((all.length * 2) / 3))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val out = StreamJoins.asofStreaming(
+      lIn.toDF().toDF("user_id", "ts_us", "event_id"),
+      rIn.toDF().toDF("user_id", "ts_us", "event_id"),
+      "user_id", "ts_us", "event_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      def chunk(lo: Option[Long], hi: Option[Long]): Unit = {
+        def in(t: Long) = lo.forall(t >= _) && hi.forall(t < _)
+        lIn.addData(clicks.filter(c => in(c._2)).toSeq)
+        rIn.addData(purchases.filter(p => in(p._2)).toSeq)
+        q.processAllAvailable()
+      }
+      chunk(None, Some(cuts(0)))
+      chunk(Some(cuts(0)), Some(cuts(1)))
+      chunk(Some(cuts(1)), None)
+      val streaming = spark.table("asof_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(streaming == expected)
+    } finally q.stop()
+  }
 }
