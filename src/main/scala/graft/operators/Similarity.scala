@@ -202,19 +202,34 @@ object Similarity extends Serializable {
               nPlanes: Int, k: Int, nTables: Int = 1): DataFrame = {
     require(nTables >= 1, "lshTopK requires at least one signature table")
     val e = withNorm(df, vec)
-    val perTable = (0 until nTables).map { t =>
-      val sig = e.withColumn("sig", graft.functions.LshFunctions.lshSignature(col(vec), dim, nPlanes, t))
-      val a = sig.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na"), col("sig"))
-      val b = sig.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"), col("sig"))
-      a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
-    }
     val scored =
-      if (nTables == 1) perTable.head
-      // a pair can meet in several tables — keep one copy (cos is
-      // deterministic per pair, so dropDuplicates on the pair is exact)
-      else perTable.reduce(_.union(_)).dropDuplicates("qid", "cid")
+      if (nTables == 1) {
+        val sig = e.withColumn("sig", graft.functions.LshFunctions.lshSignature(col(vec), dim, nPlanes, 0))
+        val a = sig.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na"), col("sig"))
+        val b = sig.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"), col("sig"))
+        a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+      } else {
+        // all tables in ONE bucket join: posexplode the per-table
+        // signatures so (table, sig) is the bucket key — one shuffle
+        // for every table instead of nTables separate self-joins. A
+        // pair meeting in several tables is kept once (cos is
+        // deterministic per pair, so dropDuplicates on the pair is
+        // exact).
+        val sigs = array((0 until nTables).map(t =>
+          graft.functions.LshFunctions.lshSignature(col(vec), dim, nPlanes, t)): _*)
+        val sig = e.select(col(id), col(vec), col("nrm"),
+          posexplode(sigs).as(Seq("tbl", "sig")))
+        val a = sig.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na"),
+          col("tbl"), col("sig"))
+        val b = sig.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"),
+          col("tbl"), col("sig"))
+        a.join(b, Seq("tbl", "sig")).filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+          .dropDuplicates("qid", "cid")
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
