@@ -94,6 +94,31 @@ object Similarity extends Serializable {
       .filter(col("cos") > threshold)
   }
 
+  /** LSH-bucketed cosine pairs above `threshold` — the 100 TB form of
+    * `cosinePairs` (which needs one side broadcastable): candidates come
+    * from the multi-table (table, sig) bucket equi-join, scoring touches
+    * bucket-mates only, and the da<db inequality + threshold filter run
+    * inside the joined stage. Precision is exact (survivors are exactly
+    * scored); recall < 1 by construction, raised by nTables / lowered
+    * nPlanes — same knobs as lshTopK, pinned by the recall spec. */
+  def lshCosinePairs(df: DataFrame, id: String, vec: String, dim: Int,
+                     nPlanes: Int, nTables: Int, threshold: Double): DataFrame = {
+    val e = withNorm(df, vec)
+    val sigs = array((0 until nTables).map(t =>
+      graft.functions.LshFunctions.lshSignature(col(vec), dim, nPlanes, t)): _*)
+    val sig = e.select(col(id), col(vec), col("nrm"),
+      posexplode(sigs).as(Seq("tbl", "sig")))
+    val a = sig.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na"),
+      col("tbl"), col("sig"))
+    val b = sig.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb"),
+      col("tbl"), col("sig"))
+    val raw = dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+    a.join(b, Seq("tbl", "sig")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), round(raw, 6).as("cos"))
+      .filter(col("cos") > threshold)
+      .dropDuplicates("da", "db")
+  }
+
   /** Sequential double fold — bit-identical to FloatVecDot's loop. */
   private def dotOf(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)

