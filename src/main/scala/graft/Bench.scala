@@ -24,11 +24,19 @@ object Bench {
     // long-lived cluster. Falls back to the target dir's region table if
     // no sf0.001 sibling exists.
     val warm = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-    // SPARK_GRAFT_ONLY=q1_agg,l20_ann_lsh — subset for local iteration;
-    // unset (the driver's mode) runs the full suite + streaming probes
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_ONLY=q1_agg,stream_graftlog — subset for local
+    // iteration (streaming probes selectable by name); unset or blank
+    // (the driver's mode) runs the full suite + probes
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    only.foreach { sel =>
+      val known = SparkEntry.queries.keySet ++ Set("stream_window_agg", "stream_graftlog")
+      val unknown = sel.diff(known)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     if (warm.isDirectory)
       queries.foreach { case (name, fn) =>
         try fn(spark, warm.toString).write.format("noop").mode("overwrite").save()
@@ -59,10 +67,10 @@ object Bench {
       // first measurement: failed only when BOTH runs threw
       name -> (if (a < 0) timeOnce(name, fn)
                else { val b = timeOnce(name, fn); if (b < 0) a else math.min(a, b) })
-    } ++ (if (only.isEmpty)
-      Seq("stream_window_agg" -> streamingWindowAgg(spark, sfDir),
-        "stream_graftlog" -> streamingGraftLog(spark))
-    else Nil)
+    } ++ Seq(
+      "stream_window_agg" -> (() => streamingWindowAgg(spark, sfDir)),
+      "stream_graftlog" -> (() => streamingGraftLog(spark))
+    ).collect { case (n, f) if only.forall(_.contains(n)) => n -> f() }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum

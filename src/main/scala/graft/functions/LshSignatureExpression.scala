@@ -62,19 +62,37 @@ case class LshSignature(child: Expression, planes: Seq[Seq[Double]])
 
 object LshSignature {
   /** Shared by interpreted eval and generated code: one '0'/'1' byte per
-    * plane, sign-tested on the 6-d.p.-rounded sequential projection. */
+    * plane, sign-tested on the 6-d.p.-rounded sequential projection.
+    *
+    * Length/null contract matches the reference formulation exactly: a
+    * vector whose length differs from dim, or with a null element,
+    * yields a NULL projection there (zip_with pads the shorter side
+    * with nulls; null propagates through the fold), and `when(null >=
+    * 0)` falls to the '0' branch — so such rows emit all-'0' bits, not
+    * the sign of a silent prefix dot product. */
   def signatureBytes(v: ArrayData, planes: Array[Array[Double]]): Array[Byte] = {
     val out = new Array[Byte](planes.length)
+    var degenerate = false
+    if (planes.length > 0 && v.numElements() != planes(0).length) degenerate = true
+    else {
+      var d = 0
+      while (!degenerate && d < v.numElements()) {
+        if (v.isNullAt(d)) degenerate = true
+        d += 1
+      }
+    }
     var i = 0
     while (i < planes.length) {
-      val h = planes(i)
-      val n = math.min(v.numElements(), h.length)
-      var acc = 0.0
-      var d = 0
-      while (d < n) { acc += v.getFloat(d).toDouble * h(d); d += 1 }
-      val rounded = java.math.BigDecimal.valueOf(acc)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      out(i) = if (rounded >= 0) '1'.toByte else '0'.toByte
+      if (degenerate) out(i) = '0'.toByte
+      else {
+        val h = planes(i)
+        var acc = 0.0
+        var d = 0
+        while (d < h.length) { acc += v.getFloat(d).toDouble * h(d); d += 1 }
+        val rounded = java.math.BigDecimal.valueOf(acc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = if (rounded >= 0) '1'.toByte else '0'.toByte
+      }
       i += 1
     }
     out

@@ -101,7 +101,7 @@ object AnalyticQueries {
     // sides from a single fact scan, then the multiset identities
     // |A∖B| = max(ca−cb, 0) and |A∩B| = min(ca, cb) — the operator-level
     // exceptAll/intersectAll chain (4 wide shuffles through Spark's
-    // replicate-rows rewrite) is retained in AnalyticQueriesSpec as the
+    // replicate-rows rewrite) is retained in QueryEquivalenceSpec as the
     // executable spec this plan must match.
     "a10_setops_all" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")

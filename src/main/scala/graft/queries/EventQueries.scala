@@ -153,8 +153,8 @@ object EventQueries {
     // |clicks| + |purchases| rows through a single shuffle, zero
     // expansion. The previous join+row_number formulation materialized
     // clicks × all-prior-purchases per user (quadratic in per-user
-    // activity: the 100× scale-up killer); EventQueriesSpec keeps it as
-    // the executable spec this plan must match. Purchases sort BEFORE
+    // activity: the 100× scale-up killer); QueryEquivalenceSpec keeps it
+    // as the executable spec this plan must match. Purchases sort BEFORE
     // clicks at the same ts (kind 0 < 1), making the bound inclusive
     // (p_ts <= c_ts), exactly the ASOF contract.
     "j3_asof_join" -> ((s, dir) => {

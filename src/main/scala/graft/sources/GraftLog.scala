@@ -140,7 +140,11 @@ object GraftLog {
     resolved
   }
 
-  /** XADD: append one record, returning its broker id. */
+  /** XADD: append one record, returning its broker id. Per-record cost
+    * now includes a (tiny, 2–3 entry) directory listing inside the lock
+    * — the price of the crashed-trim safety freshLogForWrite buys; bulk
+    * producers should call appendBatch (or produce through
+    * GraftLogConnector), which amortizes lock/seal/listing per batch. */
   def append(dir: String, numPartitions: Int, key: String,
              valueJson: String, eventType: String = null,
              nowMs: Long = System.currentTimeMillis()): String = {
@@ -162,30 +166,44 @@ object GraftLog {
     * are the ordering/consumption contract, as in LocalLog. */
   def appendBatch(dir: String, p: Int,
                   records: Iterator[(String, String, String)],
-                  nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+                  nowMs: Long = System.currentTimeMillis(),
+                  onceMarker: Option[String] = None): Seq[String] = {
     if (!records.hasNext) return Nil
     val ids = Seq.newBuilder[String]
     withPartitionLock(dir, p) {
-      // resolve the generation INSIDE the lock, by directory listing —
-      // never the cache: see freshLogForWrite for the crashed-trim case
-      val f = freshLogForWrite(dir, p)._2
-      sealTornTail(f)
-      val w = Files.newBufferedWriter(f, StandardCharsets.UTF_8,
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      try {
-        records.foreach { case (key, eventType, valueJson) =>
-          val id = nextId(dir, p, nowMs)
-          val node = mapper.createObjectNode()
-          node.put("id", id)
-          node.put("key", key)
-          if (eventType != null) node.put("event_type", eventType)
-          node.put("value", valueJson)
-          node.put("ts", nowMs)
-          w.write(mapper.writeValueAsString(node))
-          w.write("\n")
-          ids += id
+      // task-retry / speculative-execution guard: the marker is checked
+      // and created INSIDE the partition lock, so a retried or twin
+      // task whose predecessor completed the append skips it entirely
+      // (exactly-once under retry-after-completion; a crash DURING the
+      // append still duplicates the torn prefix on retry — the same
+      // narrow at-least-once window as writeBatchIdempotent documents)
+      val marker = onceMarker.map(m => Paths.get(dir, "_markers", m))
+      if (!marker.exists(Files.exists(_))) {
+        // resolve the generation INSIDE the lock, by directory listing —
+        // never the cache: see freshLogForWrite for the crashed-trim case
+        val f = freshLogForWrite(dir, p)._2
+        sealTornTail(f)
+        val w = Files.newBufferedWriter(f, StandardCharsets.UTF_8,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        try {
+          records.foreach { case (key, eventType, valueJson) =>
+            val id = nextId(dir, p, nowMs)
+            val node = mapper.createObjectNode()
+            node.put("id", id)
+            node.put("key", key)
+            if (eventType != null) node.put("event_type", eventType)
+            node.put("value", valueJson)
+            node.put("ts", nowMs)
+            w.write(mapper.writeValueAsString(node))
+            w.write("\n")
+            ids += id
+          }
+        } finally w.close()
+        marker.foreach { m =>
+          Files.createDirectories(m.getParent)
+          Files.write(m, Array.emptyByteArray)
         }
-      } finally w.close()
+      }
     }
     ids.result()
   }

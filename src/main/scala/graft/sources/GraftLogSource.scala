@@ -148,8 +148,11 @@ final class GraftLogMicroBatchStream(path: String,
             // rounding keeps the allocation deterministic and exactly
             // budget-sized.
             val floors = backlog.map { case (p, s, b) =>
-              val share = budget * b / total // floor; b, total, budget >= 0
-              (p, s, b, share, budget * b % total)
+              // BigInt: budget × backlog can exceed Long (4e9 budget ×
+              // 5e9 backlog) and a wrapped-negative share would move
+              // the capped offset BELOW the committed start
+              val prod = BigInt(budget) * b
+              (p, s, b, (prod / total).toLong, (prod % total).toLong)
             }
             var left = budget - floors.map(_._4).sum
             val bumped = floors.sortBy { case (p, _, _, _, rem) => (-rem, p) }

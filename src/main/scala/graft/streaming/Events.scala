@@ -77,10 +77,13 @@ final class SchemaRegistry {
       throw new IllegalArgumentException(
         s"evolution for '$eventType' references unknown fields: ${badField.mkString(", ")}")
     val allAliases = evo.aliases.values.flatten.toSeq
-    val clash = allAliases.toSet.intersect(fields)
+    // the corrupt-record column parse() appends to every wire schema is
+    // reserved too — an alias named after it would duplicate the field
+    // in from_json's schema, failing far from this registration
+    val clash = allAliases.toSet.intersect(fields + "_corrupt_record")
     if (clash.nonEmpty)
       throw new IllegalArgumentException(
-        s"evolution aliases for '$eventType' collide with canonical fields: ${clash.mkString(", ")}")
+        s"evolution aliases for '$eventType' collide with canonical/reserved fields: ${clash.mkString(", ")}")
     if (allAliases.distinct.size != allAliases.size)
       throw new IllegalArgumentException(
         s"evolution for '$eventType' maps one alias to multiple fields")

@@ -97,13 +97,19 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
     *     — every log partition lands in exactly one task, externally
     *     sorted back into source order (spill-safe, never in-heap);
     *  3. each task appends its whole slice under the partition's
-    *     cross-process lock in ONE locked batch (GraftLog.appendBatch).
+    *     cross-process lock in ONE locked batch (GraftLog.appendBatch),
+    *     guarded by a per-(produce, partition) marker checked/created
+    *     inside the same lock — a Spark task RETRY or speculative twin
+    *     whose predecessor completed skips the append instead of
+    *     duplicating the slice. (A crash mid-append still duplicates
+    *     the torn prefix on retry: the writeBatchIdempotent window.)
     * One writer per partition preserves per-key order (same key → same
     * partition → same task, sorted) and dense offsets, with produce
     * bandwidth scaling with partitions instead of driver memory. */
   private def produce(sel: DataFrame, topic: String): Unit = {
     val dir = path(topic)
     val np = numPartitions
+    val token = java.util.UUID.randomUUID().toString
     val tagged = sel
       .select(col(sel.columns(0)).cast("string").as("key"),
         col(sel.columns(1)).cast("string").as("event_type"),
@@ -123,7 +129,8 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
         if (it.hasNext) {
           val buffered = it.buffered
           val p = buffered.head._1._1
-          GraftLog.appendBatch(dir, p, buffered.map(_._2))
+          GraftLog.appendBatch(dir, p, buffered.map(_._2),
+            onceMarker = Some(s"produce-$token-p$p"))
         }
     }
   }

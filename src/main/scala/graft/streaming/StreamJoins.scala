@@ -74,10 +74,17 @@ object StreamJoins {
       case org.apache.spark.sql.types.TimestampType => unix_micros(df(ts))
       case _ => df(ts).cast("long")
     }
+    // null hygiene (the tuple encoder's Long fields are non-nullable and
+    // the fold dereferences id): left rows need key/ts/id, right rows
+    // need key/ts — null-key right rows are dropped rather than grouped,
+    // so a null-key left row emits None like the equi-join it mirrors
+    // (null never equals null in a join)
     val l = left.select(col(key).cast("string").as("k"), micros(left).as("t"),
       lit(1).as("kind"), col(id).cast("long").as("id"))
+      .filter(col("t").isNotNull && col("id").isNotNull)
     val r = right.select(col(key).cast("string").as("k"), micros(right).as("t"),
       lit(0).as("kind"), lit(null).cast("long").as("id"))
+      .filter(col("t").isNotNull && col("k").isNotNull)
     l.unionByName(r).as[(String, Long, Int, Option[Long])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -98,6 +98,20 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.lag(dir, ckpt) == 0L)
   }
 
+  test("appendBatch onceMarker: a retried/speculative writer task appends its slice exactly once") {
+    val dir = Files.createTempDirectory("graftlog_once").toString + "/topic"
+    val recs = (0 until 5).map(i => (s"k$i", "tick", s"""{"n":$i}"""))
+    val first = GraftLog.appendBatch(dir, 0, recs.iterator, onceMarker = Some("produce-tok-p0"))
+    assert(first.size == 5)
+    // task retry / speculative twin: same marker → skip, no duplicates
+    val retry = GraftLog.appendBatch(dir, 0, recs.iterator, onceMarker = Some("produce-tok-p0"))
+    assert(retry.isEmpty)
+    assert(GraftLog.latestOffsets(dir) == Map(0 -> 5L))
+    // a NEW produce (fresh token) appends normally
+    assert(GraftLog.appendBatch(dir, 0, recs.iterator, onceMarker = Some("produce-tok2-p0")).size == 5)
+    assert(GraftLog.latestOffsets(dir) == Map(0 -> 10L))
+  }
+
   test("admission control allocates the trigger budget proportionally to backlog") {
     val dir = Files.createTempDirectory("graftlog_adm").toString + "/topic"
     def fill(p: Int, n: Int): Unit =

@@ -114,6 +114,9 @@ class SchemaRegistrySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       reg.registerEvolution("unregistered", Evolution())
     }
+    intercept[IllegalArgumentException] { // reserved corrupt-record column
+      reg.registerEvolution("t", Evolution(aliases = Map("a" -> Seq("_corrupt_record"))))
+    }
   }
 
   test("registerChecked enforces the evolution policy at registration time") {
