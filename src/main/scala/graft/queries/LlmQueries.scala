@@ -100,6 +100,19 @@ object LlmQueries {
         .orderBy(col("split"))
     }),
 
+    // Deterministic stratified sampling: downsample the over-represented
+    // language (en → 30%), keep the rest — membership is a pure function
+    // of (salt, doc_id), so any engine/parallelism/rerun keeps the same
+    // rows (df.sample() keeps different ones per layout).
+    "l23_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(
+          Tables.load(s, dir, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.3), salt = "curate42")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // Polynomial rolling-hash fingerprints (incremental-update capable).
     "l14_rolling_hash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -357,6 +370,12 @@ object LlmQueries {
         |            ELSE 'test' END AS split,
         |  COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l23_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5('curate42|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0 < CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "l14_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(
