@@ -133,23 +133,89 @@ object Similarity extends Serializable {
   private def roundHalfUp6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Deterministic Lloyd k-means over an embedding column — the real
+    * coarse quantizer for IVF (ivfTopK's default prefix-of-ids init is
+    * the reproducibility baseline; this trains actual centroids).
+    *
+    * Engine-determinism at every step:
+    *  - init: the `k` lowest-id vectors (no RNG);
+    *  - assignment: cosines rounded to 6 d.p. before the argmax (ties →
+    *    lower centroid index), so a ~1e-15 summation-order difference
+    *    can never flip an assignment;
+    *  - update: per-dimension sums in DECIMAL (exact, associative —
+    *    layout-independent under any partial-agg order), mean divided
+    *    driver-side. The per-iteration collect is k × dim decimal sums
+    *    (bounded, ~KBs), never the corpus.
+    * Each iteration is one posexplode + groupBy(centroid, dim) shuffle
+    * over |corpus| × dim rows — the same shape at any scale.
+    *
+    * Returns the trained centroids (k × dim floats). */
+  def kmeans(df: DataFrame, id: String, vec: String, k: Int, iters: Int): Array[Array[Float]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decSum = org.apache.spark.sql.types.DecimalType(38, 28)
+    val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+    var cents: Array[Array[Float]] =
+      ds.sort(ds.columns.head).limit(k).collect().map(_._2)
+    require(cents.nonEmpty, "kmeans requires a non-empty corpus")
+    var it = 0
+    while (it < iters) {
+      val assignment = nearestCentroidCol(col(vec), cents)
+      val sums = df.select(assignment.as("c"),
+          posexplode(col(vec)).as(Seq("d", "x")))
+        .groupBy(col("c"), col("d"))
+        .agg(sum(col("x").cast(decSum)).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Int, java.math.BigDecimal, Long)]
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_._1).foreach { case (c, dims) =>
+        dims.foreach { case (_, d, s, n) =>
+          next(c)(d) = s.divide(java.math.BigDecimal.valueOf(n),
+            java.math.MathContext.DECIMAL64).floatValue()
+        }
+      } // clusters with no members keep their previous centroid
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid index of a vector column against literal centroids
+    * (codegen'd: one FloatVecDot per centroid, 6-d.p.-rounded cosines,
+    * argmax with lower-index tie-break via lexicographic struct min). */
+  private def nearestCentroidCol(vec: Column, cents: Array[Array[Float]]): Column = {
+    val vn = sqrt(norm2(vec))
+    val scored = cents.zipWithIndex.map { case (cv, i) =>
+      val cl = typedLit(cv)
+      val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct((-round(dot(vec, cl) / (vn * lit(cn)), 6)).as("neg"), lit(i).as("ci"))
+    }
+    array_min(array(scored: _*)).getField("ci")
+  }
+
   /** IVF-style ANN: coarse quantizer + inverted lists.
     *
     * Centroids are a deterministic subset (the `nCentroids` lowest ids —
-    * a real deployment would k-means; determinism matters more here for
-    * reproducibility). Every vector is assigned to its nearest centroid
+    * the reproducibility baseline; pass `kmeansIters > 0` to train the
+    * quantizer with the deterministic Lloyd iterations above, same
+    * downstream plan). Every vector is assigned to its nearest centroid
     * (one broadcast argmax pass — no shuffle); queries probe the
     * `nProbe` nearest centroid lists and score only those buckets via an
     * equi-join on the centroid id. Recall < 1 by construction; raise
     * nProbe to trade compute for recall. This is the second scale path
     * next to lshTopK: probe cost ~ nProbe/nCentroids of the corpus. */
   def ivfTopK(df: DataFrame, id: String, vec: String,
-              nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+              nCentroids: Int, nProbe: Int, k: Int,
+              kmeansIters: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
-    val cents = ds.sort(ds.columns.head).limit(nCentroids).collect()
-      .map { case (i, v) => (i, v, math.sqrt(normOf(v))) }
+    val cents =
+      if (kmeansIters > 0)
+        kmeans(df, id, vec, nCentroids, kmeansIters).zipWithIndex
+          .map { case (v, i) => (i.toLong, v, math.sqrt(normOf(v))) }
+      else ds.sort(ds.columns.head).limit(nCentroids).collect()
+        .map { case (i, v) => (i, v, math.sqrt(normOf(v))) }
     require(cents.nonEmpty, "ivfTopK requires a non-empty corpus")
     val bc = spark.sparkContext.broadcast(cents)
 

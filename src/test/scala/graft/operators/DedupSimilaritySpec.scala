@@ -143,6 +143,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshRecall >= 0.8, s"multi-table lsh recall@3 = $lshRecall")
   }
 
+  test("kmeans quantizer: layout-invariant centroids, recall at least matches the prefix init") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.kmeans(e, "vec_id", "embedding", k = 16, iters = 3)
+    val c2 = Similarity.kmeans(e.repartition(13), "vec_id", "embedding", k = 16, iters = 3)
+    // decimal-sum updates + rounded assignments: same centroids bit for
+    // bit under any input layout (double-sum means would drift)
+    assert(c1.length == 16 && c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+
+    val brute = Similarity.cosineTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    def recallOf(iters: Int): Double = {
+      val got = Similarity.ivfTopK(e, "vec_id", "embedding",
+          nCentroids = 16, nProbe = 4, k = 3, kmeansIters = iters)
+        .filter(col("qid") < 20)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val prefix = recallOf(0)
+    val trained = recallOf(3)
+    info(s"ivf recall@3: prefix-init=$prefix kmeans-3=$trained")
+    assert(trained >= 0.8 && trained >= prefix - 0.05)
+  }
+
   test("lsh cosine pairs: exact precision (subset of brute-force pairs) with measured recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
