@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: concatenate documents into
+  * fixed-token-budget training sequences (the step between a deduped
+  * corpus and a dataloader — unpacked short docs waste context length
+  * as padding).
+  *
+  * Scale + determinism design: a greedy reset-on-overflow scan is
+  * inherently sequential, so the corpus is first bucketed by
+  * md5(doc_id) range into `nBuckets` independent streams — each bucket
+  * packs in parallel (bucket count is the parallelism knob at 100 TB)
+  * and membership is a pure hash function, so packing is identical on
+  * any engine, layout, or rerun. Within a bucket, docs pack in doc-id
+  * order via one sorted stateful fold (flatMapGroups — a stateful scan
+  * is genuinely non-relational, the same per-group escape hatch as the
+  * reference's stateful operators). Oversized docs (> budget) get a
+  * sequence of their own, like every packing implementation.
+  *
+  * Output: one row per doc with its (bucket, seq_id, seq_pos) — the
+  * dataloader key. Token counts use TextFunctions.tokenCount (same
+  * whitespace contract the l1 oracle verifies).
+  */
+object Packing {
+
+  def packSequences(spark: SparkSession, docs: DataFrame, id: String, text: String,
+                    tokenBudget: Int, nBuckets: Int): DataFrame = {
+    require(tokenBudget > 0 && nBuckets > 0, "tokenBudget and nBuckets must be positive")
+    import spark.implicits._
+    val prepared = docs.select(
+      col(id).cast("long").as("doc_id"),
+      (conv(substring(md5(col(id).cast("string")), 1, 4), 16, 10) % nBuckets)
+        .cast("int").as("bucket"),
+      TextFunctions.tokenCount(col(text)).cast("long").as("n_tokens"))
+    prepared.as[(Long, Int, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (bucket, it) =>
+        // greedy reset-on-overflow in doc-id order: deterministic given
+        // the deterministic bucket membership
+        val sorted = it.toArray.sortBy(_._1)
+        var seq = 0L
+        var fill = 0L
+        var pos = 0
+        val out = Seq.newBuilder[(Long, Int, Long, Long, Int)]
+        sorted.foreach { case (docId, _, n) =>
+          if (fill > 0 && fill + n > tokenBudget) { seq += 1; fill = 0; pos = 0 }
+          out += ((docId, bucket, n, seq, pos))
+          fill += n
+          pos += 1
+        }
+        out.result().iterator
+      }
+      .toDF("doc_id", "bucket", "n_tokens", "seq_id", "seq_pos")
+  }
+}

@@ -113,6 +113,16 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // Sequence packing: documents concatenated into 256-token training
+    // sequences, greedy reset-on-overflow per md5-bucket (8 parallel
+    // streams — the dataloader-prep step of every LLM pipeline).
+    "l24_seq_packing" -> ((s, dir) => {
+      graft.operators.Packing.packSequences(s,
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          tokenBudget = 256, nBuckets = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Polynomial rolling-hash fingerprints (incremental-update capable).
     "l14_rolling_hash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -370,6 +380,30 @@ object LlmQueries {
         |            ELSE 'test' END AS split,
         |  COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mirrors Packing.packSequences: md5-range buckets, then the greedy
+    // reset-on-overflow fold replayed as a recursive CTE stepping one
+    // row per bucket per level.
+    "l24_seq_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8 AS INT) AS bucket,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, bucket, n_tokens,
+        |        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |      FROM d),
+        |rec AS (
+        |  SELECT doc_id, bucket, n_tokens, rn,
+        |         CAST(0 AS BIGINT) AS seq, n_tokens AS fill, 0 AS pos
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + o.n_tokens > 256 THEN rec.seq + 1 ELSE rec.seq END,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + o.n_tokens > 256 THEN o.n_tokens ELSE rec.fill + o.n_tokens END,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + o.n_tokens > 256 THEN 0 ELSE rec.pos + 1 END
+        |  FROM o JOIN rec ON o.bucket = rec.bucket AND o.rn = rec.rn + 1)
+        |SELECT doc_id, bucket, n_tokens, seq AS seq_id, CAST(pos AS INT) AS seq_pos
+        |FROM rec ORDER BY doc_id""".stripMargin,
     "l23_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM documents

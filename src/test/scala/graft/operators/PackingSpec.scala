@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val budget = 256
+
+  test("packing invariants: budget respected, positions contiguous, layout-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = Packing.packSequences(spark, docs, "doc_id", "text",
+      tokenBudget = budget, nBuckets = 8)
+    val rows = packed.as[(Long, Int, Long, Long, Int)].collect()
+    assert(rows.length == docs.count())
+
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((b, s), seqDocs) =>
+      val total = seqDocs.map(_._3).sum
+      // a sequence only exceeds the budget when it is a single oversized doc
+      assert(total <= budget || seqDocs.length == 1,
+        s"bucket $b seq $s holds $total tokens across ${seqDocs.length} docs")
+      // positions are 0..n-1 in doc-id order
+      val byPos = seqDocs.sortBy(_._5)
+      assert(byPos.map(_._5).toSeq == seqDocs.indices.toSeq)
+      assert(byPos.map(_._1).toSeq == seqDocs.map(_._1).sorted.toSeq)
+    }
+    // greedy: a doc opens a new sequence only because it would not fit
+    rows.groupBy(_._2).foreach { case (_, bucketDocs) =>
+      val inOrder = bucketDocs.sortBy(_._1)
+      inOrder.sliding(2).foreach {
+        case Array(prev, cur) if cur._4 == prev._4 + 1 && cur._5 == 0 =>
+          val prevSeqTotal = inOrder.filter(_._4 == prev._4).map(_._3).sum
+          assert(prevSeqTotal + cur._3 > budget)
+        case _ =>
+      }
+    }
+    // identical packing under a different input layout
+    val re = Packing.packSequences(spark, docs.repartition(13), "doc_id", "text",
+        tokenBudget = budget, nBuckets = 8)
+      .as[(Long, Int, Long, Long, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq == re.sortBy(_._1).toSeq)
+  }
+}
