@@ -26,6 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Context-window chunking — the inverse sibling of packSequences:
+    * documents LONGER than the window split into consecutive
+    * `chunkSize`-token chunks (last chunk ragged). Pure projection +
+    * explode over codegen'd built-ins: no shuffle, no state — scales as
+    * a map-only pass. Token-free docs yield one empty chunk (row
+    * preserved for lineage joins). */
+  def chunkTokens(docs: DataFrame, id: String, text: String, chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val nChunks = greatest(
+      ceil(size(col("toks")).cast("double") / chunkSize).cast("int"), lit(1))
+    docs.select(col(id), TextFunctions.tokens(col(text)).as("toks"))
+      .select(col(id), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(id), col("chunk_idx"),
+        array_join(slice(col("toks"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(size(col("toks")) - col("chunk_idx") * chunkSize, lit(chunkSize))
+          .as("n_tokens"))
+  }
+
   def packSequences(spark: SparkSession, docs: DataFrame, id: String, text: String,
                     tokenBudget: Int, nBuckets: Int): DataFrame = {
     require(tokenBudget > 0 && nBuckets > 0, "tokenBudget and nBuckets must be positive")

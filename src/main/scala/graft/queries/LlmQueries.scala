@@ -123,6 +123,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Context-window chunking: long documents split into 32-token
+    // chunks (map-only explode — no shuffle), the other half of the
+    // dataloader-prep pair with l24.
+    "l25_token_chunks" -> ((s, dir) => {
+      graft.operators.Packing.chunkTokens(
+          Tables.load(s, dir, "documents"), "doc_id", "text", chunkSize = 32)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Polynomial rolling-hash fingerprints (incremental-update capable).
     "l14_rolling_hash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -404,6 +413,15 @@ object LlmQueries {
         |  FROM o JOIN rec ON o.bucket = rec.bucket AND o.rn = rec.rn + 1)
         |SELECT doc_id, bucket, n_tokens, seq AS seq_id, CAST(pos AS INT) AS seq_pos
         |FROM rec ORDER BY doc_id""".stripMargin,
+    "l25_token_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, CAST(i AS INT) AS chunk_idx
+        |      FROM d, UNNEST(generate_series(0,
+        |        GREATEST(CAST(ceil(len(ws) / 32.0) AS INT), 1) - 1)) t(i))
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
+        |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "l23_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM documents

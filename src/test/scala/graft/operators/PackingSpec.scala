@@ -9,6 +9,24 @@ class PackingSpec extends AnyFunSuite {
 
   private val budget = 256
 
+  test("chunking is lossless: chunks reassemble to the original token stream") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = Packing.chunkTokens(docs, "doc_id", "text", chunkSize = 32)
+      .as[(Long, Int, String, Int)].collect()
+    val original = docs.selectExpr("doc_id",
+        "array_join(regexp_extract_all(text, '\\\\S+', 0), ' ') as t")
+      .as[(Long, String)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == cs.indices.toSeq) // dense chunk ids
+      // every chunk is full except the last; reassembly is exact
+      ordered.init.foreach(c => assert(c._4 == 32))
+      assert(ordered.last._4 > 0 && ordered.last._4 <= 32)
+      assert(ordered.map(_._3).mkString(" ") == original(id))
+      assert(ordered.map(_._4).sum == original(id).split(" ").length)
+    }
+  }
+
   test("packing invariants: budget respected, positions contiguous, layout-invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val packed = Packing.packSequences(spark, docs, "doc_id", "text",
