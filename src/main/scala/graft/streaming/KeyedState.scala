@@ -70,4 +70,26 @@ object KeyedState {
             (k, next)
           }
       }
+
+  /** The reference fold callback promoted to a FIRST-CLASS typed
+    * aggregate (SURVEY §2.6: fold aggregations → `Aggregator[IN,BUF,
+    * OUT]` registered with `udaf`). The difference from the
+    * mapGroupsWithState folds above is `merge`: declaring how two
+    * partial states combine unlocks map-side partial aggregation — the
+    * shuffle carries one buffer per (partition, key) instead of every
+    * row, the form that scales — and makes the fold usable inside
+    * `groupBy().agg(...)`, SQL (via `spark.udf.register(name,
+    * udaf(...))`), and windowed aggregations alike. Folds WITHOUT an
+    * associative merge (order-sensitive state machines) stay on
+    * mapGroupsWithState, which is sequential per key by contract. */
+  def foldAggregator[V, S](zeroState: S)(fold: (S, V) => S)(combine: (S, S) => S)(
+      implicit sEnc: Encoder[S]): org.apache.spark.sql.expressions.Aggregator[V, S, S] =
+    new org.apache.spark.sql.expressions.Aggregator[V, S, S] {
+      override def zero: S = zeroState
+      override def reduce(b: S, a: V): S = fold(b, a)
+      override def merge(b1: S, b2: S): S = combine(b1, b2)
+      override def finish(reduction: S): S = reduction
+      override def bufferEncoder: Encoder[S] = sEnc
+      override def outputEncoder: Encoder[S] = sEnc
+    }
 }

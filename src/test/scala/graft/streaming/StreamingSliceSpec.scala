@@ -110,6 +110,35 @@ class StreamingSliceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foldAggregator: the fold callback as a first-class aggregate in Dataset agg and SQL") {
+    import org.apache.spark.sql.functions._
+    // (count, sum) stats fold with an associative merge → map-side
+    // partial aggregation, unlike the sequential mapGroupsWithState form
+    val stats = KeyedState.foldAggregator((0L, 0.0))(
+      (s: (Long, Double), v: Double) => (s._1 + 1, s._2 + v))(
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long").as("k"), col("value").cast("double").as("v"))
+
+    // typed Dataset aggregation path
+    val typed = events.as[(Long, Double)].groupByKey(_._1).mapValues(_._2)
+      .agg(stats.toColumn.name("st"))
+      .collect().map { case (k, (n: Long, s: Double)) => (k, n, math.round(s * 100)) }.toSet
+    // SQL path via udaf registration (the §2.6 registration surface)
+    spark.udf.register("fold_stats", udaf(stats))
+    events.createOrReplaceTempView("fold_events")
+    val viaSql = spark.sql(
+        "SELECT k, fold_stats(v) AS st FROM fold_events GROUP BY k")
+      .collect().map { r =>
+        val st = r.getStruct(1); (r.getLong(0), st.getLong(0), math.round(st.getDouble(1) * 100))
+      }.toSet
+    // ground truth from built-ins
+    val builtin = events.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(typed == builtin && viaSql == builtin && builtin.nonEmpty)
+  }
+
   test("windowed arbitrary fold: reference fixture via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double, Double)] // key, amount, sec
