@@ -279,6 +279,7 @@ object GraftLog {
     * cleanup delete is ignored (highest base wins) and removed by the
     * next trim. Single-writer like the producer. */
   def trim(dir: String, upTo: Map[Int, Long]): Unit = synchronized {
+    sweepMarkers(dir)
     upTo.foreach { case (p, target) =>
       withPartitionLock(dir, p) {
         logCache.remove((dir, p))
@@ -312,6 +313,23 @@ object GraftLog {
         }
       }
     }
+  }
+
+  /** Idempotency markers (produce retry guards + writeBatchIdempotent
+    * batch guards) are only consulted within their own produce/replay
+    * window; retention sweeps ones older than this so `_markers/` stays
+    * bounded, piggybacking on trim like the log cleanup itself. */
+  private[sources] val markerRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  private def sweepMarkers(dir: String, nowMs: Long = System.currentTimeMillis()): Unit = {
+    val mdir = Paths.get(dir, "_markers")
+    if (Files.isDirectory(mdir))
+      scala.util.Using.resource(Files.list(mdir)) { ls =>
+        ls.iterator().asScala.foreach { f =>
+          val age = nowMs - Files.getLastModifiedTime(f).toMillis
+          if (age > markerRetentionMs) Files.deleteIfExists(f)
+        }
+      }
   }
 
   /** Trim everything every consumer of `checkpointDir` has committed —

@@ -112,6 +112,22 @@ class GraftLogSpec extends AnyFunSuite {
     assert(GraftLog.latestOffsets(dir) == Map(0 -> 10L))
   }
 
+  test("retention trim sweeps idempotency markers past their window, keeps recent ones") {
+    val dir = Files.createTempDirectory("graftlog_sweep").toString + "/topic"
+    GraftLog.appendBatch(dir, 0,
+      Iterator(("k", null, """{"n":1}""")), onceMarker = Some("produce-old-p0"))
+    GraftLog.appendBatch(dir, 0,
+      Iterator(("k", null, """{"n":2}""")), onceMarker = Some("produce-new-p0"))
+    val old = java.nio.file.Paths.get(dir, "_markers", "produce-old-p0")
+    java.nio.file.Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - GraftLog.markerRetentionMs - 1000))
+    GraftLog.trim(dir, Map(0 -> 0L)) // no lines dropped; housekeeping runs
+    assert(!java.nio.file.Files.exists(old))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_markers", "produce-new-p0")))
+  }
+
   test("admission control allocates the trigger budget proportionally to backlog") {
     val dir = Files.createTempDirectory("graftlog_adm").toString + "/topic"
     def fill(p: Int, n: Int): Unit =
