@@ -35,6 +35,32 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,!?;:]"))
 
+  /** Cleaning / PII-redaction family: codegen'd regexp_replace
+    * compositions in the Java∩RE2 regex subset (no lookaround), so a
+    * DuckDB oracle applies the identical patterns. Standard curation
+    * steps between raw crawl text and quality scoring. */
+  val urlPattern = "https?://\\S+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URLs replaced with a space (a URL glues phrases; deleting it
+    * outright would fuse its neighbors into one fake token). */
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, lit(urlPattern), lit(" "))
+
+  /** Email addresses → a stable placeholder (redaction preserves
+    * sentence shape for downstream token statistics). */
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, lit(emailPattern), lit("<EMAIL>"))
+
+  /** Whitespace runs collapsed to single spaces, ends trimmed. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, lit("\\s+"), lit(" ")))
+
+  /** The standard composition: strip URLs → redact emails → normalize
+    * whitespace. Idempotent (clean(clean(x)) == clean(x)). */
+  def cleanText(text: Column): Column =
+    normalizeWhitespace(redactEmails(stripUrls(text)))
+
   /** Count of tokens that are exactly one of `words`. Tokens are
     * \S+ runs, so token boundaries are "not adjacent to non-whitespace"
     * ((?<!\S) / (?!\S)) — exactly equivalent to extracting all \S+

@@ -132,6 +132,20 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Text cleaning / PII redaction: URL stripping, email redaction,
+    // whitespace normalization — hash-verified per doc so the Spark and
+    // DuckDB regex engines must agree byte-for-byte on the cleaned text.
+    "l26_text_clean" -> ((s, dir) => {
+      val cleaned = TextFunctions.cleanText(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(TextFunctions.urlPattern)).cast("int").as("n_urls"),
+          regexp_count(col("text"), lit(TextFunctions.emailPattern)).cast("int").as("n_emails"),
+          length(cleaned).cast("int").as("n_chars_clean"),
+          md5(cleaned).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Polynomial rolling-hash fingerprints (incremental-update capable).
     "l14_rolling_hash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -422,6 +436,19 @@ object LlmQueries {
         |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
         |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "l26_text_clean" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://\S+', ' ', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\s+', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(length(cleaned) AS INT) AS n_chars_clean,
+        |  md5(cleaned) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "l23_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_doc
         |FROM documents

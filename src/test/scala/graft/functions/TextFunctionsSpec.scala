@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextFunctionsSpec extends AnyFunSuite {
+
+  test("cleaning family: urls stripped, emails redacted, whitespace normalized, idempotent") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val raw = Seq(
+      "see https://example.com/x?q=1 for details",
+      "mail bob.smith+tag@example.co.uk   now",
+      "  spaced\t\tout\n\nlines  ",
+      "no changes here.")
+    val got = raw.toDF("t")
+      .select(TextFunctions.cleanText(col("t")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "see for details",
+      "mail <EMAIL> now",
+      "spaced out lines",
+      "no changes here."))
+    // idempotence: cleaning cleaned text is a no-op
+    val twice = got.toDF("t")
+      .select(TextFunctions.cleanText(col("t")).as("c")).as[String].collect().toSeq
+    assert(twice == got)
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
