@@ -146,6 +146,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition ratio (Gopher-style quality filter): the fraction of
+    // 2-gram occurrences that are repeats of an earlier 2-gram in the
+    // same doc — boilerplate and degenerate generations score high.
+    // Shuffle on (doc, shingle) like the dedup family; counts are a
+    // two-phase aggregate.
+    "l27_repetition" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("ws"), 2)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_2grams"),
+          countDistinct(col("s")).as("n_distinct"))
+        .select(col("doc_id"), col("n_2grams"), col("n_distinct"),
+          // raw IEEE division of exact ints: bit-identical across
+          // engines (rounding would reintroduce HALF_UP/HALF_EVEN skew)
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_2grams"))
+            .as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Polynomial rolling-hash fingerprints (incremental-update capable).
     "l14_rolling_hash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -436,6 +458,14 @@ object LlmQueries {
         |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
         |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "l27_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-1, 0))) t(i)
+        |       WHERE len(ws) >= 2)
+        |SELECT doc_id, COUNT(*) AS n_2grams, COUNT(DISTINCT s) AS n_distinct,
+        |  1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS rep_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l26_text_clean" ->
       """WITH c AS (SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(regexp_replace(text,
