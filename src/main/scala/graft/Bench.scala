@@ -32,9 +32,13 @@ object Bench {
       .filter(_.nonEmpty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // single source of truth for probe names — the validation below and
+    // the run loop share this Seq, so adding a probe can't drift them
+    val probes: Seq[(String, () => Double)] = Seq(
+      "stream_window_agg" -> (() => streamingWindowAgg(spark, sfDir)),
+      "stream_graftlog" -> (() => streamingGraftLog(spark)))
     only.foreach { sel =>
-      val known = SparkEntry.queries.keySet ++ Set("stream_window_agg", "stream_graftlog")
-      val unknown = sel.diff(known)
+      val unknown = sel.diff(SparkEntry.queries.keySet ++ probes.map(_._1))
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
     if (warm.isDirectory)
@@ -67,10 +71,7 @@ object Bench {
       // first measurement: failed only when BOTH runs threw
       name -> (if (a < 0) timeOnce(name, fn)
                else { val b = timeOnce(name, fn); if (b < 0) a else math.min(a, b) })
-    } ++ Seq(
-      "stream_window_agg" -> (() => streamingWindowAgg(spark, sfDir)),
-      "stream_graftlog" -> (() => streamingGraftLog(spark))
-    ).collect { case (n, f) if only.forall(_.contains(n)) => n -> f() }
+    } ++ probes.collect { case (n, f) if only.forall(_.contains(n)) => n -> f() }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum

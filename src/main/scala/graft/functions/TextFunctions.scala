@@ -36,10 +36,16 @@ object TextFunctions {
     regexp_count(text, lit("[.,!?;:]"))
 
   /** Cleaning / PII-redaction family: codegen'd regexp_replace
-    * compositions in the Java∩RE2 regex subset (no lookaround), so a
-    * DuckDB oracle applies the identical patterns. Standard curation
-    * steps between raw crawl text and quality scoring. */
-  val urlPattern = "https?://\\S+"
+    * compositions in the Java∩RE2 regex subset (no lookaround). The
+    * hash-verified l26 contract is BYTE-exact cross-engine, so the
+    * patterns avoid `\s`/`\S` entirely: Java's `\s` includes vertical
+    * tab (\x0B), RE2's does not — one \x0B in a document would clean
+    * differently per engine. Explicit character classes pin the exact
+    * same set in both. Standard curation steps between raw crawl text
+    * and quality scoring. */
+  private val wsClass = "[ \\t\\n\\x0B\\f\\r]"
+  private val nonWsClass = "[^ \\t\\n\\x0B\\f\\r]"
+  val urlPattern = s"https?://$nonWsClass+"
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** URLs replaced with a space (a URL glues phrases; deleting it
@@ -52,9 +58,10 @@ object TextFunctions {
   def redactEmails(text: Column): Column =
     regexp_replace(text, lit(emailPattern), lit("<EMAIL>"))
 
-  /** Whitespace runs collapsed to single spaces, ends trimmed. */
+  /** Whitespace runs collapsed to single spaces, ends trimmed (trim
+    * removes spaces only — by then every whitespace run IS a space). */
   def normalizeWhitespace(text: Column): Column =
-    trim(regexp_replace(text, lit("\\s+"), lit(" ")))
+    trim(regexp_replace(text, lit(wsClass + "+"), lit(" ")))
 
   /** The standard composition: strip URLs → redact emails → normalize
     * whitespace. Idempotent (clean(clean(x)) == clean(x)). */

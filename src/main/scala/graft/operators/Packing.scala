@@ -36,7 +36,10 @@ object Packing {
     require(chunkSize > 0, "chunkSize must be positive")
     val nChunks = greatest(
       ceil(size(col("toks")).cast("double") / chunkSize).cast("int"), lit(1))
-    docs.select(col(id), TextFunctions.tokens(col(text)).as("toks"))
+    // null text ≡ token-free text (one empty chunk, n_tokens 0) — raw
+    // nulls would null-poison size()/least() into a phantom full chunk
+    docs.select(col(id),
+        coalesce(TextFunctions.tokens(col(text)), array().cast("array<string>")).as("toks"))
       .select(col(id), col("toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
       .select(col(id), col("chunk_idx"),
@@ -50,11 +53,14 @@ object Packing {
                     tokenBudget: Int, nBuckets: Int): DataFrame = {
     require(tokenBudget > 0 && nBuckets > 0, "tokenBudget and nBuckets must be positive")
     import spark.implicits._
-    val prepared = docs.select(
+    // null hygiene for crawl-shaped data: a null text packs as a
+    // 0-token doc (row preserved for lineage); a null id cannot be
+    // packed deterministically (no bucket, no order) and is dropped
+    val prepared = docs.filter(col(id).isNotNull).select(
       col(id).cast("long").as("doc_id"),
       (conv(substring(md5(col(id).cast("string")), 1, 4), 16, 10) % nBuckets)
         .cast("int").as("bucket"),
-      TextFunctions.tokenCount(col(text)).cast("long").as("n_tokens"))
+      coalesce(TextFunctions.tokenCount(col(text)), lit(0)).cast("long").as("n_tokens"))
     prepared.as[(Long, Int, Long)]
       .groupByKey(_._2)
       .flatMapGroups { (bucket, it) =>

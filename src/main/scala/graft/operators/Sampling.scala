@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0,1) hash of (salt, id) — the sampling coin. */
+  /** Uniform [0,1) hash of (salt, id) — the sampling coin. A null id
+    * hashes over the empty string rather than null-poisoning the
+    * filter: `filter(null < rate)` would silently drop null-id rows
+    * even at rate 1.0, which is data loss, not sampling. All null-id
+    * rows share one coin (they are indistinguishable to a
+    * deterministic sampler by construction). */
   def unitHash(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 8), 16, 10)
+    conv(substring(md5(concat(lit(salt + "|"), coalesce(id.cast("string"), lit("")))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
   /** Keep rows with probability `rate`, deterministically. */

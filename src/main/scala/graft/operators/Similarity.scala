@@ -153,7 +153,12 @@ object Similarity extends Serializable {
   def kmeans(df: DataFrame, id: String, vec: String, k: Int, iters: Int): Array[Array[Float]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val decSum = org.apache.spark.sql.types.DecimalType(38, 28)
+    // scale 20 leaves 18 integer digits of headroom (|sum| < 1e18) —
+    // scale 28's 10 digits could overflow-to-null on huge clusters of
+    // large-magnitude embeddings; 20 decimal places still dominate
+    // float's ~9 significant digits, so means stay exact-enough AND
+    // layout-independent (the property that matters)
+    val decSum = org.apache.spark.sql.types.DecimalType(38, 20)
     val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
     var cents: Array[Array[Float]] =
       ds.sort(ds.columns.head).limit(k).collect().map(_._2)
@@ -170,8 +175,11 @@ object Similarity extends Serializable {
       val next = cents.map(_.clone())
       sums.groupBy(_._1).foreach { case (c, dims) =>
         dims.foreach { case (_, d, s, n) =>
-          next(c)(d) = s.divide(java.math.BigDecimal.valueOf(n),
-            java.math.MathContext.DECIMAL64).floatValue()
+          // s is null only on decimal overflow (non-ANSI mode) — keep
+          // the previous component rather than NPE mid-iteration
+          if (s != null)
+            next(c)(d) = s.divide(java.math.BigDecimal.valueOf(n),
+              java.math.MathContext.DECIMAL64).floatValue()
         }
       } // clusters with no members keep their previous centroid
       cents = next
@@ -225,7 +233,13 @@ object Similarity extends Serializable {
       // lower centroid id): raw doubles would let a ~1e-15 summation-
       // order difference flip an assignment between engines, making the
       // whole query unverifiable — same discipline as the output cosine
-      bc.value.map { case (ci, cv, cn) => (ci, roundHalfUp6(dotOf(v, cv) / (nv * cn))) }
+      // zero-norm vectors (padding/missing-embedding sentinels) define
+      // cosine 0 to every centroid — raw NaN would throw in the
+      // BigDecimal rounding and kill the job on one degenerate row
+      bc.value.map { case (ci, cv, cn) =>
+        val cos = if (nv == 0.0 || cn == 0.0) 0.0 else roundHalfUp6(dotOf(v, cv) / (nv * cn))
+        (ci, cos)
+      }
         .sortBy { case (ci, cos) => (-cos, ci) }.take(n).map(_._1).toSeq
     }
 

@@ -466,15 +466,17 @@ object LlmQueries {
         |SELECT doc_id, COUNT(*) AS n_2grams, COUNT(DISTINCT s) AS n_distinct,
         |  1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS rep_ratio
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // explicit whitespace classes (not \s/\S): Java includes \x0B in
+    // \s, RE2 does not — the classes pin the identical byte set
     "l26_text_clean" ->
       """WITH c AS (SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(regexp_replace(text,
-        |      'https?://\S+', ' ', 'g'),
+        |      'https?://[^ \t\n\x0B\f\r]+', ' ', 'g'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\s+', ' ', 'g')) AS cleaned
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS cleaned
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS INT) AS n_urls,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |  CAST(length(cleaned) AS INT) AS n_chars_clean,
         |  md5(cleaned) AS clean_md5

@@ -326,8 +326,13 @@ object GraftLog {
     if (Files.isDirectory(mdir))
       scala.util.Using.resource(Files.list(mdir)) { ls =>
         ls.iterator().asScala.foreach { f =>
-          val age = nowMs - Files.getLastModifiedTime(f).toMillis
-          if (age > markerRetentionMs) Files.deleteIfExists(f)
+          // a concurrent trim (Ctl runs in its own JVM) may delete the
+          // file between the listing and the mtime read — losing that
+          // race must not abort THIS trim before it touched a partition
+          try {
+            val age = nowMs - Files.getLastModifiedTime(f).toMillis
+            if (age > markerRetentionMs) Files.deleteIfExists(f)
+          } catch { case _: java.nio.file.NoSuchFileException => }
         }
       }
   }

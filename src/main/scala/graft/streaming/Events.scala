@@ -62,7 +62,18 @@ final class SchemaRegistry {
   private val byType = TrieMap.empty[String, StructType]
   private val evolutions = TrieMap.empty[String, Evolution]
 
-  def register(eventType: String, schema: StructType): Unit = byType.put(eventType, schema)
+  // parse() appends its corrupt-record column to every wire schema; a
+  // canonical field with that name would duplicate it inside from_json
+  // far from the registration
+  private def checkReserved(eventType: String, schema: StructType): Unit =
+    if (schema.fieldNames.contains("_corrupt_record"))
+      throw new IllegalArgumentException(
+        s"schema for '$eventType' uses the reserved field name _corrupt_record")
+
+  def register(eventType: String, schema: StructType): Unit = {
+    checkReserved(eventType, schema)
+    byType.put(eventType, schema)
+  }
 
   /** Declare rename aliases / type coercions for a registered type.
     * Alias names must not collide with canonical fields (a payload
@@ -97,6 +108,7 @@ final class SchemaRegistry {
     * type's schema requires the new one to be additively compatible,
     * else the registration throws and the old schema stays. */
   def registerChecked(eventType: String, schema: StructType): Unit = {
+    checkReserved(eventType, schema)
     // CAS loop: check-then-put on the concurrent map would let two
     // racing registrations each validate against the SAME old schema
     // and both win — the replace/putIfAbsent retry validates against

@@ -27,6 +27,11 @@ class TextFunctionsSpec extends AnyFunSuite {
     val twice = got.toDF("t")
       .select(TextFunctions.cleanText(col("t")).as("c")).as[String].collect().toSeq
     assert(twice == got)
+    // vertical tab (): in Java's \s but NOT RE2's — the explicit
+    // classes must treat it as whitespace so both engines agree
+    val vt = Seq("ab").toDF("t")
+      .select(TextFunctions.cleanText(col("t")).as("c")).as[String].collect()
+    assert(vt.toSeq == Seq("a b"))
   }
   private lazy val spark = TestSpark.spark
   import spark.implicits._

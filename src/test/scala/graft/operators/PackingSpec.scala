@@ -27,6 +27,19 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("null hygiene: null text packs/chunks as token-free; null id rows are dropped from packing") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a b c"), (2L, null), (null, "x y"))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(spark, df, "doc_id", "text", 256, 2)
+      .as[(Long, Int, Long, Long, Int)].collect()
+    assert(packed.map(_._1).toSet == Set(1L, 2L)) // null id dropped
+    assert(packed.find(_._1 == 2L).get._3 == 0L)  // null text → 0 tokens
+    val chunks = Packing.chunkTokens(df.filter($"doc_id".isNotNull), "doc_id", "text", 4)
+      .as[(Long, Int, String, Int)].collect()
+    val nullDoc = chunks.filter(_._1 == 2L)
+    assert(nullDoc.length == 1 && nullDoc.head._3 == "" && nullDoc.head._4 == 0)
+  }
+
   test("packing invariants: budget respected, positions contiguous, layout-invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val packed = Packing.packSequences(spark, docs, "doc_id", "text",

@@ -42,4 +42,11 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 1.5), "s")
     }
   }
+
+  test("null ids are sampled on a shared coin, never silently dropped at rate 1.0") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (null, "c"))
+      .toDF("doc_id", "v")
+    assert(Sampling.sample(df, "doc_id", 1.0, "s").count() == 3)
+    assert(Sampling.sample(df, "doc_id", 0.0, "s").count() == 0)
+  }
 }

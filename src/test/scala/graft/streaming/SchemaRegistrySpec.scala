@@ -117,6 +117,10 @@ class SchemaRegistrySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // reserved corrupt-record column
       reg.registerEvolution("t", Evolution(aliases = Map("a" -> Seq("_corrupt_record"))))
     }
+    // the reserved name is rejected at BOTH registration doors too
+    val reserved = StructType(Seq(StructField("_corrupt_record", StringType)))
+    intercept[IllegalArgumentException] { reg.register("r1", reserved) }
+    intercept[IllegalArgumentException] { reg.registerChecked("r2", reserved) }
   }
 
   test("registerChecked enforces the evolution policy at registration time") {

@@ -88,22 +88,32 @@ class StreamBatchParitySpec extends AnyFunSuite {
       lIn.toDF().toDF("user_id", "ts_us", "event_id"),
       rIn.toDF().toDF("user_id", "ts_us", "event_id"),
       "user_id", "ts_us", "event_id")
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName("asof_out").start()
-    try {
-      def chunk(lo: Option[Long], hi: Option[Long]): Unit = {
-        def in(t: Long) = lo.forall(t >= _) && hi.forall(t < _)
-        lIn.addData(clicks.filter(c => in(c._2)).toSeq)
-        rIn.addData(purchases.filter(p => in(p._2)).toSeq)
-        q.processAllAvailable()
-      }
-      chunk(None, Some(cuts(0)))
-      chunk(Some(cuts(0)), Some(cuts(1)))
-      chunk(Some(cuts(1)), None)
-      val streaming = spark.table("asof_out").collect()
-        .map(r => (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
-      assert(streaming == expected)
-    } finally q.stop()
+    // one AvailableNow pass per chunk over a SHARED checkpoint: both
+    // sides' chunk data are fully added before the query starts, so a
+    // trigger can never catch clicks without their same-chunk purchases
+    // (a continuously-running query could fire between the two addData
+    // calls and emit premature Nones — observed flake), and each
+    // restart proves the per-key state survives via the checkpoint
+    val ckpt = java.nio.file.Files.createTempDirectory("asof_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Option[Long])]()
+    def chunk(lo: Option[Long], hi: Option[Long]): Unit = {
+      def in(t: Long) = lo.forall(t >= _) && hi.forall(t < _)
+      lIn.addData(clicks.filter(c => in(c._2)).toSeq)
+      rIn.addData(purchases.filter(p => in(p._2)).toSeq)
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    chunk(None, Some(cuts(0)))
+    chunk(Some(cuts(0)), Some(cuts(1)))
+    chunk(Some(cuts(1)), None)
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == expected)
   }
 }
