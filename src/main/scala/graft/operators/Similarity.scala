@@ -119,6 +119,37 @@ object Similarity extends Serializable {
       .dropDuplicates("da", "db")
   }
 
+  /** Element-wise L2 normalization of an Array[Float] column (unit
+    * vectors make cosine a plain dot product — normalize once at
+    * ingest, save the per-pair sqrt at query time). Zero-norm vectors
+    * pass through unchanged (no NaN poisoning downstream). */
+  def l2Normalize(vec: Column): Column = {
+    val nrm = sqrt(norm2(vec))
+    when(nrm === 0.0, vec).otherwise(
+      transform(vec, x => (x.cast("double") / nrm).cast("float")))
+  }
+
+  /** Per-group mean embedding (pooling — e.g. chunk embeddings → one
+    * document vector, or per-label prototypes). Per-dimension sums run
+    * in DECIMAL (exact, associative), so the pooled vectors are
+    * IDENTICAL under any partitioning/layout — a double sum would
+    * drift with partial-agg order, making pooled corpora
+    * non-reproducible across cluster layouts. One posexplode +
+    * groupBy(group, dim) shuffle, |groups| × dim aggregate rows out. */
+  def meanPool(df: DataFrame, group: String, vec: String): DataFrame = {
+    val decSum = org.apache.spark.sql.types.DecimalType(38, 20)
+    df.select(col(group).as("grp"), posexplode(col(vec)).as(Seq("d", "x")))
+      .groupBy(col("grp"), col("d"))
+      .agg(sum(col("x").cast(decSum)).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("d"),
+            (col("s").cast("double") / col("n")).as("m")))),
+          e => e.getField("m").cast("float")).as("centroid"),
+        max(col("n")).as("n_vecs"))
+  }
+
   /** Sequential double fold — bit-identical to FloatVecDot's loop. */
   private def dotOf(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)

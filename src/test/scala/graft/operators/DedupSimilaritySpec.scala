@@ -143,6 +143,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshRecall >= 0.8, s"multi-table lsh recall@3 = $lshRecall")
   }
 
+  test("l2Normalize yields unit vectors; zero vectors pass through unpoisoned") {
+    val e = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = e.select(col("vec_id"), Similarity.l2Normalize(col("embedding")).as("nv"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(got(1L).toSeq == Seq(0.6f, 0.8f))
+    assert(got(2L).toSeq == Seq(0.0f, 0.0f))
+  }
+
+  test("meanPool: layout-invariant pooled vectors matching a driver-side exact reference") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pool(df: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(df, "label", "embedding")
+        .as[(Long, Array[Float], Long)].collect()
+        .map(r => r._1 -> ((r._2.toSeq, r._3))).toMap
+    val a = pool(e)
+    val b = pool(e.repartition(17))
+    assert(a == b && a.nonEmpty) // decimal sums: identical under any layout
+    // exact reference: BigDecimal accumulation per (label, dim) on the driver
+    val rows = e.select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    rows.groupBy(_._1).foreach { case (label, vs) =>
+      val dim = vs.head._2.length
+      val expect = (0 until dim).map { d =>
+        val s = vs.map(v => java.math.BigDecimal.valueOf(v._2(d).toDouble))
+          .reduce(_.add(_))
+        (s.doubleValue() / vs.length).toFloat
+      }
+      assert(a(label)._1 == expect && a(label)._2 == vs.length)
+    }
+  }
+
   test("kmeans quantizer: layout-invariant centroids, recall at least matches the prefix init") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val c1 = Similarity.kmeans(e, "vec_id", "embedding", k = 16, iters = 3)
