@@ -229,7 +229,7 @@ object Similarity extends Serializable {
       val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       struct((-round(dot(vec, cl) / (vn * lit(cn)), 6)).as("neg"), lit(i).as("ci"))
     }
-    array_min(array(scored: _*)).getField("ci")
+    array_min(array(scored.toIndexedSeq: _*)).getField("ci")
   }
 
   /** IVF-style ANN: coarse quantizer + inverted lists.

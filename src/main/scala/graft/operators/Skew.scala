@@ -23,7 +23,7 @@ object Skew {
     * merge). Fully duplicate rows share a salt — residual skew only if
     * one exact row dominates, which salting can't fix anyway. */
   private def salt(df: DataFrame, n: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(n)) // pmod is non-negative even for negative hashes
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(n)) // pmod is non-negative even for negative hashes
 
   /** Two-phase salted sum/count aggregation over a skewed key. Result is
     * identical to a direct groupBy (decimal/long merges are associative);

@@ -152,7 +152,7 @@ final class KafkaConnector(bootstrap: String) extends Connector {
       col("timestamp").as("timestamp"))
 
   private[streaming] def wrap(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   override def readStream(spark: SparkSession, topic: String): DataFrame =
     unwrap(spark.readStream.format("kafka")

@@ -85,7 +85,7 @@ final class GraftLogConnector(root: String, numPartitions: Int = 4,
         else if (cols.contains("key")) col("key").cast("string")
         else org.apache.spark.sql.functions.lit("default_key") // reference fallback key (pspf/stream.py:400)
       produce(df.select(key.as("key"), evtCol,
-        to_json(struct(df.columns.map(col): _*)).as("value")), topic)
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value")), topic)
     }
   }
 

@@ -111,7 +111,7 @@ final class HttpSink(name: String, tokenDir: String, url: String,
       val sinkName = name; val sinkUrl = url; val tmo = timeoutMs
       fresh
         .select(col(idCol).cast("string").as("_id"),
-          to_json(struct(fresh.columns.map(col): _*)).as("_json"))
+          to_json(struct(fresh.columns.toIndexedSeq.map(col): _*)).as("_json"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val client = java.net.http.HttpClient.newBuilder()
             .connectTimeout(java.time.Duration.ofMillis(tmo)).build()

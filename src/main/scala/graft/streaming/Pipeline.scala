@@ -48,7 +48,7 @@ final class Pipeline private (private val df: DataFrame) {
 
   /** Typed escape hatch for genuine per-record logic. */
   def mapTyped[T: org.apache.spark.sql.Encoder, U: org.apache.spark.sql.Encoder](f: T => U): Pipeline =
-    new Pipeline(df.as[T].map(f).toDF)
+    new Pipeline(df.as[T].map(f).toDF())
 
   /** Event-time watermark (reference tracks max_event_ts - delay per
     * worker, pspf/stream.py:391-393; Spark's is global and persisted —
