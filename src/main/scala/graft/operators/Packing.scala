@@ -65,14 +65,18 @@ object Packing {
       .groupByKey(_._2)
       .flatMapGroups { (bucket, it) =>
         // greedy reset-on-overflow in doc-id order: deterministic given
-        // the deterministic bucket membership
+        // the deterministic bucket membership. The new-sequence guard is
+        // sequence-NON-EMPTY (pos > 0), not fill > 0: zero-token docs
+        // occupy a position without consuming budget, and an oversized
+        // doc following one must still take a sequence of its own
+        // (caught by the ScalaCheck packing property)
         val sorted = it.toArray.sortBy(_._1)
         var seq = 0L
         var fill = 0L
         var pos = 0
         val out = Seq.newBuilder[(Long, Int, Long, Long, Int)]
         sorted.foreach { case (docId, _, n) =>
-          if (fill > 0 && fill + n > tokenBudget) { seq += 1; fill = 0; pos = 0 }
+          if (pos > 0 && fill + n > tokenBudget) { seq += 1; fill = 0; pos = 0 }
           out += ((docId, bucket, n, seq, pos))
           fill += n
           pos += 1

@@ -442,10 +442,13 @@ object LlmQueries {
         |         CAST(0 AS BIGINT) AS seq, n_tokens AS fill, 0 AS pos
         |  FROM o WHERE rn = 1
         |  UNION ALL
+  -- every recursive row has a non-empty current sequence (its
+        |  -- predecessor is in it), so the new-sequence guard is just the
+        |  -- budget test — mirroring the fold's pos > 0 guard exactly
         |  SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
-        |    CASE WHEN rec.fill > 0 AND rec.fill + o.n_tokens > 256 THEN rec.seq + 1 ELSE rec.seq END,
-        |    CASE WHEN rec.fill > 0 AND rec.fill + o.n_tokens > 256 THEN o.n_tokens ELSE rec.fill + o.n_tokens END,
-        |    CASE WHEN rec.fill > 0 AND rec.fill + o.n_tokens > 256 THEN 0 ELSE rec.pos + 1 END
+        |    CASE WHEN rec.fill + o.n_tokens > 256 THEN rec.seq + 1 ELSE rec.seq END,
+        |    CASE WHEN rec.fill + o.n_tokens > 256 THEN o.n_tokens ELSE rec.fill + o.n_tokens END,
+        |    CASE WHEN rec.fill + o.n_tokens > 256 THEN 0 ELSE rec.pos + 1 END
         |  FROM o JOIN rec ON o.bucket = rec.bucket AND o.rn = rec.rn + 1)
         |SELECT doc_id, bucket, n_tokens, seq AS seq_id, CAST(pos AS INT) AS seq_pos
         |FROM rec ORDER BY doc_id""".stripMargin,

@@ -27,6 +27,28 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packing invariants hold over ScalaCheck-generated corpora and budgets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    (1 to 5).foreach { trial =>
+      val nDocs = 20 + trial * 30
+      val budget = Seq(16, 64, 256, 1000, 7)(trial - 1)
+      val words = Gen.listOfN(nDocs, Gen.chooseNum(0, 40))(
+        Gen.Parameters.default, Seed(trial.toLong)).get
+      val docs = words.zipWithIndex.map { case (w, i) =>
+        (i.toLong, Seq.fill(w)("tok").mkString(" "))
+      }.toDF("doc_id", "text")
+      val rows = Packing.packSequences(spark, docs, "doc_id", "text",
+          tokenBudget = budget, nBuckets = 4)
+        .as[(Long, Int, Long, Long, Int)].collect()
+      assert(rows.length == nDocs)
+      rows.groupBy(r => (r._2, r._4)).foreach { case (_, seqDocs) =>
+        assert(seqDocs.map(_._3).sum <= budget || seqDocs.length == 1)
+        assert(seqDocs.sortBy(_._5).map(_._5).toSeq == seqDocs.indices.toSeq)
+      }
+    }
+  }
+
   test("null hygiene: null text packs/chunks as token-free; null id rows are dropped from packing") {
     val df = Seq[(java.lang.Long, String)]((1L, "a b c"), (2L, null), (null, "x y"))
       .toDF("doc_id", "text")

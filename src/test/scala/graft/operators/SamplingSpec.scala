@@ -43,6 +43,18 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("samples nest: rate r1 <= r2 with the same salt implies subset membership") {
+    // the unit-hash coin is fixed per (salt, id), so growing the rate
+    // only ADDS rows — scaling a training subset up never churns the
+    // rows already selected (df.sample() re-draws everything)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r3 = Sampling.sample(docs, "doc_id", 0.3, "grow").select("doc_id").as[Long].collect().toSet
+    val r6 = Sampling.sample(docs, "doc_id", 0.6, "grow").select("doc_id").as[Long].collect().toSet
+    val r9 = Sampling.sample(docs, "doc_id", 0.9, "grow").select("doc_id").as[Long].collect().toSet
+    assert(r3.subsetOf(r6) && r6.subsetOf(r9))
+    assert(r3.size < r6.size && r6.size < r9.size)
+  }
+
   test("null ids are sampled on a shared coin, never silently dropped at rate 1.0") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (null, "c"))
       .toDF("doc_id", "v")
