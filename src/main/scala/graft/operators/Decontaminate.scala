@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training-data pipelines: flag training
+  * documents that share word n-grams with an evaluation/benchmark corpus
+  * (the standard guard against test-set leakage — long n-gram overlap is
+  * the published heuristic for "this training doc quotes the benchmark").
+  *
+  * Scale design: both sides shingle into distinct word n-grams and meet
+  * in an equi-join ON THE SHINGLE — never doc × doc. The eval side is
+  * tiny relative to a 100 TB train corpus (benchmarks are MBs), so its
+  * distinct-shingle set broadcasts and the whole check is one map-side
+  * join over the train shingles; with a huge eval side it degrades
+  * gracefully to a shuffle-on-shingle join. Per-doc stats come from one
+  * groupBy(doc) over the matched shingles. Hashing/shingling reuses the
+  * dedup family's primitives, so a DuckDB oracle reproduces every value.
+  */
+object Decontaminate {
+
+  /** Per-train-document overlap stats against `eval`:
+    * (id, n_sh, n_overlap, overlap_frac, contaminated). Documents with
+    * fewer than `n` tokens have no n-grams — they surface with
+    * n_sh = 0, overlap_frac = 0.0 (nothing to leak), not dropped.
+    * `contaminated` = overlap_frac >= flagFrac AND n_sh > 0. */
+  def overlapStats(train: DataFrame, eval: DataFrame, id: String, text: String,
+                   n: Int, flagFrac: Double): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    require(flagFrac > 0.0 && flagFrac <= 1.0, s"flagFrac must be in (0,1], got $flagFrac")
+    val trainSh = Dedup.shingleSet(train, id, text, n)
+    val evalSh = Dedup.shingleSet(eval, id, text, n)
+      .select(col("s")).distinct()
+    val cnt = trainSh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val hits = trainSh.join(evalSh, "s")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+    val frac = when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
+      .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"))
+    train.select(col(id))
+      .join(cnt, Seq(id), "left")
+      .join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        frac.as("overlap_frac"),
+        (frac >= flagFrac && coalesce(col("n_sh"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The filtering form: train rows whose benchmark overlap stays below
+    * `maxFrac` (what a pipeline actually writes out). Same join shape. */
+  def decontaminate(train: DataFrame, eval: DataFrame, id: String, text: String,
+                    n: Int, maxFrac: Double): DataFrame = {
+    val flagged = overlapStats(train, eval, id, text, n, maxFrac)
+      .filter(!col("contaminated"))
+      .select(col(id))
+    train.join(flagged, Seq(id), "left_semi")
+  }
+}

@@ -168,6 +168,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: train docs scored by shared word
+    // 3-grams with the eval slice (doc_id % 50 == 0 stands in for a
+    // held-out benchmark). The eval shingle set broadcasts at real
+    // scale; the check is one equi-join on the n-gram, never doc×doc.
+    "l28_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.overlapStats(
+          train = docs.filter(col("doc_id") % 50 =!= 0),
+          eval = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, flagFrac = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Polynomial rolling-hash fingerprints (incremental-update capable).
     "l14_rolling_hash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -461,6 +474,29 @@ object LlmQueries {
         |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
         |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "l28_decontaminate" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+        |td AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM train),
+        |tsh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |        FROM td, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |        WHERE len(ws) >= 3),
+        |ed AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM ev),
+        |esh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |        FROM ed, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |        WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY 1),
+        |hits AS (SELECT t.doc_id, COUNT(*) AS n_overlap FROM tsh t JOIN esh e ON t.s = e.s GROUP BY 1),
+        |frac AS (SELECT tr.doc_id,
+        |    COALESCE(cnt.n_sh, 0) AS n_sh,
+        |    COALESCE(hits.n_overlap, 0) AS n_overlap,
+        |    CASE WHEN COALESCE(cnt.n_sh, 0) = 0 THEN 0.0
+        |         ELSE CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / cnt.n_sh END AS overlap_frac
+        |  FROM train tr LEFT JOIN cnt ON cnt.doc_id = tr.doc_id
+        |  LEFT JOIN hits ON hits.doc_id = tr.doc_id)
+        |SELECT doc_id, n_sh, n_overlap, overlap_frac,
+        |  (overlap_frac >= 0.5 AND n_sh > 0) AS contaminated
+        |FROM frac ORDER BY doc_id""".stripMargin,
     "l27_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
         |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS s

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("overlap stats: exact fraction of shared n-grams, zero for disjoint docs") {
+    val eval = df((100L, "the quick brown fox jumps over the lazy dog"))
+    val train = df(
+      (1L, "the quick brown fox jumps somewhere else entirely today"), // shares a prefix
+      (2L, "completely different words with no common trigram here"),
+      (3L, "the quick brown fox jumps over the lazy dog")) // verbatim copy
+    val out = Decontaminate.overlapStats(train, eval, "doc_id", "text", n = 3, flagFrac = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // doc 1: 9 tokens → 7 distinct trigrams, 3 shared
+    // ("the quick brown","quick brown fox","brown fox jumps")
+    assert(out(0) == ((1L, 7L, 3L, 3.0 / 7, false)))
+    assert(out(1) == ((2L, 6L, 0L, 0.0, false)))
+    // doc 3 = the eval doc: 7 trigrams, all shared
+    assert(out(2) == ((3L, 7L, 7L, 1.0, true)))
+  }
+
+  test("short docs (fewer than n tokens) surface with n_sh = 0, never flagged") {
+    val eval = df((100L, "a b c d e"))
+    val train = df((1L, "a b"), (2L, "a b c"))
+    val out = Decontaminate.overlapStats(train, eval, "doc_id", "text", n = 3, flagFrac = 0.1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out(0) == ((1L, 0L, 0L, 0.0, false))) // no trigrams at all
+    assert(out(1) == ((2L, 1L, 1L, 1.0, true)))
+  }
+
+  test("decontaminate keeps exactly the below-threshold rows with original columns") {
+    val eval = df((100L, "the quick brown fox jumps over the lazy dog"))
+    val train = df(
+      (1L, "the quick brown fox jumps somewhere else entirely today"),
+      (3L, "the quick brown fox jumps over the lazy dog"))
+    val kept = Decontaminate.decontaminate(train, eval, "doc_id", "text", n = 3, maxFrac = 0.5)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("overlap is computed on DISTINCT n-grams: repeats in train don't inflate the count") {
+    val eval = df((100L, "x y z"))
+    val train = df((1L, "x y z x y z x y z")) // trigram "x y z" appears 3 times
+    val out = Decontaminate.overlapStats(train, eval, "doc_id", "text", n = 3, flagFrac = 0.9)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // 7 trigram positions but 7 distinct strings? positions: xyz yzx zxy xyz yzx zxy xyz → 3 distinct
+    assert(out(0)._2 == 3L) // n_sh counts distinct shingles
+    assert(out(0)._3 == 1L) // only "x y z" is shared
+  }
+}
