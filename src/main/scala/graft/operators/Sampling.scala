@@ -33,6 +33,40 @@ object Sampling {
     df.filter(unitHash(col(id), salt) < rate)
   }
 
+  /** Resample to a TARGET MIX (domain weighting — "make the corpus 40 %
+    * en / 15 % each of de-fr-es-zh"): per-stratum acceptance rates are
+    * derived from the actual counts so the kept corpus is as large as
+    * possible while matching `targets` in expectation (downsample-only —
+    * no row is duplicated). With scale = min_s(n_s / w_s), stratum s
+    * keeps rate_s = scale·w_s / n_s (the binding stratum keeps ~all
+    * rows). Strata not named in `targets` are dropped: a mix spec is
+    * exhaustive. Expected mix = targets within binomial noise (the coin
+    * is the same deterministic md5 hash as `sample`).
+    *
+    * Scale shape: one groupBy(stratum) count (|strata| rows), a 1-row
+    * min-aggregate, and a broadcast join of the |strata|-row rate table
+    * back onto the corpus — the corpus itself is never shuffled.
+    * Float discipline: rates are computed with the exact operation
+    * order documented here (min(n/w), then scale·w/n clamped to 1), so
+    * an oracle reproducing that order gets bit-identical doubles. */
+  def toTargetMix(df: DataFrame, stratum: String, id: String,
+                  targets: Map[String, Double], salt: String): DataFrame = {
+    require(targets.nonEmpty, "toTargetMix requires at least one target stratum")
+    targets.values.foreach(w => require(w > 0.0, s"target weights must be > 0, got $w"))
+    val spark = df.sparkSession
+    val t = spark.createDataFrame(targets.toSeq.sortBy(_._1))
+      .toDF(stratum, "w")
+    val n = df.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+    val j = n.join(t, stratum)
+    val scale = j.agg(min(col("n").cast("double") / col("w")).as("scale"))
+    val rates = j.crossJoin(broadcast(scale))
+      .select(col(stratum),
+        least(lit(1.0), col("scale") * col("w") / col("n")).as("rate"))
+    df.join(broadcast(rates), stratum)
+      .filter(unitHash(col(id), salt) < col("rate"))
+      .drop("rate")
+  }
+
   /** Per-stratum rates (e.g. downsample an over-represented language):
     * rows in a stratum named in `rates` keep with that probability,
     * everything else with `defaultRate`. The rate dispatch is a

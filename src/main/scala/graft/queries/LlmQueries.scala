@@ -113,6 +113,20 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // Domain-mix resampling: the corpus re-weighted to a target language
+    // mix (40% en, 15% each otherwise), downsample-only with rates
+    // derived from actual counts — the data-mixing step before training.
+    "l29_domain_mix" -> ((s, dir) => {
+      graft.operators.Sampling.toTargetMix(
+          Tables.load(s, dir, "documents"), "lang", "doc_id",
+          targets = Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.15, "zh" -> 0.15),
+          salt = "mix7")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // Sequence packing: documents concatenated into 256-token training
     // sequences, greedy reset-on-overflow per md5-bucket (8 parallel
     // streams — the dataloader-prep step of every LLM pipeline).
@@ -474,6 +488,22 @@ object LlmQueries {
         |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
         |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // w is CAST to DOUBLE (DuckDB VALUES 0.15 would be DECIMAL(3,2) and
+    // change every downstream arithmetic type); operation order mirrors
+    // Sampling.toTargetMix exactly for bit-identical rates
+    "l29_domain_mix" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t(lang, w) AS (VALUES ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.4 AS DOUBLE)),
+        |               ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |               ('zh', CAST(0.15 AS DOUBLE))),
+        |j AS (SELECT n.lang, n.n, t.w FROM n JOIN t USING (lang)),
+        |sc AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS scale FROM j),
+        |rates AS (SELECT j.lang, LEAST(CAST(1.0 AS DOUBLE), sc.scale * j.w / j.n) AS rate FROM j, sc)
+        |SELECT d.lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+        |FROM documents d JOIN rates r ON r.lang = d.lang
+        |WHERE CAST('0x' || substr(md5('mix7|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0 < r.rate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l28_decontaminate" ->
       """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
         |ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0),

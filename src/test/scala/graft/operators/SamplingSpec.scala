@@ -23,6 +23,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(a.size - 250) < 60, s"kept ${a.size} of 500 at rate 0.5")
   }
 
+  test("toTargetMix: kept corpus matches the target mix in expectation, deterministically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val targets = Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15)
+    val kept = Sampling.toTargetMix(docs, "lang", "doc_id", targets, "mixspec")
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = byLang.values.sum.toDouble
+    // every named stratum survives and its share is near the target
+    // (n≈350 kept → binomial σ on a 0.15 share ≈ 0.02)
+    targets.foreach { case (l, w) =>
+      val share = byLang.getOrElse(l, 0L) / total
+      assert(math.abs(share - w) < 0.07, s"$l share $share vs target $w")
+    }
+    // downsample-only: no stratum exceeds its original count
+    val orig = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    byLang.foreach { case (l, n) => assert(n <= orig(l)) }
+    // layout-invariant: same rows under a different partitioning
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.toTargetMix(docs.repartition(17), "lang", "doc_id", targets, "mixspec")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("toTargetMix: unnamed strata are dropped; the binding stratum keeps ~all rows") {
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")).toDF("id", "s")
+    // a and b both have 100 rows; targets 0.2/0.8 → b binds (100/0.8=125
+    // < 100/0.2=500), so b keeps ~all 100 and a keeps ~25; c vanishes
+    val kept = Sampling.toTargetMix(df, "s", "id", Map("a" -> 0.2, "b" -> 0.8), "t")
+    val byS = kept.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(!byS.contains("c"))
+    assert(byS("b") >= 95, s"binding stratum kept ${byS("b")}/100")
+    assert(byS("a") >= 10 && byS("a") <= 45, s"a kept ${byS("a")} vs expected ~25")
+  }
+
   test("stratified rates apply per stratum; unnamed strata keep the default") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val byLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
