@@ -243,36 +243,52 @@ object Similarity extends Serializable {
     * equi-join on the centroid id. Recall < 1 by construction; raise
     * nProbe to trade compute for recall. This is the second scale path
     * next to lshTopK: probe cost ~ nProbe/nCentroids of the corpus. */
+  /** The coarse quantizer shared by ivfTopK and semDedup: centroids are
+    * the `n` lowest-id vectors (reproducibility baseline) or trained by
+    * the deterministic Lloyd iterations. Returns (id, vector, norm). */
+  private def coarseCentroids(df: DataFrame, id: String, vec: String,
+                              n: Int, kmeansIters: Int): Array[(Long, Array[Float], Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+    val cents =
+      if (kmeansIters > 0)
+        kmeans(df, id, vec, n, kmeansIters).zipWithIndex
+          .map { case (v, i) => (i.toLong, v, math.sqrt(normOf(v))) }
+      else ds.sort(ds.columns.head).limit(n).collect()
+        .map { case (i, v) => (i, v, math.sqrt(normOf(v))) }
+    require(cents.nonEmpty, "coarse quantizer requires a non-empty corpus")
+    cents
+  }
+
+  /** Ids of the `n` nearest centroids. Assignment cosines round to 6
+    * d.p. BEFORE the argmax (ties → lower centroid id): raw doubles
+    * would let a ~1e-15 summation-order difference flip an assignment
+    * between engines, making the whole query unverifiable. Zero-norm
+    * vectors (padding/missing-embedding sentinels) define cosine 0 to
+    * every centroid — raw NaN would throw in the BigDecimal rounding
+    * and kill the job on one degenerate row. */
+  private def nearestCentroidIds(cents: Array[(Long, Array[Float], Double)],
+                                 v: Array[Float], n: Int): Seq[Long] = {
+    val nv = math.sqrt(normOf(v))
+    cents.map { case (ci, cv, cn) =>
+      val cos = if (nv == 0.0 || cn == 0.0) 0.0 else roundHalfUp6(dotOf(v, cv) / (nv * cn))
+      (ci, cos)
+    }
+      .sortBy { case (ci, cos) => (-cos, ci) }.take(n).map(_._1).toSeq
+  }
+
   def ivfTopK(df: DataFrame, id: String, vec: String,
               nCentroids: Int, nProbe: Int, k: Int,
               kmeansIters: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
-    val cents =
-      if (kmeansIters > 0)
-        kmeans(df, id, vec, nCentroids, kmeansIters).zipWithIndex
-          .map { case (v, i) => (i.toLong, v, math.sqrt(normOf(v))) }
-      else ds.sort(ds.columns.head).limit(nCentroids).collect()
-        .map { case (i, v) => (i, v, math.sqrt(normOf(v))) }
-    require(cents.nonEmpty, "ivfTopK requires a non-empty corpus")
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(
+      coarseCentroids(df, id, vec, nCentroids, kmeansIters))
 
-    def nearestCentroids(v: Array[Float], n: Int): Seq[Long] = {
-      val nv = math.sqrt(normOf(v))
-      // assignment cosines round to 6 d.p. BEFORE the argmax (ties →
-      // lower centroid id): raw doubles would let a ~1e-15 summation-
-      // order difference flip an assignment between engines, making the
-      // whole query unverifiable — same discipline as the output cosine
-      // zero-norm vectors (padding/missing-embedding sentinels) define
-      // cosine 0 to every centroid — raw NaN would throw in the
-      // BigDecimal rounding and kill the job on one degenerate row
-      bc.value.map { case (ci, cv, cn) =>
-        val cos = if (nv == 0.0 || cn == 0.0) 0.0 else roundHalfUp6(dotOf(v, cv) / (nv * cn))
-        (ci, cos)
-      }
-        .sortBy { case (ci, cos) => (-cos, ci) }.take(n).map(_._1).toSeq
-    }
+    def nearestCentroids(v: Array[Float], n: Int): Seq[Long] =
+      nearestCentroidIds(bc.value, v, n)
 
     // inverted lists: every vector under its single nearest centroid
     val buckets = ds.map { case (i, v) => (nearestCentroids(v, 1).head, i, v) }
@@ -290,6 +306,45 @@ object Similarity extends Serializable {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** SemDedup (semantic dedup over embeddings): cluster with the coarse
+    * quantizer, then inside each cluster drop every vector that has a
+    * LOWER-ID neighbor with cosine >= threshold — the keep-the-first
+    * representative rule, deterministic and order-free (no sequential
+    * greedy scan, so it parallelizes; it drops slightly more than a
+    * greedy chain would when A~B, B~C but A!~C, which is the
+    * conservative direction for dedup). Returns per-vector
+    * (id, cluster, max_lower_cos, dropped) — callers filter !dropped.
+    *
+    * Scale shape: assignment is one broadcast argmax pass (no shuffle);
+    * the pairwise scoring is confined to cluster-mates via the cluster
+    * equi-join, so the quadratic term is per-cluster, controlled by
+    * nCentroids (~sqrt(N) centroids keeps clusters bounded). This is
+    * exactly the published SemDedup cost model — cosine work shrinks by
+    * the cluster count vs. all-pairs. */
+  def semDedup(df: DataFrame, id: String, vec: String, nCentroids: Int,
+               threshold: Double, kmeansIters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(
+      coarseCentroids(df, id, vec, nCentroids, kmeansIters))
+    val assigned = ds.map { case (i, v) =>
+      (nearestCentroidIds(bc.value, v, 1).head, i, v)
+    }.toDF("cluster", "vid", "v")
+      .withColumn("nrm", norm2(col("v")))
+    val a = assigned.select(col("cluster"), col("vid").as("da"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("vid").as("db"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val mx = a.join(b, Seq("cluster")).filter(col("da") < col("db"))
+      .select(col("db"),
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+      .groupBy(col("db")).agg(max(col("cos")).as("max_lower_cos"))
+    assigned.join(mx, assigned("vid") === mx("db"), "left")
+      .select(col("vid").as(id), col("cluster"), col("max_lower_cos"),
+        coalesce(col("max_lower_cos") >= threshold, lit(false)).as("dropped"))
   }
 
   /** Random-hyperplane LSH bucket key: sign bits of dot(v, h_i) for

@@ -113,6 +113,17 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // SemDedup: semantic near-dup removal over embeddings — coarse
+    // clusters via the deterministic quantizer, within-cluster cosine
+    // vs every lower-id mate, drop at >= 0.3 (synthetic embeddings are
+    // near-orthogonal; real corpora run ~0.95+).
+    "l30_semdedup" -> ((s, dir) => {
+      graft.operators.Similarity.semDedup(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids = 16, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Domain-mix resampling: the corpus re-weighted to a target language
     // mix (40% en, 15% each otherwise), downsample-only with rates
     // derived from actual counts — the data-mixing step before training.
@@ -488,6 +499,29 @@ object LlmQueries {
         |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
         |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "l30_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nr
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
+        |ac AS (SELECT v.vec_id AS vid, c.vec_id AS ci,
+        |    round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) AS cos
+        |  FROM e v, c),
+        |ranked AS (SELECT vid, ci,
+        |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, ci) AS rnk FROM ac),
+        |assigned AS (SELECT ci AS cluster, vid FROM ranked WHERE rnk = 1),
+        |mx AS (SELECT y.vid AS vid, MAX(round(list_sum(list_transform(
+        |      list_zip(ea.embedding, eb.embedding),
+        |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(ea.n2 * eb.n2), 6)) AS max_lower_cos
+        |  FROM assigned x JOIN assigned y ON x.cluster = y.cluster AND x.vid < y.vid
+        |  JOIN e ea ON ea.vec_id = x.vid JOIN e eb ON eb.vec_id = y.vid
+        |  GROUP BY 1)
+        |SELECT a.vid AS vec_id, a.cluster, mx.max_lower_cos,
+        |  COALESCE(mx.max_lower_cos >= 0.3, false) AS dropped
+        |FROM assigned a LEFT JOIN mx ON mx.vid = a.vid
+        |ORDER BY vec_id""".stripMargin,
     // w is CAST to DOUBLE (DuckDB VALUES 0.15 would be DECIMAL(3,2) and
     // change every downstream arithmetic type); operation order mirrors
     // Sampling.toTargetMix exactly for bit-identical rates
