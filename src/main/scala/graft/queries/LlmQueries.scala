@@ -113,6 +113,15 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // int8 embedding quantization: symmetric per-vector codes (4× the
+    // corpus per shuffle byte) with an exact integer checksum and
+    // per-vector error/cosine quality columns — all map-side.
+    "l31_embed_quantize" -> ((s, dir) => {
+      graft.operators.Quantize.stats(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDedup: semantic near-dup removal over embeddings — coarse
     // clusters via the deterministic quantizer, within-cluster cosine
     // vs every lower-id mate, drop at >= 0.3 (synthetic embeddings are
@@ -499,6 +508,32 @@ object LlmQueries {
         |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
         |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // round() is half-away-from-zero in BOTH engines (Spark HALF_UP on
+    // BigDecimal, DuckDB std round), so the int codes are bit-identical;
+    // max_abs_err is an order-free max of deterministic per-element IEEE
+    // ops — only cos_deq needs the house 6-d.p. rounding
+    "l31_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qq AS (SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, e -> 0)
+        |         ELSE list_transform(embedding, e -> LEAST(127, GREATEST(-127,
+        |            CAST(round(CAST(e AS DOUBLE) / scale, 0) AS INTEGER)))) END AS q
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  list_max(list_transform(list_zip(embedding, q),
+        |    z -> abs(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) * scale))) AS max_abs_err,
+        |  CASE WHEN list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE)*CAST(e AS DOUBLE))) = 0
+        |         OR list_sum(list_transform(q, e -> (CAST(e AS DOUBLE)*scale)*(CAST(e AS DOUBLE)*scale))) = 0
+        |       THEN 0.0
+        |       ELSE round(list_sum(list_transform(list_zip(embedding, q),
+        |              z -> CAST(z[1] AS DOUBLE) * (CAST(z[2] AS DOUBLE) * scale)))
+        |            / (sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE)*CAST(e AS DOUBLE))))
+        |               * sqrt(list_sum(list_transform(q, e -> (CAST(e AS DOUBLE)*scale)*(CAST(e AS DOUBLE)*scale))))), 6)
+        |  END AS cos_deq
+        |FROM qq ORDER BY vec_id""".stripMargin,
     "l30_semdedup" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
