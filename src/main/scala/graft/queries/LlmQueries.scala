@@ -113,6 +113,19 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // Corpus vocabulary: term + document frequency, top 20 by tf
+    // (tokenizer-stats step — the shape behind BPE corpus prep and
+    // stopword discovery). One explode + one shuffle on the token;
+    // tf/df are both exact ints from a single aggregate.
+    "l32_vocab_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(20)
+    }),
+
     // int8 embedding quantization: symmetric per-vector codes (4× the
     // corpus per shuffle byte) with an exact integer checksum and
     // per-vector error/cosine quality columns — all map-side.
@@ -508,6 +521,11 @@ object LlmQueries {
         |  array_to_string(ws[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
         |  CAST(LEAST(len(ws) - chunk_idx*32, 32) AS INT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "l32_vocab_topk" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin,
     // round() is half-away-from-zero in BOTH engines (Spark HALF_UP on
     // BigDecimal, DuckDB std round), so the int codes are bit-identical;
     // max_abs_err is an order-free max of deterministic per-element IEEE
