@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary per-key fold state (reference: windowed fold aggregation
   * pspf/stream.py:349-471 and Context.state KV surface
@@ -70,6 +71,36 @@ object KeyedState {
             (k, next)
           }
       }
+
+  /** `runningFold` on the Spark 4 `transformWithState` API — the
+    * successor to mapGroupsWithState: named state variables (value/
+    * list/map) instead of one opaque blob, per-variable TTL, timers
+    * decoupled from output, and schema-evolvable state. Semantics here
+    * are identical to `runningFold` (StreamBatchParitySpec proves it);
+    * use this form when the per-key state grows into several variables
+    * (the reference's ctx.state KV surface maps 1:1 onto named
+    * variables — pspf/context.py:5-14). Requires the RocksDB state
+    * store provider (transformWithState's only supported backend;
+    * rocksdbjni ships in this environment). */
+  def runningFoldTws[K: Encoder, V: Encoder, S: Encoder](
+      ds: Dataset[V], key: V => K, zero: S, ttl: TTLConfig = TTLConfig.NONE)(
+      fold: (S, V) => S)(
+      implicit ks: Encoder[(K, S)]): Dataset[(K, S)] = {
+    val sEnc = implicitly[Encoder[S]]
+    val proc = new StatefulProcessor[K, V, (K, S)] {
+      @transient private var st: ValueState[S] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[S]("fold", sEnc, ttl)
+      override def handleInputRows(k: K, rows: Iterator[V],
+                                   tv: TimerValues): Iterator[(K, S)] = {
+        val cur = if (st.exists()) st.get() else zero
+        val next = rows.foldLeft(cur)(fold)
+        st.update(next)
+        Iterator.single((k, next))
+      }
+    }
+    ds.groupByKey(key).transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
 
   /** The reference fold callback promoted to a FIRST-CLASS typed
     * aggregate (SURVEY §2.6: fold aggregations → `Aggregator[IN,BUF,
