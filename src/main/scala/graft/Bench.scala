@@ -48,12 +48,13 @@ object Bench {
       }
     else spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // min of 2 timed runs per query: shields the reported number from
+    // min of 3 timed runs per query: shields the reported number from
     // transient host contention (observed 2-10x spikes on shared
-    // hardware) while still measuring a full honest execution. A query
-    // that THROWS reports the -1 sentinel and lands in "failed" — its
-    // (near-zero) elapsed time must not fold into the totals as if it
-    // were a fast success.
+    // hardware — min-of-2 still let several untouched queries report
+    // 3-8x swings round-to-round) while measuring full honest
+    // executions. A query that THROWS reports the -1 sentinel and lands
+    // in "failed" — its (near-zero) elapsed time must not fold into the
+    // totals as if it were a fast success.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -63,14 +64,18 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
+      } finally {
+        // queries that persist intermediates (l12) must not hand their
+        // cache to the NEXT timed run — every measurement pays the full
+        // compute, or min-of-N would report a cached partial execution
+        spark.catalog.clearCache()
       }
     }
     val results = queries.map { case (name, fn) =>
-      val a = timeOnce(name, fn)
-      // a transiently-failing SECOND run must not discard an honest
-      // first measurement: failed only when BOTH runs threw
-      name -> (if (a < 0) timeOnce(name, fn)
-               else { val b = timeOnce(name, fn); if (b < 0) a else math.min(a, b) })
+      // a transiently-failing run must not discard an honest other
+      // measurement: failed only when ALL runs threw
+      val runs = (1 to 3).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     } ++ probes.collect { case (n, f) if only.forall(_.contains(n)) => n -> f() }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -31,14 +31,20 @@ object Decontaminate {
     val trainSh = Dedup.shingleSet(train, id, text, n)
     val evalSh = Dedup.shingleSet(eval, id, text, n)
       .select(col("s")).distinct()
-    val cnt = trainSh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val hits = trainSh.join(evalSh, "s")
-      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+    // ONE pass over the train shingles: mark each shingle via a left
+    // join against the (explicitly broadcast — benchmarks are MBs, the
+    // hint must not hinge on autoBroadcastJoinThreshold) eval set, then
+    // a single groupBy(id) yields both the total and the hit count.
+    // With a huge eval side, drop the hint and the same plan degrades
+    // to a shuffle-on-shingle join.
+    val stats = trainSh
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
     val frac = when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
       .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"))
     train.select(col(id))
-      .join(cnt, Seq(id), "left")
-      .join(hits, Seq(id), "left")
+      .join(stats, Seq(id), "left")
       .select(col(id),
         coalesce(col("n_sh"), lit(0L)).as("n_sh"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),

@@ -85,10 +85,19 @@ object Dedup {
     * instead of re-digesting the whole shingle per seed — still md5-only,
     * so a DuckDB oracle reproduces signatures exactly. */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
-                      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+                      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
+    minhashLshPairsFromShingles(shingleSet(docs, id, text, shingleN),
+      id, numHashes, rowsPerBand)
+
+  /** `minhashLshPairs` over an ALREADY-PREPARED distinct shingle frame
+    * (id, s) — the form compositions use so the tokenize→explode→
+    * distinct pass (the dominant cost) is built ONCE and shared across
+    * every consumer in the plan (lshVerifiedPairs reuses it for counts
+    * and intersections too). */
+  def minhashLshPairsFromShingles(shingleFrame: DataFrame, id: String,
+                                  numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    val sh = shingleSet(docs, id, text, shingleN)
-      .withColumn("fp", md5(col("s")))
+    val sh = shingleFrame.withColumn("fp", md5(col("s")))
     val wide = sh.groupBy(col(id)).agg(
       min(md5(concat(lit("0|"), col("fp")))).as("mh_0"),
       (1 until numHashes).map(i =>
@@ -130,7 +139,10 @@ object Dedup {
                        threshold: Double): DataFrame = {
     val sh = shingleSet(docs, id, text, shingleN)
     val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val cand = minhashLshPairs(docs, id, text, shingleN, numHashes, rowsPerBand)
+    // the SAME shingle frame feeds candidates, counts and intersections
+    // — one tokenize→explode→distinct subtree in the plan, its shuffle
+    // output reused by every consumer (ReuseExchange/AQE)
+    val cand = minhashLshPairsFromShingles(sh, id, numHashes, rowsPerBand)
     // intersection sizes for candidate pairs only: fan candidates out to
     // the left side's shingles, then equi-join the right side on
     // (doc, shingle) — work bounded by candidate docs' shingles

@@ -61,6 +61,12 @@ object Layout {
         cols.zipWithIndex.map { case (c, i) => max(col(c).cast("double")).as(s"hi$i") }: _*)
       .head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
+      // null extents = empty input, an all-null column, or a column
+      // whose cast("double") is null (e.g. free-form strings) — fail
+      // with the offending column named instead of a bare NPE
+      require(!agg.isNullAt(i) && !agg.isNullAt(cols.size + i),
+        s"zorderBy: column '$c' has no numeric min/max extent " +
+          "(empty input, all-null, or not castable to double)")
       val lo = agg.getDouble(i)
       val hi = agg.getDouble(cols.size + i)
       bucketize(col(c), lo, hi, bits)

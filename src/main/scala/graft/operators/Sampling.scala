@@ -57,7 +57,17 @@ object Sampling {
     val t = spark.createDataFrame(targets.toSeq.sortBy(_._1))
       .toDF(stratum, "w")
     val n = df.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
-    val j = n.join(t, stratum)
+    // a target stratum ABSENT from the corpus can't contribute rows and
+    // would silently skew the output mix away from the spec — the mix
+    // spec is exhaustive, so fail loudly. The left join keeps every
+    // target; a null count raises LAZILY inside the rate computation
+    // (an eager collect-check would cost a second full corpus scan).
+    val j = t.join(n, Seq(stratum), "left")
+      .select(col(stratum), col("w"),
+        when(col("n").isNull,
+          raise_error(concat(lit("toTargetMix: target stratum absent from the corpus: "),
+            col(stratum).cast("string"))))
+          .otherwise(col("n")).as("n"))
     val scale = j.agg(min(col("n").cast("double") / col("w")).as("scale"))
     val rates = j.crossJoin(broadcast(scale))
       .select(col(stratum),

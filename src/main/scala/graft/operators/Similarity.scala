@@ -106,17 +106,23 @@ object Similarity extends Serializable {
     val e = withNorm(df, vec)
     val sigs = array((0 until nTables).map(t =>
       graft.functions.LshFunctions.lshSignature(col(vec), dim, nPlanes, t)): _*)
-    val sig = e.select(col(id), col(vec), col("nrm"),
-      posexplode(sigs).as(Seq("tbl", "sig")))
-    val a = sig.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na"),
-      col("tbl"), col("sig"))
-    val b = sig.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb"),
-      col("tbl"), col("sig"))
+    // the bucket self-join carries IDs ONLY: a true near-dup pair
+    // collides in most of the nTables tables, so deduping to distinct
+    // (da, db) BEFORE scoring runs FloatVecDot once per pair instead of
+    // up to nTables times — and the 64-float vectors never ride the
+    // (tbl, sig) shuffle at all (they join back by id afterwards)
+    val sig = df.select(col(id), posexplode(sigs).as(Seq("tbl", "sig")))
+    val cand = sig.select(col(id).as("da"), col("tbl"), col("sig"))
+      .join(sig.select(col(id).as("db"), col("tbl"), col("sig")), Seq("tbl", "sig"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+      .dropDuplicates("da", "db")
     val raw = dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
-    a.join(b, Seq("tbl", "sig")).filter(col("da") < col("db"))
+    cand
+      .join(e.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na")), "da")
+      .join(e.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb")), "db")
       .select(col("da"), col("db"), round(raw, 6).as("cos"))
       .filter(col("cos") > threshold)
-      .dropDuplicates("da", "db")
   }
 
   /** Element-wise L2 normalization of an Array[Float] column (unit
@@ -338,9 +344,15 @@ object Similarity extends Serializable {
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col("vid").as("db"),
       col("v").as("vb"), col("nrm").as("nb"))
+    // zero-norm guard mirrors nearestCentroidIds: a zero vector defines
+    // cosine 0 to everything. Raw 0/0 would yield NaN, and NaN sorts
+    // ABOVE every value in Spark — NaN >= threshold is true, so
+    // zero-norm sentinel rows would silently drop whenever any lower-id
+    // cluster-mate exists.
+    val cos = when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+      .otherwise(round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
     val mx = a.join(b, Seq("cluster")).filter(col("da") < col("db"))
-      .select(col("db"),
-        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+      .select(col("db"), cos.as("cos"))
       .groupBy(col("db")).agg(max(col("cos")).as("max_lower_cos"))
     assigned.join(mx, assigned("vid") === mx("db"), "left")
       .select(col("vid").as(id), col("cluster"), col("max_lower_cos"),
@@ -404,22 +416,25 @@ object Similarity extends Serializable {
       } else {
         // all tables in ONE bucket join: posexplode the per-table
         // signatures so (table, sig) is the bucket key — one shuffle
-        // for every table instead of nTables separate self-joins. A
-        // pair meeting in several tables is kept once (cos is
-        // deterministic per pair, so dropDuplicates on the pair is
-        // exact).
+        // for every table instead of nTables separate self-joins. The
+        // bucket join carries IDs only; a pair meeting in several
+        // tables reduces to ONE candidate row BEFORE the scoring pass
+        // (same dedup-then-score discipline as lshCosinePairs — near
+        // pairs collide in most tables, so scoring pre-dedup would
+        // repeat FloatVecDot and shuffle the vectors up to nTables×).
         val sigs = array((0 until nTables).map(t =>
           graft.functions.LshFunctions.lshSignature(col(vec), dim, nPlanes, t)): _*)
-        val sig = e.select(col(id), col(vec), col("nrm"),
-          posexplode(sigs).as(Seq("tbl", "sig")))
-        val a = sig.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na"),
-          col("tbl"), col("sig"))
-        val b = sig.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"),
-          col("tbl"), col("sig"))
-        a.join(b, Seq("tbl", "sig")).filter(col("qid") =!= col("cid"))
+        val sig = df.select(col(id), posexplode(sigs).as(Seq("tbl", "sig")))
+        val cand = sig.select(col(id).as("qid"), col("tbl"), col("sig"))
+          .join(sig.select(col(id).as("cid"), col("tbl"), col("sig")), Seq("tbl", "sig"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"))
+          .dropDuplicates("qid", "cid")
+        cand
+          .join(e.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na")), "qid")
+          .join(e.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb")), "cid")
           .select(col("qid"), col("cid"),
             round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
-          .dropDuplicates("qid", "cid")
       }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))

@@ -319,10 +319,16 @@ object LlmQueries {
     // at 100 TB — never materializes the quadratic pair space).
     "l12_data_pipeline" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // persisted: the regex-heavy quality/langid gate feeds BOTH the
+      // dedup branch (shingles, counts, intersections) and the final
+      // anti-join left side — without the cache each branch re-runs the
+      // regexes over the full scan. CacheManager dedupes by canonical
+      // plan, so repeated invocations share one entry.
       val filtered = docs
         .filter(TextFunctions.tokenCount(col("text")) >= 20 &&
           TextFunctions.punctCount(col("text")).cast("double") / length(col("text")) < lit(0.1) &&
           TextFunctions.langId(col("text")) === "en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupVictims = Dedup.lshVerifiedPairs(filtered, "doc_id", "text",
           shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
         .select(col("db").as("doc_id")).distinct()
@@ -559,15 +565,17 @@ object LlmQueries {
         |  FROM embeddings),
         |c AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
         |ac AS (SELECT v.vec_id AS vid, c.vec_id AS ci,
-        |    round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) AS cos
+        |    CASE WHEN v.n2 = 0 OR c.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) END AS cos
         |  FROM e v, c),
         |ranked AS (SELECT vid, ci,
         |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, ci) AS rnk FROM ac),
         |assigned AS (SELECT ci AS cluster, vid FROM ranked WHERE rnk = 1),
-        |mx AS (SELECT y.vid AS vid, MAX(round(list_sum(list_transform(
+        |mx AS (SELECT y.vid AS vid, MAX(CASE WHEN ea.n2 = 0 OR eb.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(
         |      list_zip(ea.embedding, eb.embedding),
-        |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(ea.n2 * eb.n2), 6)) AS max_lower_cos
+        |      z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(ea.n2 * eb.n2), 6) END) AS max_lower_cos
         |  FROM assigned x JOIN assigned y ON x.cluster = y.cluster AND x.vid < y.vid
         |  JOIN e ea ON ea.vec_id = x.vid JOIN e eb ON eb.vec_id = y.vid
         |  GROUP BY 1)

@@ -81,11 +81,17 @@ object KeyedState {
     * (the reference's ctx.state KV surface maps 1:1 onto named
     * variables — pspf/context.py:5-14). Requires the RocksDB state
     * store provider (transformWithState's only supported backend;
-    * rocksdbjni ships in this environment). */
+    * rocksdbjni ships in this environment).
+    *
+    * A non-NONE `ttl` switches the query to processing-time mode
+    * (Spark rejects a TTL under TimeMode.None), matching
+    * `runningFoldTtl`'s eviction clock. */
   def runningFoldTws[K: Encoder, V: Encoder, S: Encoder](
       ds: Dataset[V], key: V => K, zero: S, ttl: TTLConfig = TTLConfig.NONE)(
       fold: (S, V) => S)(
       implicit ks: Encoder[(K, S)]): Dataset[(K, S)] = {
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     val sEnc = implicitly[Encoder[S]]
     val proc = new StatefulProcessor[K, V, (K, S)] {
       @transient private var st: ValueState[S] = _
@@ -99,7 +105,7 @@ object KeyedState {
         Iterator.single((k, next))
       }
     }
-    ds.groupByKey(key).transformWithState(proc, TimeMode.None(), OutputMode.Update())
+    ds.groupByKey(key).transformWithState(proc, timeMode, OutputMode.Update())
   }
 
   /** The reference fold callback promoted to a FIRST-CLASS typed
