@@ -99,6 +99,26 @@ object TextFunctions {
     )
   }
 
+  /** Linear quality classifier with a sigmoid link — the shape of the
+    * fastText/logistic quality models every curation pipeline runs
+    * (weights here are fixed, documentation-grade stand-ins; a trained
+    * model drops in as literals the same way). Features are the
+    * qualityColumns ratios plus log-length; everything is codegen'd
+    * built-ins, so scoring 100 TB is one map-side pass. Score is
+    * rounded to 6 d.p. (exp/ln agree across engines to <=1 ulp —
+    * the rounding absorbs it, same discipline as the cosine family).
+    * Token-free docs have null ratios → null score (no silent 0). */
+  def qualityScore(text: Column): Column = {
+    val nChars = nullif(length(text), lit(0))
+    val nToks = nullif(tokenCount(text), lit(0))
+    val stopRatio = stopwordCount(text).cast("double") / nToks
+    val punctRatio = punctCount(text).cast("double") / nChars
+    val upperRatio = regexp_count(text, lit("[A-Z]")).cast("double") / nChars
+    val z = lit(-1.5) + lit(3.0) * stopRatio - lit(8.0) * punctRatio -
+      lit(2.0) * upperRatio + lit(0.35) * log(lit(1.0) + tokenCount(text))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   /** Language-ID by stopword-list scoring (tiny n-gram-free heuristic;
     * deterministic argmax with fixed priority en>de>fr>es, 'und' if no
     * hits). Real pipelines would swap in fastText-style models via

@@ -96,6 +96,19 @@ object Dedup {
     * and intersections too). */
   def minhashLshPairsFromShingles(shingleFrame: DataFrame, id: String,
                                   numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = bandFrame(shingleFrame, id, numHashes, rowsPerBand)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"))
+      .distinct()
+  }
+
+  /** MinHash band signatures per document: (id, band, bsig) — the LSH
+    * bucket key frame both the self-join (corpus dedup) and the
+    * cross-join (incremental new-vs-seen dedup) build on. */
+  def bandFrame(shingleFrame: DataFrame, id: String,
+                numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val sh = shingleFrame.withColumn("fp", md5(col("s")))
     val wide = sh.groupBy(col(id)).agg(
@@ -108,13 +121,56 @@ object Dedup {
       concat_ws("|", array_sort(array(mems: _*))).as(s"bsig_$b")
     }
     val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
-    val bands = wide.select(col(id) +: bandCols: _*)
+    wide.select(col(id) +: bandCols: _*)
       .selectExpr(id, s"stack($nBands, $stackArgs) as (band, bsig)")
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"))
+  }
+
+  /** Incremental dedup: MinHash-LSH candidates of a NEW batch against
+    * an already-ingested SEEN corpus — the join is new × seen on the
+    * band bucket, never new × new or seen × seen, which is the shape
+    * every rolling-crawl pipeline needs (the seen side's band frame is
+    * exactly what a production run would have persisted at ingest, so
+    * re-shingling the historical corpus isn't required at scale).
+    * Returns distinct (new_id, seen_id) candidate pairs; compose with
+    * the exact-verify join (as lshVerifiedPairs does) for thresholded
+    * precision. */
+  def incrementalLshPairs(newDocs: DataFrame, seenDocs: DataFrame,
+                          id: String, text: String, shingleN: Int,
+                          numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nb = bandFrame(shingleSet(newDocs, id, text, shingleN), id, numHashes, rowsPerBand)
+      .select(col(id).as("new_id"), col("band"), col("bsig"))
+    val sb = bandFrame(shingleSet(seenDocs, id, text, shingleN), id, numHashes, rowsPerBand)
+      .select(col(id).as("seen_id"), col("band"), col("bsig"))
+    nb.join(sb, Seq("band", "bsig"))
+      .select(col("new_id"), col("seen_id"))
       .distinct()
+  }
+
+  /** Exact SUBSTRING dedup at chunk granularity (the parallelizable
+    * approximation of suffix-array substring dedup from "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022):
+    * documents split into fixed `chunkSize`-token chunks; every chunk
+    * whose text content md5-matches an earlier chunk (lexicographic
+    * (doc, idx) order) is marked not-kept. Catches long duplicated
+    * SPANS inside otherwise-distinct documents, which whole-doc
+    * near-dup misses. Returns one row per chunk:
+    * (id, chunk_idx, n_tokens, kept).
+    *
+    * Scale shape: chunking is a map-only explode; the keeper election
+    * is one groupBy on the chunk hash (shuffle carries 32-byte hashes,
+    * not chunk text) + a join back on the hash. */
+  def chunkExactDedup(docs: DataFrame, id: String, text: String,
+                      chunkSize: Int): DataFrame = {
+    val chunks = Packing.chunkTokens(docs, id, text, chunkSize)
+      .select(col(id), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("h"))
+    val keep = chunks.groupBy(col("h"))
+      .agg(min(struct(col(id), col("chunk_idx"))).as("k"))
+      .select(col("h"), col("k").getField(id).as("keep_id"),
+        col("k").getField("chunk_idx").as("keep_idx"))
+    chunks.join(keep, "h")
+      .select(col(id), col("chunk_idx"), col("n_tokens"),
+        (col(id) === col("keep_id") && col("chunk_idx") === col("keep_idx")).as("kept"))
   }
 
   /** 32-bit SimHash per document: single-pass native expression
@@ -242,6 +298,41 @@ object Dedup {
     }
     edgesRdd.unpersist(blocking = false)
     labels
+  }
+
+  /** Bloom-prefiltered incremental EXACT dedup: new rows whose content
+    * hash is definitely-new skip the verify join entirely. The corpus
+    * side aggregates into a bloom filter (one pass, mergeable partial
+    * sketches), which broadcasts to the new side as a map-side prune —
+    * only bloom-positive candidates (true dups + fpp false positives)
+    * reach the exact left_semi verification, so the shuffle carries
+    * ~|dups| rows instead of |new batch|. No false negatives, and the
+    * verify join removes the false positives, so the result is EXACTLY
+    * the rows of `newDocs` whose text content already occurs in
+    * `corpus` (BloomDedupSpec proves equality with the plain semi-join).
+    *
+    * This mirrors Spark's own runtime bloom-filter join pruning
+    * (spark.sql.optimizer.runtime.bloomFilter.*), materialized as an
+    * explicit operator so the sketch can be SAVED and reused across
+    * incremental runs — at 100 TB the corpus pass happens once per
+    * ingest cycle, not per batch. The mightContain probe is the bloom
+    * library's own predicate (not relational); it runs inside one
+    * mapPartitions over the hash column with the sketch broadcast. */
+  def bloomDupCandidates(newDocs: DataFrame, corpus: DataFrame,
+                         id: String, text: String,
+                         expectedItems: Long, fpp: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val bf = corpus.select(md5(col(text)).as("h")).stat
+      .bloomFilter("h", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val hashed = newDocs.select(col(id).cast("long").as(id), md5(col(text)).as("h"))
+    val candidates = hashed.as[(Long, String)]
+      .mapPartitions { it => val f = bc.value; it.filter(r => f.mightContain(r._2)) }
+      .toDF(id, "h")
+    candidates.join(
+      corpus.select(md5(col(text)).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col(id))
   }
 
   /** Relational formulation of simhash32 (explode tokens × 8 hex chars ×

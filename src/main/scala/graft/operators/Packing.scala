@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * md5(doc_id) range into `nBuckets` independent streams — each bucket
   * packs in parallel (bucket count is the parallelism knob at 100 TB)
   * and membership is a pure hash function, so packing is identical on
-  * any engine, layout, or rerun. Within a bucket, docs pack in doc-id
-  * order via one sorted stateful fold (flatMapGroups — a stateful scan
-  * is genuinely non-relational, the same per-group escape hatch as the
-  * reference's stateful operators). Oversized docs (> budget) get a
-  * sequence of their own, like every packing implementation.
+  * any engine, layout, or rerun. Buckets are laid out contiguously by
+  * repartition(bucket) + sortWithinPartitions(bucket, doc_id), then ONE
+  * streaming mapPartitions scan packs each bucket in doc-id order,
+  * resetting its counters at every bucket boundary — per-task memory is
+  * O(1) regardless of bucket size (a flatMapGroups fold would buffer
+  * corpus/nBuckets tuples per task: tens of GB at 10B docs). The
+  * stateful scan is genuinely non-relational — the same per-partition
+  * escape hatch as the reference's stateful operators. Oversized docs
+  * (> budget) get a sequence of their own, like every packing
+  * implementation.
   *
   * Output: one row per doc with its (bucket, seq_id, seq_pos) — the
   * dataloader key. Token counts use TextFunctions.tokenCount (same
@@ -61,27 +66,34 @@ object Packing {
       (conv(substring(md5(col(id).cast("string")), 1, 4), 16, 10) % nBuckets)
         .cast("int").as("bucket"),
       coalesce(TextFunctions.tokenCount(col(text)), lit(0)).cast("long").as("n_tokens"))
-    prepared.as[(Long, Int, Long)]
-      .groupByKey(_._2)
-      .flatMapGroups { (bucket, it) =>
+    // a partition may carry SEVERAL buckets (hash(bucket) % nBuckets
+    // collides) — the sort makes them contiguous and the scan resets at
+    // each boundary, so correctness never depends on the partitioning,
+    // only the per-bucket doc-id order (Spark's sort-based shuffle
+    // spills, so even a skewed bucket streams off disk, never the heap)
+    prepared
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
         // greedy reset-on-overflow in doc-id order: deterministic given
         // the deterministic bucket membership. The new-sequence guard is
         // sequence-NON-EMPTY (pos > 0), not fill > 0: zero-token docs
         // occupy a position without consuming budget, and an oversized
         // doc following one must still take a sequence of its own
         // (caught by the ScalaCheck packing property)
-        val sorted = it.toArray.sortBy(_._1)
+        var curBucket = -1
         var seq = 0L
         var fill = 0L
         var pos = 0
-        val out = Seq.newBuilder[(Long, Int, Long, Long, Int)]
-        sorted.foreach { case (docId, _, n) =>
+        it.map { case (docId, bucket, n) =>
+          if (bucket != curBucket) { curBucket = bucket; seq = 0L; fill = 0L; pos = 0 }
           if (pos > 0 && fill + n > tokenBudget) { seq += 1; fill = 0; pos = 0 }
-          out += ((docId, bucket, n, seq, pos))
+          val row = (docId, bucket, n, seq, pos)
           fill += n
           pos += 1
+          row
         }
-        out.result().iterator
       }
       .toDF("doc_id", "bucket", "n_tokens", "seq_id", "seq_pos")
   }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics document ranking: TF-IDF and BM25 (Robertson/
+  * Spärck Jones) over the tokenized documents table — the retrieval
+  * primitive behind RAG corpus curation, query-based subset selection
+  * ("give me the docs about X for targeted eval"), and classic search.
+  *
+  * Scale design: term frequencies for the QUERY TERMS ONLY are computed
+  * by one explode + filter + groupBy(doc, term) — the filter on the
+  * (tiny) term set prunes the exploded stream before the shuffle, so
+  * the shuffle carries O(matching tokens), not the corpus token count.
+  * Document frequency and corpus stats (N, avgdl) are |terms|-row and
+  * 1-row aggregates that broadcast back; the corpus is never joined
+  * against itself.
+  *
+  * Cross-engine determinism: tf/df/dl are exact integers; avgdl is an
+  * exact integer sum over a double division (identical IEEE result in
+  * any engine); ln/pow are libm calls that agree to <=1 ulp and every
+  * final score is rounded to 6 d.p. — the same discipline as the
+  * cosine family (a 1-ulp input wiggle cannot flip the 6th decimal
+  * except on a measure-zero boundary).
+  */
+object Ranking {
+
+  /** Per-(doc, term) TF-IDF scores for `terms`, with
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive).
+    * Returns (id, term, tf, df, tfidf). */
+  def tfIdf(docs: DataFrame, id: String, text: String,
+            terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "tfIdf requires at least one term")
+    val tf = termFrequencies(docs, id, text, terms)
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(n))
+      .select(col(id), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6)
+          .as("tfidf"))
+  }
+
+  /** BM25 document scores against `terms` (k1, b are the standard
+    * Okapi knobs). Only documents matching at least one term appear;
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always-positive variant).
+    * Returns (id, n_matched, bm25). */
+  def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 requires at least one term")
+    val tf = termFrequencies(docs, id, text, terms)
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // dl sums exactly (integer-valued doubles are associative), so
+    // avgdl is bit-identical under any partial-agg order
+    val dl = docs.select(col(id),
+      TextFunctions.tokenCount(col(text)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfD = col("tf").cast("double")
+    // operation order is the oracle contract:
+    // idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + (b*dl)/avgdl))
+    val score = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dl, id)
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(id), score.as("s"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_matched"),
+        round(sum(col("s")), 6).as("bm25"))
+  }
+
+  /** One row per (doc, query-term) with its exact term frequency; the
+    * isin prune runs BEFORE the shuffle, map-side. */
+  private def termFrequencies(docs: DataFrame, id: String, text: String,
+                              terms: Seq[String]): DataFrame =
+    docs.select(col(id), explode(TextFunctions.tokens(col(text))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+}

@@ -156,6 +156,30 @@ object Similarity extends Serializable {
         max(col("n")).as("n_vecs"))
   }
 
+  /** Per-dimension corpus statistics of an embedding column — the
+    * embedding-drift / normalization-audit probe (mean far from 0 or
+    * per-dim std collapsing are the standard symptoms of a broken
+    * encoder run). One posexplode + one groupBy(dim) shuffle; the
+    * aggregate output is |dim| rows no matter the corpus size. Mean and
+    * std round to 6 d.p. — float→double casts are exact and x*x of a
+    * 24-bit-mantissa float is exactly representable in double, so the
+    * only cross-engine noise is double-sum ordering (~1e-13 relative),
+    * which the rounding absorbs (cosine-family discipline). */
+  def dimStats(df: DataFrame, vec: String): DataFrame =
+    df.select(posexplode(col(vec)).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"),
+        sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col("dim"), col("n"), col("mn"), col("mx"),
+        round(col("s") / col("n"), 6).as("mean"),
+        round(sqrt(greatest(
+          col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")),
+          lit(0.0))), 6).as("std"))
+
   /** Sequential double fold — bit-identical to FloatVecDot's loop. */
   private def dotOf(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)

@@ -366,6 +366,87 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
           round(graft.operators.Similarity.norm2(col("embedding")), 6).as("norm2"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 retrieval scoring: top-50 documents for a term query — the
+    // query-based corpus-subset-selection step (targeted evals, RAG
+    // corpus curation). Shuffles carry only matching (doc, term) rows;
+    // df and corpus stats broadcast back.
+    "l33_bm25" -> ((s, dir) => {
+      graft.operators.Ranking.bm25(Tables.load(s, dir, "documents"),
+          "doc_id", "text", terms = Seq("spark", "query", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    // Exact substring dedup at chunk granularity (Lee et al. 2022
+    // shape): 16-token chunks, first (doc, idx) occurrence of each
+    // chunk hash kept; per-doc retention stats. Catches duplicated
+    // SPANS whole-document near-dup misses.
+    "l34_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkExactDedup(Tables.load(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 16)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(lit(0)).cast("long"))
+            .as("tokens_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Linear quality classifier with sigmoid link (fastText-shaped
+    // scoring, fixed stand-in weights) — one codegen'd map-side pass.
+    "l35_quality_score" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q_score"))
+        .withColumn("keep", col("q_score") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental dedup: a NEW batch (doc_id % 10 >= 8) LSH-checked
+    // against the SEEN corpus only — new×seen band joins, never
+    // new×new/seen×seen. The rolling-crawl ingest shape.
+    "l36_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val newBatch = docs.filter(col("doc_id") % 10 >= 8)
+      val seen = docs.filter(col("doc_id") % 10 < 8)
+      val pairs = Dedup.incrementalLshPairs(newBatch, seen, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      newBatch.select(col("doc_id"))
+        .join(pairs.groupBy(col("new_id"))
+            .agg(min(col("seen_id")).as("first_match"),
+              count(lit(1)).as("n_matches")),
+          col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("first_match"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("first_match").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE first-merge statistics: adjacent character-pair counts over
+    // all tokens, top 20 — the inner loop of byte-pair-encoding
+    // tokenizer training as one explode + one shuffle.
+    "l37_bpe_pairs" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(col("t"),
+          explode(sequence(lit(1), length(col("t")) - 1)).as("i"))
+        .select(expr("substr(t, i, 2)").as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // Per-dimension embedding statistics — the drift/normalization
+    // audit every embedding corpus needs (|dim| output rows at any
+    // corpus size).
+    "l38_embed_dim_stats" -> ((s, dir) => {
+      graft.operators.Similarity.dimStats(
+          Tables.load(s, dir, "embeddings"), "embedding")
+        .orderBy(col("dim"))
     })
   )
 
@@ -859,6 +940,100 @@ object LlmQueries {
       """SELECT doc_id, lang, n_chars, label,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 6) AS norm2
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // Mirrors Ranking.bm25's exact operation order: idf * (tf * 2.2)
+    // / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)); dl sums are exact
+    // integers so avgdl is bit-identical; final round(6).
+    "l33_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS dl
+        |            FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |       FROM (SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS t FROM documents)
+        |       WHERE t IN ('spark', 'query', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |      (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl.dl) / s.avgdl)) AS sco
+        |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        |  JOIN dft d ON d.term = tf.term CROSS JOIN stats s)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_matched, round(sum(sco), 6) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    // Chunking mirrors the verified l25 contract at size 16; keeper =
+    // first (doc_id, chunk_idx) per chunk-text md5.
+    "l34_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |        md5(array_to_string(ws[i*16+1 : i*16+16], ' ')) AS h,
+        |        CAST(LEAST(len(ws) - i*16, 16) AS INT) AS n_tokens
+        |      FROM d, UNNEST(generate_series(0,
+        |        GREATEST(CAST(ceil(len(ws) / 16.0) AS INT), 1) - 1)) t(i)),
+        |flags AS (SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) = 1 AS kept
+        |  FROM c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // z = -1.5 + 3*stop_ratio - 8*punct_ratio - 2*upper_ratio
+    //       + 0.35*ln(1 + n_tokens); score = round(sigmoid(z), 6).
+    "l35_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |        x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+        |      / NULLIF(len(regexp_extract_all(text, '\S+')), 0) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS upper_ratio,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |    -1.5 + 3.0 * stop_ratio - 8.0 * punct_ratio - 2.0 * upper_ratio
+        |      + 0.35 * ln(1.0 + n_tokens) AS z
+        |  FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS q_score,
+        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+    // Band signatures as in the verified l6 contract; the join is
+    // restricted to new-side × seen-side.
+    "l36_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |m AS (SELECT x.doc_id AS did, MIN(y.doc_id) AS first_match,
+        |        COUNT(DISTINCT y.doc_id) AS n_matches
+        |      FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+        |      WHERE x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8
+        |      GROUP BY 1)
+        |SELECT n.doc_id, m.first_match,
+        |  CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |  m.first_match IS NOT NULL AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) n
+        |LEFT JOIN m ON m.did = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "l37_bpe_pairs" ->
+      """WITH t AS (SELECT UNNEST(regexp_extract_all(text, '\S+')) AS t FROM documents),
+        |p AS (SELECT substr(t, CAST(i AS INT), 2) AS pair
+        |      FROM t, UNNEST(generate_series(1, length(t) - 1)) g(i)
+        |      WHERE length(t) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // Mirrors Similarity.dimStats operation order exactly:
+    // round(s/n, 6), round(sqrt(greatest(s2/n - (s/n)*(s/n), 0)), 6).
+    "l38_embed_dim_stats" ->
+      """WITH x AS (SELECT CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i))
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n, min(x) AS mn, max(x) AS mx,
+        |  round(sum(x) / count(*), 6) AS mean,
+        |  round(sqrt(greatest(sum(x*x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)), 0)), 6) AS std
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin
   )
 }

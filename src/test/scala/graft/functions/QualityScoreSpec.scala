@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityScoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scores(texts: String*): Seq[Option[Double]] =
+    texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .orderBy("id")
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+
+  test("scores are probabilities; fluent text above punctuation soup; empty text is null") {
+    val Seq(fluent, soup, caps, empty) = scores(
+      "the cat sat on the mat and looked out of the window to the garden in peace",
+      "!!! ??? ;;; ... ,,, ::: !!!",
+      "THE LOUD DOCUMENT SHOUTS IN ALL CAPS FOREVER AND EVER",
+      "")
+    assert(fluent.exists(s => s > 0.0 && s < 1.0))
+    assert(soup.exists(s => s > 0.0 && s < 1.0))
+    assert(fluent.get > soup.get, s"fluent $fluent should outrank punctuation soup $soup")
+    assert(fluent.get > caps.get, s"fluent $fluent should outrank all-caps $caps")
+    assert(empty.isEmpty, "token-free text must score null, not a silent number")
+  }
+
+  test("score matches an independent scalar computation of the documented formula") {
+    val text = "the cat and a dog of note went to town in a hurry"
+    val toks = text.split("\\s+").toSeq
+    val stop = toks.count(Set("the", "a", "and", "of", "to", "in")).toDouble / toks.size
+    val punct = text.count(".,!?;:".toSet).toDouble / text.length
+    val upper = text.count(_.isUpper).toDouble / text.length
+    val z = -1.5 + 3.0 * stop - 8.0 * punct - 2.0 * upper +
+      0.35 * math.log(1.0 + toks.size)
+    val expected = java.math.BigDecimal.valueOf(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(scores(text).head.contains(expected))
+  }
+}

@@ -89,6 +89,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(r3.size < r6.size && r6.size < r9.size)
   }
 
+  test("toTargetMix raises on a target stratum absent from the corpus") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "s")
+    val mixed = Sampling.toTargetMix(df, "s", "id",
+      Map("a" -> 0.5, "b" -> 0.3, "zz" -> 0.2), "salt")
+    val e = intercept[Exception](mixed.count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("absent from the corpus")),
+      s"expected the absent-stratum error, got: ${e.getMessage}")
+  }
+
   test("null ids are sampled on a shared coin, never silently dropped at rate 1.0") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (null, "c"))
       .toDF("doc_id", "v")

@@ -72,4 +72,40 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(run(useTws = true) == run(useTws = false))
     }
   }
+
+  test("a non-NONE TTL starts (processing-time mode) and folds normally within the TTL window") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Long)]
+      // a generous TTL: state must survive the whole test, proving the
+      // TTLConfig + TimeMode combination is accepted at query start
+      // (the old hardcoded TimeMode.None rejected any real TTL)
+      val folded = KeyedState.runningFoldTws[String, (String, Long), Long](
+        in.toDS(), _._1, 0L,
+        ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))(
+        (s, v) => s + v._2)
+        .toDF("key", "total")
+      val q = folded.writeStream.outputMode("update")
+        .format("memory").queryName("tws_ttl_out").start()
+      // processing-time mode schedules TTL wake-up work continuously,
+      // so processAllAvailable never settles — poll the sink instead
+      def maxTotal(): Long = {
+        val rows = spark.table("tws_ttl_out").agg(max("total")).collect()
+        if (rows.isEmpty || rows.head.isNullAt(0)) -1L else rows.head.getLong(0)
+      }
+      def awaitTotal(expect: Long): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (maxTotal() != expect && System.nanoTime() < deadline &&
+          q.exception.isEmpty) Thread.sleep(100)
+        assert(maxTotal() == expect,
+          s"sink never reached $expect; query exception: ${q.exception}")
+      }
+      try {
+        in.addData(("k", 10L))
+        awaitTotal(10L)
+        in.addData(("k", 5L))
+        awaitTotal(15L)
+      } finally q.stop()
+    }
+  }
 }
