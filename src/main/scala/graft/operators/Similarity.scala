@@ -144,9 +144,14 @@ object Similarity extends Serializable {
     * groupBy(group, dim) shuffle, |groups| × dim aggregate rows out. */
   def meanPool(df: DataFrame, group: String, vec: String): DataFrame = {
     val decSum = org.apache.spark.sql.types.DecimalType(38, 20)
+    // float → DOUBLE → decimal: a direct float→decimal cast goes
+    // through Float.toString's SHORTEST representation (0.1f becomes
+    // decimal 0.1 exactly — off by ~1.5e-9 relative from the float's
+    // true binary value), which no other engine reproduces; the double
+    // hop pins the exact binary value to ~1e-17
     df.select(col(group).as("grp"), posexplode(col(vec)).as(Seq("d", "x")))
       .groupBy(col("grp"), col("d"))
-      .agg(sum(col("x").cast(decSum)).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("x").cast("double").cast(decSum)).as("s"), count(lit(1)).as("n"))
       .groupBy(col("grp"))
       .agg(
         transform(

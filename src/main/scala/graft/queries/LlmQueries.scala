@@ -447,6 +447,31 @@ object LlmQueries {
       graft.operators.Similarity.dimStats(
           Tables.load(s, dir, "embeddings"), "embedding")
         .orderBy(col("dim"))
+    }),
+
+    // Mean-pooled embeddings per label (chunk→document pooling /
+    // per-class prototypes): per-dimension DECIMAL sums make the pooled
+    // vectors layout-invariant; output unrolled to (label, d, m) rows
+    // so the oracle verifies every component.
+    "l39_mean_pool" -> ((s, dir) => {
+      graft.operators.Similarity.meanPool(
+          Tables.load(s, dir, "embeddings"), "label", "embedding")
+        .select(col("grp").as("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("d", "m")))
+        .orderBy(col("label"), col("d"))
+    }),
+
+    // The decontamination FILTERING form — what a pipeline actually
+    // writes out: train rows whose benchmark overlap stays below the
+    // threshold, metadata intact.
+    "l40_decontaminate_filter" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.decontaminate(
+          train = docs.filter(col("doc_id") % 50 =!= 0),
+          eval = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, maxFrac = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1034,6 +1059,40 @@ object LlmQueries {
         |SELECT dim, CAST(count(*) AS BIGINT) AS n, min(x) AS mn, max(x) AS mx,
         |  round(sum(x) / count(*), 6) AS mean,
         |  round(sqrt(greatest(sum(x*x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)), 0)), 6) AS std
-        |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    // Decimal per-dimension sums (exact, associative) ÷ count in double,
+    // cast to float — mirrors meanPool's operation order; the float cast
+    // absorbs the sub-1e-16 decimal-tail difference between the engines'
+    // float→decimal conversions.
+    "l39_mean_pool" ->
+      """WITH x AS (SELECT label, CAST(i - 1 AS INT) AS d, embedding[i] AS x
+        |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)),
+        |a AS (SELECT label, d, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,20))) AS s, count(*) AS n
+        |      FROM x GROUP BY 1, 2)
+        |SELECT label, CAST(n AS BIGINT) AS n_vecs, d,
+        |  CAST(CAST(s AS DOUBLE) / n AS FLOAT) AS m
+        |FROM a ORDER BY label, d""".stripMargin,
+    "l40_decontaminate_filter" ->
+      """WITH train AS (SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+        |td AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM train),
+        |tsh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |        FROM td, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |        WHERE len(ws) >= 3),
+        |ed AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM ev),
+        |esh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |        FROM ed, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |        WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY 1),
+        |hits AS (SELECT t.doc_id, COUNT(*) AS n_overlap FROM tsh t JOIN esh e ON t.s = e.s GROUP BY 1),
+        |frac AS (SELECT tr.doc_id, tr.lang, tr.n_chars,
+        |    COALESCE(cnt.n_sh, 0) AS n_sh,
+        |    CASE WHEN COALESCE(cnt.n_sh, 0) = 0 THEN 0.0
+        |         ELSE CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / cnt.n_sh END AS overlap_frac
+        |  FROM train tr LEFT JOIN cnt ON cnt.doc_id = tr.doc_id
+        |  LEFT JOIN hits ON hits.doc_id = tr.doc_id)
+        |SELECT doc_id, lang, n_chars FROM frac
+        |WHERE NOT (overlap_frac >= 0.5 AND n_sh > 0)
+        |ORDER BY doc_id""".stripMargin
   )
 }
