@@ -472,6 +472,23 @@ object LlmQueries {
           "doc_id", "text", n = 3, maxFrac = 0.5)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Quality-based selection per domain: the best 10 documents per
+    // language by classifier score — the "keep the best N per stratum"
+    // curation step (a per-group top-k: one window shuffle on the
+    // stratum; at scale a pre-aggregated per-partition top-k feeds the
+    // same window with AQE handling stratum skew).
+    "l41_quality_topk_domain" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("q_score").desc, col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("q_score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .orderBy(col("lang"), col("rk"))
     })
   )
 
@@ -1093,6 +1110,28 @@ object LlmQueries {
         |  LEFT JOIN hits ON hits.doc_id = tr.doc_id)
         |SELECT doc_id, lang, n_chars FROM frac
         |WHERE NOT (overlap_frac >= 0.5 AND n_sh > 0)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // Spark desc = NULLS LAST; pinned explicitly for the oracle.
+    "l41_quality_topk_domain" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |        x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+        |      / NULLIF(len(regexp_extract_all(text, '\S+')), 0) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS upper_ratio,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |    round(1.0 / (1.0 + exp(-(-1.5 + 3.0 * stop_ratio - 8.0 * punct_ratio
+        |      - 2.0 * upper_ratio + 0.35 * ln(1.0 + n_tokens)))), 6) AS q_score
+        |  FROM f),
+        |r AS (SELECT doc_id, lang, q_score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY q_score DESC NULLS LAST, doc_id) AS INT) AS rk
+        |  FROM q)
+        |SELECT doc_id, lang, q_score, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin
   )
 }
