@@ -322,16 +322,19 @@ object Dedup {
                          id: String, text: String,
                          expectedItems: Long, fpp: Double): DataFrame = {
     val spark = newDocs.sparkSession
-    import spark.implicits._
     val bf = corpus.select(md5(col(text)).as("h")).stat
       .bloomFilter("h", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val hashed = newDocs.select(col(id).cast("long").as(id), md5(col(text)).as("h"))
-    val candidates = hashed.as[(Long, String)]
-      .mapPartitions { it => val f = bc.value; it.filter(r => f.mightContain(r._2)) }
-      .toDF(id, "h")
+    val hashed = newDocs.select(col(id), md5(col(text)).as("h"))
+    // Row-encoded mapPartitions keeps the id column's type generic
+    // (string/UUID ids are as valid as longs here)
+    val candidates = hashed.mapPartitions { it =>
+      val f = bc.value; it.filter(r => f.mightContain(r.getString(1)))
+    }(org.apache.spark.sql.Encoders.row(hashed.schema))
+    // left_semi emits each candidate at most once regardless of
+    // right-side multiplicity — no distinct needed on the corpus side
     candidates.join(
-      corpus.select(md5(col(text)).as("h")).distinct(), Seq("h"), "left_semi")
+      corpus.select(md5(col(text)).as("h")), Seq("h"), "left_semi")
       .select(col(id))
   }
 

@@ -36,6 +36,16 @@ object Similarity extends Serializable {
   /** Brute-force cosine top-k: each query row against the full corpus.
     * `queries` is expected to be small → broadcast, so the plan is one
     * corpus scan with no shuffle until the per-query top-k aggregation. */
+  /** Cosine of two pre-normed sides, with the zero-norm guard the whole
+    * scoring family shares: a zero vector (failed-encoder sentinel)
+    * defines cosine 0 to everything. Raw 0/0 would be NaN, and Spark
+    * orders NaN ABOVE every value — unguarded, a zero vector becomes
+    * the rank-1 "neighbor" of every bucket-mate and passes every
+    * threshold. Same discipline as nearestCentroidIds/semDedup. */
+  private def guardedCos(va: Column, vb: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(round(dot(va, vb) / sqrt(na * nb), 6))
+
   def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
                  k: Int): DataFrame = {
     val q = withNorm(queries, vec)
@@ -44,7 +54,7 @@ object Similarity extends Serializable {
       .select(col(id).as("cid"), col(vec).as("cv"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6).as("cos"))
+        guardedCos(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -75,7 +85,11 @@ object Similarity extends Serializable {
     val a = e.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = e.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb"))
-    val raw = dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+    // zero-norm guard INSIDE the prefilter too: raw NaN > threshold is
+    // true in Spark, so an unguarded zero vector would pair with every
+    // row of the broadcast side
+    val raw = when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+      .otherwise(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
     a.join(broadcast(b), col("da") < col("db") && raw > threshold - 1e-6)
       .select(col("da"), col("db"), round(raw, 6).as("cos"))
       .filter(col("cos") > threshold)
@@ -117,11 +131,11 @@ object Similarity extends Serializable {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"))
       .dropDuplicates("da", "db")
-    val raw = dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
     cand
       .join(e.select(col(id).as("da"), col(vec).as("va"), col("nrm").as("na")), "da")
       .join(e.select(col(id).as("db"), col(vec).as("vb"), col("nrm").as("nb")), "db")
-      .select(col("da"), col("db"), round(raw, 6).as("cos"))
+      .select(col("da"), col("db"),
+        guardedCos(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") > threshold)
   }
 
@@ -335,8 +349,7 @@ object Similarity extends Serializable {
     val scored = probes.join(buckets, "bucket")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(dot(col("qv"), col("cv")) /
-          sqrt(norm2(col("qv")) * norm2(col("cv"))), 6).as("cos"))
+        guardedCos(col("qv"), col("cv"), norm2(col("qv")), norm2(col("cv"))).as("cos"))
       .dropDuplicates("qid", "cid") // a pair may meet in several probed lists
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
@@ -373,15 +386,11 @@ object Similarity extends Serializable {
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col("vid").as("db"),
       col("v").as("vb"), col("nrm").as("nb"))
-    // zero-norm guard mirrors nearestCentroidIds: a zero vector defines
-    // cosine 0 to everything. Raw 0/0 would yield NaN, and NaN sorts
-    // ABOVE every value in Spark — NaN >= threshold is true, so
-    // zero-norm sentinel rows would silently drop whenever any lower-id
-    // cluster-mate exists.
-    val cos = when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
-      .otherwise(round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6))
+    // guardedCos: an unguarded zero-norm row would score NaN, and
+    // NaN >= threshold is true in Spark — sentinel rows would silently
+    // drop whenever any lower-id cluster-mate exists
     val mx = a.join(b, Seq("cluster")).filter(col("da") < col("db"))
-      .select(col("db"), cos.as("cos"))
+      .select(col("db"), guardedCos(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .groupBy(col("db")).agg(max(col("cos")).as("max_lower_cos"))
     assigned.join(mx, assigned("vid") === mx("db"), "left")
       .select(col("vid").as(id), col("cluster"), col("max_lower_cos"),
@@ -441,7 +450,7 @@ object Similarity extends Serializable {
         val b = sig.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb"), col("sig"))
         a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid"),
-            round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+            guardedCos(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       } else {
         // all tables in ONE bucket join: posexplode the per-table
         // signatures so (table, sig) is the bucket key — one shuffle
@@ -463,7 +472,7 @@ object Similarity extends Serializable {
           .join(e.select(col(id).as("qid"), col(vec).as("va"), col("nrm").as("na")), "qid")
           .join(e.select(col(id).as("cid"), col(vec).as("vb"), col("nrm").as("nb")), "cid")
           .select(col("qid"), col("cid"),
-            round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cos"))
+            guardedCos(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))

@@ -641,8 +641,13 @@ object LlmQueries {
         |  FROM o JOIN rec ON o.bucket = rec.bucket AND o.rn = rec.rn + 1)
         |SELECT doc_id, bucket, n_tokens, seq AS seq_id, CAST(pos AS INT) AS seq_pos
         |FROM rec ORDER BY doc_id""".stripMargin,
+    // COALESCE to an empty list mirrors chunkTokens' null-text contract
+    // (one empty chunk, n_tokens 0) — raw NULL would null out the
+    // generate_series bound and drop the row entirely.
     "l25_token_chunks" ->
-      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      """WITH d AS (SELECT doc_id,
+        |        COALESCE(regexp_extract_all(text, '\S+'), CAST([] AS VARCHAR[])) AS ws
+        |      FROM documents),
         |c AS (SELECT doc_id, ws, CAST(i AS INT) AS chunk_idx
         |      FROM d, UNNEST(generate_series(0,
         |        GREATEST(CAST(ceil(len(ws) / 32.0) AS INT), 1) - 1)) t(i))
@@ -802,19 +807,22 @@ object LlmQueries {
         |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
         |  FROM embeddings)
         |SELECT a.vec_id AS da, b.vec_id AS db,
-        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(a.nrm * b.nrm), 6) AS cos
+        |  CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |    ELSE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(a.nrm * b.nrm), 6) END AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(a.nrm * b.nrm), 6) > 0.4
+        |WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |    ELSE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(a.nrm * b.nrm), 6) END > 0.4
         |ORDER BY da, db""".stripMargin,
     "l9_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
         |  FROM embeddings),
         |scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(q.nrm * c.nrm), 6) AS cos
+        |    CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(q.nrm * c.nrm), 6) END AS cos
         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
         |rk AS (SELECT qid, cid, cos,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
@@ -840,8 +848,9 @@ object LlmQueries {
         |        THEN '1' ELSE '0' END), '') AS sig
         |  FROM e),
         |scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(a.n2 * b.n2), 6) AS cos
+        |    CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(a.n2 * b.n2), 6) END AS cos
         |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
         |rk AS (SELECT qid, cid, cos,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
@@ -865,11 +874,13 @@ object LlmQueries {
         |cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
         |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
         |SELECT c.da, c.db,
-        |    round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) AS cos
+        |    CASE WHEN q.n2 = 0 OR x.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) END AS cos
         |  FROM cand c JOIN e q ON q.vec_id = c.da JOIN e x ON x.vec_id = c.db
-        |  WHERE round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) > 0.4
+        |  WHERE CASE WHEN q.n2 = 0 OR x.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) END > 0.4
         |ORDER BY da, db""".stripMargin,
     // Mirrors the multi-table lshTopK: per-table signatures over salted
     // plane keys (t=0 the l20 formula, t>0 't<t>_<i>_<d>'), candidate
@@ -890,8 +901,9 @@ object LlmQueries {
         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
         |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
         |scored AS (SELECT c.qid, c.cid,
-        |    round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) AS cos
+        |    CASE WHEN q.n2 = 0 OR x.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) END AS cos
         |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e x ON x.vec_id = c.cid),
         |rk AS (SELECT qid, cid, cos,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored)
@@ -915,8 +927,9 @@ object LlmQueries {
         |buckets AS (SELECT ci AS bucket, vid AS cid FROM ranked WHERE rnk = 1),
         |probes AS (SELECT ci AS bucket, vid AS qid FROM ranked WHERE rnk <= 4),
         |scored AS (SELECT DISTINCT p.qid, b.cid,
-        |    round(list_sum(list_transform(list_zip(q.embedding, t.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * t.n2), 6) AS cos
+        |    CASE WHEN q.n2 = 0 OR t.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(q.embedding, t.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * t.n2), 6) END AS cos
         |  FROM probes p JOIN buckets b ON b.bucket = p.bucket AND b.cid <> p.qid
         |  JOIN e q ON q.vec_id = p.qid JOIN e t ON t.vec_id = b.cid),
         |rk AS (SELECT qid, cid, cos,
@@ -1005,7 +1018,9 @@ object LlmQueries {
     // Chunking mirrors the verified l25 contract at size 16; keeper =
     // first (doc_id, chunk_idx) per chunk-text md5.
     "l34_chunk_dedup" ->
-      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      """WITH d AS (SELECT doc_id,
+        |        COALESCE(regexp_extract_all(text, '\S+'), CAST([] AS VARCHAR[])) AS ws
+        |      FROM documents),
         |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
         |        md5(array_to_string(ws[i*16+1 : i*16+16], ' ')) AS h,
         |        CAST(LEAST(len(ws) - i*16, 16) AS INT) AS n_tokens

@@ -233,4 +233,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m.get(0L).map(_._1).contains(1L) && m(0L)._2 == 1.0)
     assert(m.get(1L).map(_._1).contains(0L))
   }
+
+  test("zero-norm vectors score cosine 0 everywhere — never NaN-poison pairs or rankings") {
+    val unit = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val emb = Seq(
+      (1L, Array.fill(64)(0.0f)), // failed-encoder sentinel
+      (2L, unit),
+      (3L, unit.clone()))
+      .toDF("vec_id", "embedding")
+    // pair finders: only the genuine duplicate surfaces; nothing is NaN
+    for (pairs <- Seq(
+      Similarity.cosinePairs(emb, "vec_id", "embedding", 0.5),
+      Similarity.lshCosinePairs(emb, "vec_id", "embedding", 64, 2, 4, 0.5))) {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.forall(!_._3.isNaN), s"NaN cosine leaked: ${got.mkString(",")}")
+      assert(got.map(p => (p._1, p._2)).toSet == Set((2L, 3L)))
+    }
+    // rankers: the zero vector is never the NaN-ranked top neighbor
+    for (topk <- Seq(
+      Similarity.lshTopK(emb, "vec_id", "embedding", 64, 2, 1, 4),
+      Similarity.ivfTopK(emb, "vec_id", "embedding", nCentroids = 2, nProbe = 2, k = 1))) {
+      val top = topk.select("qid", "cid", "cos").as[(Long, Long, Double)].collect()
+      assert(top.forall(!_._3.isNaN))
+      top.filter(t => t._1 == 2L).foreach { case (_, cid, cos) =>
+        assert(cid == 3L && cos == 1.0, s"zero vector outranked the true duplicate: $cid/$cos")
+      }
+    }
+  }
 }
