@@ -300,6 +300,35 @@ object Dedup {
     labels
   }
 
+  /** Retention policy over near-dup clusters: every document maps to
+    * the BEST-scoring member of its duplicate group (quality argmax,
+    * doc-id tiebreak), singletons map to themselves — "keep the best
+    * copy", the production alternative to connectedComponents'
+    * keep-lowest-id convention (a crawl's canonical page usually isn't
+    * the one with the smallest id).
+    *
+    * Scale shape: connectedComponents bounds the iterative part to the
+    * DUPLICATE subgraph (pairs, not corpus); the argmax is one
+    * row_number window partitioned by group over that same subgraph;
+    * the corpus itself joins the |dup-docs| assignment table once
+    * (broadcastable whenever dups are a small fraction, AQE decides).
+    * Returns every input row: (id, keep_id, kept 0/1). */
+  def keepBestPerGroup(docs: DataFrame, pairs: DataFrame, id: String,
+                       score: Column): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val scored = docs.select(col(id), score.as("q"))
+    val members = cc.join(scored, cc("id") === scored(id)).select(col("rep"), col(id), col("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(col("q").desc, col(id))
+    val best = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select(col("rep"), col(id).as("keep_id"))
+    docs.select(col(id))
+      .join(cc.select(col("id").as(id), col("rep")), Seq(id), "left")
+      .join(best, Seq("rep"), "left")
+      .select(col(id), coalesce(col("keep_id"), col(id)).as("keep_id"),
+        (col(id) === coalesce(col("keep_id"), col(id))).cast("int").as("kept"))
+  }
+
   /** Bloom-prefiltered incremental EXACT dedup: new rows whose content
     * hash is definitely-new skip the verify join entirely. The corpus
     * side aggregates into a bloom filter (one pass, mergeable partial

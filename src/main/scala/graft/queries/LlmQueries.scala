@@ -489,6 +489,55 @@ object LlmQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Unigram-LM cross-entropy scoring (CCNet-style perplexity
+    // quality filter): train an add-one-smoothed unigram LM on the
+    // corpus itself, score every document's mean -ln p(token).
+    "l42_lm_xentropy" -> ((s, dir) => {
+      graft.operators.LanguageModel
+        .selfCrossEntropy(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC canonicalization (native codegen'd expression) ahead
+    // of fingerprinting — composed/decomposed encodings of the same
+    // text must hash identically before any dedup. Verified via the
+    // post-normalization fingerprint (DuckDB nfc_normalize = same
+    // UAX #15 transform); the unicode-specific cases live in
+    // NormalizeSpec (the test corpus is ASCII).
+    "l43_text_nfc" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.functions.NormalizeFunctions.nfcNormalize(col("text"))).as("h"),
+          length(graft.functions.NormalizeFunctions.nfcNormalize(col("text")))
+            .as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cluster retention policy: LSH-verified near-dup groups (same
+    // pipeline as l17) keep their highest-QUALITY member rather than
+    // the lowest id — the production "keep the best copy" rule.
+    "l44_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      Dedup.keepBestPerGroup(docs, pairs, "doc_id",
+        TextFunctions.qualityScore(col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // kNN label propagation, leave-one-out form: every labeled vector
+    // predicted by the majority label of its LSH top-5 neighbors (the
+    // classifier-based-filter primitive; same multi-table LSH recall
+    // path as l21). correct=1 rows / total = held-out accuracy.
+    "l45_knn_classify" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val nb = Similarity.lshTopK(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 6, k = 5, nTables = 4)
+      graft.operators.Classify.knnSelfEval(nb,
+          emb.select(col("vec_id"), col("label")), "vec_id", "label", 5)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1147,6 +1196,114 @@ object LlmQueries {
         |      ORDER BY q_score DESC NULLS LAST, doc_id) AS INT) AS rk
         |  FROM q)
         |SELECT doc_id, lang, q_score, rk FROM r WHERE rk <= 10
-        |ORDER BY lang, rk""".stripMargin
+        |ORDER BY lang, rk""".stripMargin,
+    // Mirrors LanguageModel.selfCrossEntropy: add-one unigram LM,
+    // per-token round(-ln p, 6), DECIMAL-exact mean over the rounded
+    // values (order-free), token-free docs kept with xent NULL.
+    "l42_lm_xentropy" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents),
+        |lm AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM lm),
+        |lp AS (SELECT t.doc_id,
+        |    round(-ln(CAST(lm.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)), 6) AS lp
+        |  FROM t JOIN lm USING (token) CROSS JOIN tot),
+        |s AS (SELECT doc_id, count(*) AS n_tokens,
+        |    round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS xent
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.xent
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "l43_text_nfc" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS h,
+        |  length(nfc_normalize(text)) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // l17's recursive-CTE connected components + l41's quality logit;
+    // keeper = quality argmax per component (doc-id tiebreak),
+    // singletons keep themselves.
+    "l44_dedup_keep_best" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.da
+        |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |          JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |          WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8),
+        |edges AS (SELECT da AS x, db AS y FROM pairs UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT x AS id FROM edges),
+        |reach AS (SELECT id, id AS r FROM nodes
+        |          UNION
+        |          SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+        |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(-1.5
+        |      + 3.0 * (CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |          x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+        |        / NULLIF(len(regexp_extract_all(text, '\S+')), 0))
+        |      - 8.0 * (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |        / NULLIF(length(text), 0))
+        |      - 2.0 * (CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |        / NULLIF(length(text), 0))
+        |      + 0.35 * ln(1.0 + len(regexp_extract_all(text, '\S+')))))), 6) AS q_score
+        |  FROM documents),
+        |best AS (SELECT rep, doc_id AS keep_id FROM (
+        |    SELECT c.rep, q.doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.rep
+        |        ORDER BY q.q_score DESC NULLS LAST, q.doc_id) AS rk
+        |    FROM comp c JOIN q ON q.doc_id = c.id) WHERE rk = 1)
+        |SELECT dd.doc_id, COALESCE(b.keep_id, dd.doc_id) AS keep_id,
+        |  CAST(dd.doc_id = COALESCE(b.keep_id, dd.doc_id) AS INT) AS kept
+        |FROM documents dd
+        |LEFT JOIN comp ON comp.id = dd.doc_id
+        |LEFT JOIN best b ON b.rep = comp.rep
+        |ORDER BY dd.doc_id""".stripMargin,
+    // l21's multi-table LSH neighbor SQL at k=5 + majority vote
+    // (votes desc, label asc) + leave-one-out comparison.
+    "l45_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |sig AS (SELECT vec_id, t,
+        |    array_to_string(list_transform(generate_series(0, 5), i ->
+        |      CASE WHEN round(list_sum(list_transform(generate_series(1, 64), d ->
+        |          CAST(embedding[d] AS DOUBLE) *
+        |          (CAST('0x' || substr(md5(CASE WHEN t = 0 THEN CONCAT(i, '_', d - 1)
+        |                                       ELSE CONCAT('t', t, '_', i, '_', d - 1) END), 1, 6) AS BIGINT)
+        |             / 16777216.0 - 0.5))), 6) >= 0
+        |        THEN '1' ELSE '0' END), '') AS sig
+        |  FROM e, UNNEST(generate_series(0, 3)) tt(t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |scored AS (SELECT c.qid, c.cid,
+        |    CASE WHEN q.n2 = 0 OR x.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) END AS cos
+        |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e x ON x.vec_id = c.cid),
+        |rk AS (SELECT qid, cid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored),
+        |nb AS (SELECT r.qid, l.label AS nl FROM rk r
+        |  JOIN embeddings l ON l.vec_id = r.cid WHERE r.rk <= 5),
+        |votes AS (SELECT qid, nl, count(*) AS votes FROM nb GROUP BY qid, nl),
+        |win AS (SELECT qid, nl AS pred, votes FROM (
+        |    SELECT qid, nl, votes,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS vr
+        |    FROM votes) WHERE vr = 1)
+        |SELECT l.vec_id, l.label, w.pred, w.votes,
+        |  COALESCE(CAST(l.label = w.pred AS INT), 0) AS correct
+        |FROM embeddings l LEFT JOIN win w ON w.qid = l.vec_id
+        |ORDER BY l.vec_id""".stripMargin
   )
 }

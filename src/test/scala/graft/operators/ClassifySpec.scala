@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (qid, cid, cos, rk) — rk already best-first, as lshTopK emits
+  private def nb(rows: (Long, Long, Double, Int)*) =
+    rows.toSeq.toDF("qid", "cid", "cos", "rk")
+
+  test("majority label wins; k caps the neighborhood") {
+    val neighbors = nb(
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2), (1L, 12L, 0.7, 3),
+      (1L, 13L, 0.6, 4)) // rk=4 must be ignored at k=3
+    val labels = Seq((10L, 7), (11L, 7), (12L, 3), (13L, 3)).toDF("vec_id", "label")
+    val got = Classify.knnVote(neighbors, labels, "vec_id", "label", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((1L, 7, 2L)))
+  }
+
+  test("vote ties break on the smaller label") {
+    val neighbors = nb((1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2))
+    val labels = Seq((10L, 5), (11L, 2)).toDF("vec_id", "label")
+    val got = Classify.knnVote(neighbors, labels, "vec_id", "label", k = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2, 1L)))
+  }
+
+  test("self-eval marks correctness and keeps neighbor-less rows with null pred") {
+    val neighbors = nb((1L, 2L, 0.9, 1), (2L, 1L, 0.9, 1))
+    val labels = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "label")
+    val got = Classify.knnSelfEval(neighbors, labels, "vec_id", "label", k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)), r.getInt(4)))).toMap
+    assert(got(1L) == ((0, Some(0), 1)))
+    assert(got(2L) == ((0, Some(0), 1)))
+    assert(got(3L) == ((1, None, 0)))
+  }
+
+  test("unlabeled neighbors are invisible to the vote") {
+    val neighbors = nb((1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2))
+    val labels = Seq((10L, 4)).toDF("vec_id", "label") // 11 unlabeled
+    val got = Classify.knnVote(neighbors, labels, "vec_id", "label", k = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((1L, 4, 1L)))
+  }
+}

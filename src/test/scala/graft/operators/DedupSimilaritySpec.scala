@@ -234,6 +234,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m.get(1L).map(_._1).contains(0L))
   }
 
+  test("keepBestPerGroup keeps the quality argmax per cluster, singletons keep themselves") {
+    val d = docs((1L, "low"), (2L, "best"), (3L, "mid"), (4L, "alone"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val score = when(col("text") === "best", 0.9)
+      .when(col("text") === "mid", 0.5).otherwise(0.1)
+    val got = Dedup.keepBestPerGroup(d, pairs, "doc_id", score)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0)), 2L -> ((2L, 1)), 3L -> ((2L, 0)), 4L -> ((4L, 1))))
+  }
+
+  test("keepBestPerGroup tiebreaks equal scores on the lower id") {
+    val d = docs((7L, "same"), (5L, "same"), (6L, "same"))
+    val pairs = Seq((5L, 6L), (6L, 7L)).toDF("da", "db")
+    val got = Dedup.keepBestPerGroup(d, pairs, "doc_id", lit(1.0))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(got.values.toSet == Set(5L))
+  }
+
   test("zero-norm vectors score cosine 0 everywhere — never NaN-poison pairs or rankings") {
     val unit = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
     val emb = Seq(
