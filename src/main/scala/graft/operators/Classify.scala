@@ -38,6 +38,37 @@ object Classify {
       .select(col("qid").as(id), col("nl").as("pred"), col("votes"))
   }
 
+  /** Contrastive triplet mining for embedding training: each labeled
+    * anchor pairs with its nearest SAME-label neighbor (positive) and
+    * its nearest DIFFERENT-label neighbor (hard negative) — the
+    * highest-cosine impostor is exactly the example a metric-learning
+    * loss needs. margin = pos_cos - neg_cos (negative margin = the
+    * anchor's neighborhood is dominated by impostors; those rows are
+    * also a label-noise audit). Anchors missing either side keep null
+    * columns rather than dropping — k (upstream, in the neighbor
+    * frame) is the recall knob.
+    *
+    * Same decoupling as knnVote: any (qid, cid, cos, rk) frame works;
+    * labels broadcast onto the neighbor stream; vectors never enter. */
+  def tripletMine(neighbors: DataFrame, labels: DataFrame,
+                  id: String, label: String): DataFrame = {
+    val lab = labels.select(col(id), col(label))
+    val nb = neighbors
+      .join(lab.select(col(id).as("qid"), col(label).as("ql")), "qid")
+      .join(lab.select(col(id).as("cid"), col(label).as("cl")), "cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    def first(side: DataFrame, idName: String, cosName: String) =
+      side.withColumn("pk", row_number().over(w)).filter(col("pk") === 1)
+        .select(col("qid").as(id), col("cid").as(idName), col("cos").as(cosName))
+    lab
+      .join(first(nb.filter(col("ql") === col("cl")), "pos_id", "pos_cos"), Seq(id), "left")
+      .join(first(nb.filter(col("ql") =!= col("cl")), "neg_id", "neg_cos"), Seq(id), "left")
+      .select(col(id), col(label), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
+
   /** Leave-one-out evaluation: predict every labeled row from its own
     * neighbors and compare — the held-out accuracy check run before
     * trusting the propagated labels on the unlabeled corpus.

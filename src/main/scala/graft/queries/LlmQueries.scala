@@ -538,6 +538,18 @@ object LlmQueries {
       graft.operators.Classify.knnSelfEval(nb,
           emb.select(col("vec_id"), col("label")), "vec_id", "label", 5)
         .orderBy(col("vec_id"))
+    }),
+
+    // Contrastive triplet mining: nearest same-label positive +
+    // hardest different-label negative per anchor over an LSH top-20
+    // neighborhood; negative margins double as a label-noise audit.
+    "l46_triplet_mine" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val nb = Similarity.lshTopK(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 6, k = 20, nTables = 4)
+      graft.operators.Classify.tripletMine(nb,
+          emb.select(col("vec_id"), col("label")), "vec_id", "label")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1304,6 +1316,48 @@ object LlmQueries {
         |SELECT l.vec_id, l.label, w.pred, w.votes,
         |  COALESCE(CAST(l.label = w.pred AS INT), 0) AS correct
         |FROM embeddings l LEFT JOIN win w ON w.qid = l.vec_id
+        |ORDER BY l.vec_id""".stripMargin,
+    // l45's LSH neighborhood widened to k=20; positive = best
+    // same-label neighbor, negative = best different-label neighbor.
+    "l46_triplet_mine" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |sig AS (SELECT vec_id, t,
+        |    array_to_string(list_transform(generate_series(0, 5), i ->
+        |      CASE WHEN round(list_sum(list_transform(generate_series(1, 64), d ->
+        |          CAST(embedding[d] AS DOUBLE) *
+        |          (CAST('0x' || substr(md5(CASE WHEN t = 0 THEN CONCAT(i, '_', d - 1)
+        |                                       ELSE CONCAT('t', t, '_', i, '_', d - 1) END), 1, 6) AS BIGINT)
+        |             / 16777216.0 - 0.5))), 6) >= 0
+        |        THEN '1' ELSE '0' END), '') AS sig
+        |  FROM e, UNNEST(generate_series(0, 3)) tt(t)),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |scored AS (SELECT c.qid, c.cid,
+        |    CASE WHEN q.n2 = 0 OR x.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / sqrt(q.n2 * x.n2), 6) END AS cos
+        |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e x ON x.vec_id = c.cid),
+        |rk AS (SELECT qid, cid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM scored),
+        |nb AS (SELECT r.qid, r.cid, r.cos, la.label AS ql, lb.label AS cl
+        |  FROM rk r JOIN embeddings la ON la.vec_id = r.qid
+        |            JOIN embeddings lb ON lb.vec_id = r.cid
+        |  WHERE r.rk <= 20),
+        |pos AS (SELECT qid, cid AS pos_id, cos AS pos_cos FROM (
+        |    SELECT qid, cid, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS pk
+        |    FROM nb WHERE ql = cl) WHERE pk = 1),
+        |neg AS (SELECT qid, cid AS neg_id, cos AS neg_cos FROM (
+        |    SELECT qid, cid, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS pk
+        |    FROM nb WHERE ql <> cl) WHERE pk = 1)
+        |SELECT l.vec_id, l.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+        |  round(p.pos_cos - n.neg_cos, 6) AS margin
+        |FROM embeddings l
+        |LEFT JOIN pos p ON p.qid = l.vec_id
+        |LEFT JOIN neg n ON n.qid = l.vec_id
         |ORDER BY l.vec_id""".stripMargin
   )
 }

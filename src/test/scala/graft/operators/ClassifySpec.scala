@@ -41,6 +41,24 @@ class ClassifySpec extends AnyFunSuite {
     assert(got(3L) == ((1, None, 0)))
   }
 
+  test("triplet mining picks nearest same-label positive and hardest impostor") {
+    val neighbors = nb(
+      (1L, 10L, 0.9, 1), // impostor, hardest
+      (1L, 11L, 0.8, 2), // positive
+      (1L, 12L, 0.7, 3), // second positive — must lose to 11
+      (1L, 13L, 0.6, 4)) // second impostor — must lose to 10
+    val labels = Seq((1L, 0), (10L, 1), (11L, 0), (12L, 0), (13L, 2), (99L, 5))
+      .toDF("vec_id", "label")
+    val got = Classify.tripletMine(neighbors, labels, "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = got(1L)
+    assert(a.getLong(2) == 11L && a.getDouble(3) == 0.8)
+    assert(a.getLong(4) == 10L && a.getDouble(5) == 0.9)
+    assert(math.abs(a.getDouble(6) - (-0.1)) < 1e-9) // negative margin = noisy anchor
+    // isolated anchor keeps a row with null sides
+    assert(got(99L).isNullAt(2) && got(99L).isNullAt(4) && got(99L).isNullAt(6))
+  }
+
   test("unlabeled neighbors are invisible to the vote") {
     val neighbors = nb((1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2))
     val labels = Seq((10L, 4)).toDF("vec_id", "label") // 11 unlabeled
