@@ -120,6 +120,56 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // W4/W8 on the Spark 4 transformWithState path: the same keyed
+    // running fold as w8, but executed as a REAL streaming query (file
+    // source → runningFoldTws on the RocksDB state store → memory sink,
+    // AvailableNow) so the new state API's execution path gets oracle
+    // coverage, not just parity specs. Values fold in exact integer
+    // cents (decimal-cast then ×100): a double fold would be
+    // accumulation-order-dependent across state updates and could never
+    // hash-match a batch oracle.
+    "w8_tws_fold" -> ((s, dir) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("user_id"), (dec("value") * 100).cast(LongType).as("cents"))
+          .as[(Long, Long)]
+        val folded = graft.streaming.KeyedState
+          .runningFoldTws[Long, (Long, Long), (Long, Long)](src, _._1, (0L, 0L)) {
+            case ((n, cents), (_, c)) => (n + 1, cents + c)
+          }
+          .map { case (k, (n, cents)) => (k, n, cents) }
+          .toDF("user_id", "n", "cents")
+        val sink = "tws_fold_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+        val q = folded.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // Update mode emits one row per (key, trigger); the final state
+        // is the emission with the largest event count (monotone in n).
+        s.table(sink)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("cents"))).as("fin"))
+          .select(col("user_id"), col("fin.n").as("n"),
+            (col("fin.cents").cast(DoubleType) / 100).as("sum_value"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }),
+
     // W12 idempotent dedup: first event per (user_id, event_type) —
     // deterministic min-id representative rather than dropDuplicates'
     // arbitrary row, so the oracle can match it.
@@ -246,6 +296,10 @@ object EventQueries {
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w8_tws_fold" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "w12_dedup_first" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes

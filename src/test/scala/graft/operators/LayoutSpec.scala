@@ -55,6 +55,57 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.select(sum("id")).as[Long].head() == (0L until 1000L).sum)
   }
 
+  test("z-order reads strictly fewer files AND rows than a linear sort under a 2-D predicate") {
+    // the end-to-end pruning proof: write both layouts to parquet, then
+    // (a) count files whose min/max stats intersect the predicate box —
+    // what any stats-based pruner (parquet row-group skip, lakehouse
+    // manifest) must read — and (b) execute the filtered scan and read
+    // the leaf scan's numOutputRows metric: with filter pushdown the
+    // parquet reader skips row groups on those same stats, so the rows
+    // that actually leave the scan measure real, runtime pruning.
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val grid = spark.range(10000)
+      .select((col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"))
+      .repartition(32)
+    Layout.zorderBy(grid, Seq("x", "y"), 16).write.parquet(s"$root/z")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$root/linear")
+
+    // predicate box: x ∈ [0,59] (wide) ∧ y ∈ [10,19] (narrow) — the
+    // shape where a single-column sort is blind on the second dimension
+    def boxFilter(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("x").between(0, 59) && col("y").between(10, 19))
+
+    def filesHit(dir: String): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("xlo"), max("x").as("xhi"),
+          min("y").as("ylo"), max("y").as("yhi"))
+      (stats.filter(col("xhi") >= 0 && col("xlo") <= 59 &&
+        col("yhi") >= 10 && col("ylo") <= 19).count(), stats.count())
+    }
+    def rowsScanned(dir: String): Long = {
+      val df = boxFilter(spark.read.parquet(dir))
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+
+    val (zHit, zTotal) = filesHit(s"$root/z")
+    val (lHit, lTotal) = filesHit(s"$root/linear")
+    assert(zTotal >= 8 && lTotal >= 8, s"expected ~16 files per layout ($zTotal, $lTotal)")
+    assert(zHit < lHit, s"z-order must hit fewer files: z=$zHit/$zTotal linear=$lHit/$lTotal")
+
+    val (zRows, lRows) = (rowsScanned(s"$root/z"), rowsScanned(s"$root/linear"))
+    assert(zRows > 0 && lRows > 0, "scan metrics must be populated")
+    assert(zRows < lRows, s"z-order must scan fewer rows at runtime: z=$zRows linear=$lRows")
+    assert(lRows < 10000, "pushdown inactive: linear scan read the whole table")
+  }
+
   test("constant and null-free single-column z-order degrades to a plain range layout") {
     val df = spark.range(100).select(col("id"), lit(42).as("c"))
     val out = Layout.zorderBy(df, Seq("c", "id"), 4)

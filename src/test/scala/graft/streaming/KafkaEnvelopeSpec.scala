@@ -14,6 +14,55 @@ class KafkaEnvelopeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("golden wire-format fixtures: wrap emits byte-exact Kafka record values") {
+    // The contract a real broker swap depends on: these UTF-8 byte
+    // sequences are what lands in the Kafka record `value`. Pinned
+    // byte-for-byte so any change to column ordering, number rendering,
+    // escaping, or null handling fails here instead of on a live topic.
+    // Conventions pinned: field order = column order; doubles render
+    // with a trailing .0; longs bare; quotes/backslash/newline escaped
+    // as \" \\ \n; non-ASCII stays raw UTF-8 (no \u escapes); null
+    // columns are DROPPED from the payload (Spark ignoreNullFields).
+    val conn = new KafkaConnector("unused:9092")
+    val rows = Seq(
+      ("e1", "order", 42.0, 7L, "plain"),
+      ("e2", "click", 0.5, -1L, "quote\" back\\slash nl\n"),
+      ("e3", "refund", 1234.25, 0L, "unicode é € 中"))
+      .toDF("event_id", "event_type", "amount", "seq", "note")
+      .withColumn("maybe_null", when(col("event_id") === "e2", lit("x")))
+    val got: Seq[Array[Byte]] = conn.wrap(rows).as[String].collect().toSeq
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val golden: Seq[Array[Byte]] = Seq(
+      """{"event_id":"e1","event_type":"order","amount":42.0,"seq":7,"note":"plain"}""",
+      "{\"event_id\":\"e2\",\"event_type\":\"click\",\"amount\":0.5,\"seq\":-1," +
+        "\"note\":\"quote\\\" back\\\\slash nl\\n\",\"maybe_null\":\"x\"}",
+      """{"event_id":"e3","event_type":"refund","amount":1234.25,"seq":0,"note":"unicode é € 中"}""")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(got.size == golden.size)
+    got.zip(golden).foreach { case (g, e) =>
+      assert(java.util.Arrays.equals(g, e),
+        s"wire bytes diverge:\n got=${new String(g, "UTF-8")}\n exp=${new String(e, "UTF-8")}")
+    }
+  }
+
+  test("golden fixtures round-trip: unwrap recovers event_type from exact wire bytes") {
+    // consume leg against the same pinned bytes, shaped as a Kafka
+    // source row (key/value binary + metadata) — proves a payload
+    // produced by ANY client following the fixture contract parses
+    val conn = new KafkaConnector("unused:9092")
+    val wire = """{"event_id":"e9","event_type":"order","amount":9.75,"note":"né\n"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val df = Seq((("k9".getBytes("UTF-8")): Array[Byte], wire))
+      .toDF("key", "value")
+      .withColumn("topic", lit("orders")).withColumn("partition", lit(3))
+      .withColumn("offset", lit(21L)).withColumn("timestamp", current_timestamp())
+    val row = conn.unwrap(df).collect().head
+    assert(row.getAs[String]("event_type") == "order")
+    assert(row.getAs[String]("key") == "k9")
+    assert(row.getAs[String]("payload") == new String(wire, "UTF-8"))
+    assert(row.getAs[Int]("partition") == 3 && row.getAs[Long]("offset") == 21L)
+  }
+
   test("wrap serializes all columns into value; unwrap restores payload + event_type") {
     val conn = new KafkaConnector("unused:9092")
     val out = Seq(("e1", "order", 42.0)).toDF("event_id", "event_type", "amount")
