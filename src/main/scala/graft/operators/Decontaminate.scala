@@ -52,6 +52,55 @@ object Decontaminate {
         (frac >= flagFrac && coalesce(col("n_sh"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered overlap stats — the shape for when the eval side
+    * outgrows an exact broadcast set (a large held-out corpus, many
+    * benchmarks unioned) or when the train shingle stream should be
+    * culled before ANY join. One `BloomFilterAggregate` pass over the
+    * eval shingles yields a single bounded binary row; it broadcasts to
+    * every train partition and `BloomFilterMightContain` (both are the
+    * exact expressions Catalyst injects for runtime join filters) drops
+    * ~all clean shingles map-side. Only bloom survivors enter the exact
+    * shingle join, so the shuffle carries |overlap| + fpp·|train_sh|
+    * rows instead of |train_sh|. False positives are then removed by the
+    * exact join and clean shingles re-enter the count via the union, so
+    * the result is BIT-IDENTICAL to `overlapStats` — the bloom only
+    * moves work, never answers. ~1% fpp at 8 bits/item (Spark default).
+    */
+  def bloomOverlapStats(train: DataFrame, eval: DataFrame, id: String, text: String,
+                        n: Int, flagFrac: Double,
+                        expectedEvalShingles: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    require(flagFrac > 0.0 && flagFrac <= 1.0, s"flagFrac must be in (0,1], got $flagFrac")
+    import graft.functions.BloomFunctions.{bloomOf, mightContain}
+    val trainSh = Dedup.shingleSet(train, id, text, n)
+    val evalSh = Dedup.shingleSet(eval, id, text, n).select(col("s")).distinct()
+    // the filter rides a scalar subquery (the only form might_contain
+    // accepts), evaluated once and shipped to every probe task
+    val bloom = bloomOf(evalSh, xxhash64(col("s")), expectedEvalShingles)
+    val marked = trainSh
+      .withColumn("maybe", mightContain(bloom, xxhash64(col("s"))))
+    // survivors verify exactly; definite misses skip the join entirely
+    // and feed the SAME single groupBy(id) through the union, keeping
+    // the one-aggregation discipline of the exact path
+    val verified = marked.filter(col("maybe"))
+      .join(evalSh.withColumn("hit", lit(1)), Seq("s"), "left")
+      .select(col(id), col("hit"))
+    val clean = marked.filter(!col("maybe"))
+      .select(col(id), lit(null).cast("int").as("hit"))
+    val stats = verified.unionByName(clean)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
+    val frac = when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
+      .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"))
+    train.select(col(id))
+      .join(stats, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        frac.as("overlap_frac"),
+        (frac >= flagFrac && coalesce(col("n_sh"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** The filtering form: train rows whose benchmark overlap stays below
     * `maxFrac` (what a pipeline actually writes out). Same join shape. */
   def decontaminate(train: DataFrame, eval: DataFrame, id: String, text: String,

@@ -367,6 +367,49 @@ object Dedup {
       .select(col(id))
   }
 
+  /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate pass):
+    * a line whose normalized form (lower + trim) recurs in more than
+    * `maxDocs` DISTINCT documents is boilerplate — headers, nav bars,
+    * cookie banners, license blurbs — and is dropped from every
+    * document; each document's text is rebuilt from its surviving lines
+    * in original order. Returns (id, n_lines, n_kept, text_clean), with
+    * fully-deduped documents surfacing as empty strings (callers filter
+    * on n_kept), not dropped rows.
+    *
+    * Scale shape: lines explode ~50× rows but only (hash-sized norm,
+    * id) pairs shuffle into the document-frequency count; the
+    * boilerplate set — df above threshold — is tiny by Zipf (it IS the
+    * repeated content) and broadcasts to a left_anti prune, so document
+    * text itself never shuffles twice: once into posexplode's narrow
+    * projection, once into the per-doc rebuild. Blank lines never enter
+    * the frequency count and are always kept (they are structure, not
+    * content). */
+  def dedupLines(docs: DataFrame, id: String, text: String, maxDocs: Long): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = docs.select(col(id),
+      posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    val norm = lower(trim(col("line")))
+    val boiler = lines
+      .filter(length(norm) > 0)
+      .select(norm.as("l"), col(id)).distinct() // count each doc once per line
+      .groupBy(col("l")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocs)
+      .select(col("l"))
+    val kept = lines.withColumn("l", norm)
+      .join(broadcast(boiler), Seq("l"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_clean"))
+    docs.select(col(id), size(split(col(text), "\n")).as("n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Relational formulation of simhash32 (explode tokens × 8 hex chars ×
     * 4 bits → shuffle → majority vote) — kept as the cross-checkable
     * spec of the algorithm; the expression above must match it exactly. */

@@ -550,6 +550,38 @@ object LlmQueries {
       graft.operators.Classify.tripletMine(nb,
           emb.select(col("vec_id"), col("label")), "vec_id", "label")
         .orderBy(col("vec_id"))
+    }),
+
+    // Bloom-prefiltered decontamination: Catalyst's own bloom agg/probe
+    // pair (the runtime-join-filter expressions) culls the train shingle
+    // stream map-side before the exact join; survivors verify exactly,
+    // so the result is bit-identical to the exact path and the oracle IS
+    // the exact overlap SQL.
+    "l47_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.bloomOverlapStats(
+          train = docs.filter(col("doc_id") % 40 =!= 0),
+          eval = docs.filter(col("doc_id") % 40 === 0),
+          "doc_id", "text", n = 3, flagFrac = 0.3,
+          expectedEvalShingles = 1L << 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Line-level boilerplate dedup (CCNet pass). The synthetic docs are
+    // single-line, so the corpus is built in-query with deterministic
+    // structure both engines reproduce exactly: a shared nav header on
+    // every doc, a promo line on every 7th, and a unique trailer — the
+    // shared lines must vanish (df > 3), the unique ones must survive.
+    "l48_line_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("NAV MENU HOME ABOUT\n"), col("text"), lit("\n"),
+          when(col("doc_id") % 7 === 0, lit("SUBSCRIBE NOW\n")).otherwise(lit("")),
+          lit("doc-"), col("doc_id").cast("string")).as("text"))
+      Dedup.dedupLines(corpus, "doc_id", "text", maxDocs = 3)
+        .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+          col("n_kept"), md5(col("text_clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1358,6 +1390,58 @@ object LlmQueries {
         |FROM embeddings l
         |LEFT JOIN pos p ON p.qid = l.vec_id
         |LEFT JOIN neg n ON n.qid = l.vec_id
-        |ORDER BY l.vec_id""".stripMargin
+        |ORDER BY l.vec_id""".stripMargin,
+    // bloom prefilter is exact end-to-end (no false negatives + exact
+    // verify of survivors) → the oracle is the plain exact-overlap SQL
+    "l47_bloom_decontaminate" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0),
+        |ev AS (SELECT text FROM documents WHERE doc_id % 40 = 0),
+        |td AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM train),
+        |tsh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |        FROM td, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |        WHERE len(ws) >= 3),
+        |ed AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM ev),
+        |esh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |        FROM ed, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |        WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY 1),
+        |hits AS (SELECT t.doc_id, COUNT(*) AS n_overlap FROM tsh t JOIN esh e ON t.s = e.s GROUP BY 1),
+        |frac AS (SELECT tr.doc_id,
+        |    COALESCE(cnt.n_sh, 0) AS n_sh,
+        |    COALESCE(hits.n_overlap, 0) AS n_overlap,
+        |    CASE WHEN COALESCE(cnt.n_sh, 0) = 0 THEN 0.0
+        |         ELSE CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / cnt.n_sh END AS overlap_frac
+        |  FROM train tr LEFT JOIN cnt ON cnt.doc_id = tr.doc_id
+        |  LEFT JOIN hits ON hits.doc_id = tr.doc_id)
+        |SELECT doc_id, n_sh, n_overlap, overlap_frac,
+        |  (overlap_frac >= 0.3 AND n_sh > 0) AS contaminated
+        |FROM frac ORDER BY doc_id""".stripMargin,
+    "l48_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, 'NAV MENU HOME ABOUT' || chr(10) || text || chr(10) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'SUBSCRIBE NOW' || chr(10) ELSE '' END) ||
+        |    'doc-' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM corpus),
+        |freq AS (
+        |  SELECT lower(trim(line)) AS l, COUNT(DISTINCT doc_id) AS df
+        |  FROM lines WHERE length(trim(line)) > 0 GROUP BY 1),
+        |boiler AS (SELECT l FROM freq WHERE df > 3),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE lower(trim(line)) NOT IN (SELECT l FROM boiler)),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, len(string_split(c.text, chr(10))) AS n_lines,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  md5(COALESCE(r.text_clean, '')) AS clean_md5
+        |FROM corpus c LEFT JOIN reb r ON r.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin
   )
 }

@@ -47,6 +47,39 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("bloomOverlapStats is bit-identical to the exact path (no-false-negative + exact verify)") {
+    val eval = df(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs today"))
+    val train = df(
+      (1L, "the quick brown fox jumps somewhere else entirely today"),
+      (2L, "completely different words with no common trigram here"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "pack my box with five dozen other things"),
+      (5L, "a b")) // too short for trigrams
+    val exact = Decontaminate.overlapStats(train, eval, "doc_id", "text", 3, 0.4)
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val bloom = Decontaminate.bloomOverlapStats(train, eval, "doc_id", "text", 3, 0.4,
+        expectedEvalShingles = 1024)
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(bloom == exact)
+    assert(exact.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L)) // every train row surfaced
+  }
+
+  test("bloom probe sits in the plan (prefilter really runs) and survives a tiny filter") {
+    // an undersized filter raises fpp — results must STILL be exact,
+    // only the prefilter's selectivity degrades
+    val eval = df((100L, "u v w x y z"))
+    val train = df((1L, "u v w completely unrelated"), (2L, "p q r s t u"))
+    val q = Decontaminate.bloomOverlapStats(train, eval, "doc_id", "text", 3, 0.5,
+      expectedEvalShingles = 4)
+    assert(q.queryExecution.executedPlan.toString.contains("might_contain"),
+      "BloomFilterMightContain must appear in the physical plan")
+    val exact = Decontaminate.overlapStats(train, eval, "doc_id", "text", 3, 0.5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(q.orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq == exact)
+  }
+
   test("overlap is computed on DISTINCT n-grams: repeats in train don't inflate the count") {
     val eval = df((100L, "x y z"))
     val train = df((1L, "x y z x y z x y z")) // trigram "x y z" appears 3 times
