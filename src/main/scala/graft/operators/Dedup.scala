@@ -110,15 +110,28 @@ object Dedup {
   def bandFrame(shingleFrame: DataFrame, id: String,
                 numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    // Kirsch–Mitzenmacher double hashing: ONE md5 per shingle row
+    // yields two independent 48-bit halves, and hash_i = h1 + i·h2
+    // simulates the seed family (the published result for bloom/minhash
+    // seed derivation). This replaced numHashes md5 evaluations per
+    // shingle row with one — the wide-agg was the measured constant
+    // factor in l6/l12 — and the oracle mirrors the same arithmetic on
+    // the same hex substrings, so values stay engine-exact. 48-bit
+    // halves keep h1 + 7·h2 < 2^52: no signed-64 overflow, no modulus.
     val sh = shingleFrame.withColumn("fp", md5(col("s")))
+    val h1 = conv(substring(col("fp"), 1, 12), 16, 10).cast("long")
+    val h2 = conv(substring(col("fp"), 13, 12), 16, 10).cast("long")
     val wide = sh.groupBy(col(id)).agg(
-      min(md5(concat(lit("0|"), col("fp")))).as("mh_0"),
+      min(h1).as("mh_0"),
       (1 until numHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("fp")))).as(s"mh_$i")): _*)
+        min(h1 + lit(i.toLong) * h2).as(s"mh_$i")): _*)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val mems = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      concat_ws("|", array_sort(array(mems: _*))).as(s"bsig_$b")
+      // sort NUMERICALLY, then stringify — a string sort would order
+      // "10" before "9" and engines could legitimately disagree on
+      // signature layout
+      concat_ws("|", array_sort(array(mems: _*)).cast("array<string>")).as(s"bsig_$b")
     }
     val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
     wide.select(col(id) +: bandCols: _*)

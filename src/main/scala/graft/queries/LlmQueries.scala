@@ -630,7 +630,9 @@ object LlmQueries {
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
+        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
@@ -645,7 +647,9 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
+        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
@@ -684,7 +688,9 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
+        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
@@ -1051,7 +1057,9 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
+        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
@@ -1153,7 +1161,9 @@ object LlmQueries {
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
+        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
@@ -1270,7 +1280,9 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |mh AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(s))) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
+        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
