@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fixed 16-bit odd constants for the derived minhash seed family
+    * (hash_i = A(i)·h1 + B(i)·h2 over the two md5 halves) — mirrored
+    * literally in every minhash oracle SQL, so they are part of the
+    * cross-engine contract and must not change silently. */
+  private[graft] val MinhashA =
+    Array(40503L, 34283L, 49843L, 10193L, 5717L, 9539L, 62989L, 55021L)
+  private[graft] val MinhashB =
+    Array(27179L, 43691L, 20117L, 51347L, 7129L, 63577L, 31769L, 44201L)
+
+  /** First prime past 2^40 — the modulus of the derived seed family. */
+  private[graft] val MinhashP = 1099511627791L
+
   /** Exact dedup by content hash: one representative (min id) per hash
     * plus duplicate count. Streaming form: dropDuplicates on the hash
     * with a watermark. */
@@ -110,24 +122,37 @@ object Dedup {
   def bandFrame(shingleFrame: DataFrame, id: String,
                 numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    // Kirsch–Mitzenmacher double hashing: ONE md5 per shingle row
-    // yields two independent 48-bit halves, and hash_i = h1 + i·h2
-    // simulates the seed family (the published result for bloom/minhash
-    // seed derivation). This replaced numHashes md5 evaluations per
-    // shingle row with one — the wide-agg was the measured constant
-    // factor in l6/l12 — and the oracle mirrors the same arithmetic on
-    // the same hex substrings, so values stay engine-exact. 48-bit
-    // halves keep h1 + 7·h2 < 2^52: no signed-64 overflow, no modulus.
+    // Seed family from ONE md5 per shingle row (was numHashes md5s —
+    // the measured constant factor in l6/l12): the textbook universal
+    // hash h_i = (a_i·h1 + b_i·h2) mod p over the two 40-bit md5
+    // halves, p the first prime past 2^40. The MODULUS is load-bearing:
+    // without it every seed preserves the shingles' magnitude order
+    // (the top bits of a·h1 + b·h2 barely move with the constants), so
+    // one globally-small shared shingle became EVERY seed's argmin for
+    // both docs and band false positives jumped 26 → 167 pairs at
+    // sf0.01; the mod wraps ~2^16 times and re-randomizes each seed's
+    // ordering (back to 26 candidate pairs — the md5 family's
+    // precision). 16-bit × 40-bit terms stay < 2^57: no signed-64
+    // overflow. The oracle mirrors the exact constants, substrings and
+    // modulus, so values stay engine-exact.
+    require(numHashes <= MinhashA.length, s"at most ${MinhashA.length} derived hashes")
     val sh = shingleFrame.withColumn("fp", md5(col("s")))
-    val h1 = conv(substring(col("fp"), 1, 12), 16, 10).cast("long")
-    val h2 = conv(substring(col("fp"), 13, 12), 16, 10).cast("long")
+    val h1 = conv(substring(col("fp"), 1, 10), 16, 10).cast("long")
+    val h2 = conv(substring(col("fp"), 11, 10), 16, 10).cast("long")
+    def seedHash(i: Int): Column =
+      (lit(MinhashA(i)) * h1 + lit(MinhashB(i)) * h2) % lit(MinhashP)
     val wide = sh.groupBy(col(id)).agg(
-      min(h1).as("mh_0"),
-      (1 until numHashes).map(i =>
-        min(h1 + lit(i.toLong) * h2).as(s"mh_$i")): _*)
+      min(seedHash(0)).as("mh_0"),
+      (1 until numHashes).map(i => min(seedHash(i)).as(s"mh_$i")): _*)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
-      val mems = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      // band b takes the STRIDED seeds {b, b+nBands, ...} (seed % nBands
+      // = b), not adjacent ones: h1 + i·h2 minima correlate for
+      // neighboring i (small i tracks argmin h1, large i argmin h2), so
+      // adjacent-seed bands behaved like ~1 effective hash and candidate
+      // false positives jumped ~5×. Distant seeds restore near-sim^r
+      // band collision rates at zero extra hashing cost.
+      val mems = (0 until rowsPerBand).map(k => col(s"mh_${b + k * nBands}"))
       // sort NUMERICALLY, then stringify — a string sort would order
       // "10" before "9" and engines could legitimately disagree on
       // signature layout

@@ -631,10 +631,13 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |mh AS (SELECT doc_id, seed,
-        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
-        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |bands AS (SELECT doc_id, seed % 4 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
         |          FROM mh GROUP BY 1, 2)
         |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -648,10 +651,13 @@ object LlmQueries {
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |mh AS (SELECT doc_id, seed,
-        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
-        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |bands AS (SELECT doc_id, seed % 4 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
         |          FROM mh GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -689,10 +695,13 @@ object LlmQueries {
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |mh AS (SELECT doc_id, seed,
-        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
-        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |bands AS (SELECT doc_id, seed % 4 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
         |          FROM mh GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -1058,10 +1067,13 @@ object LlmQueries {
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |mh AS (SELECT doc_id, seed,
-        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
-        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |bands AS (SELECT doc_id, seed % 4 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
         |          FROM mh GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -1162,10 +1174,13 @@ object LlmQueries {
         |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
         |       WHERE len(ws) >= 3),
         |mh AS (SELECT doc_id, seed,
-        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
-        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |bands AS (SELECT doc_id, seed % 4 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
         |          FROM mh GROUP BY 1, 2),
         |m AS (SELECT x.doc_id AS did, MIN(y.doc_id) AS first_match,
@@ -1281,10 +1296,13 @@ object LlmQueries {
         |       WHERE len(ws) >= 3),
         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |mh AS (SELECT doc_id, seed,
-        |         MIN(CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) +
-        |             seed * CAST('0x' || substr(md5(s), 13, 12) AS BIGINT)) AS mh
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
         |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |bands AS (SELECT doc_id, seed % 4 AS band,
         |            array_to_string(list_sort(list(mh)), '|') AS bsig
         |          FROM mh GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
