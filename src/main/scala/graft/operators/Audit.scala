@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-audit operators: the reports a training-data pipeline runs
+  * before a corpus ships — split-leakage checks and per-source
+  * datasheets ("corpus cards"). Both compose the dedup/quality
+  * primitives and aggregate to tiny frames, so they are cheap enough to
+  * run on every ingest cycle at 100 TB: the expensive inputs (near-dup
+  * pairs, quality features) are the artifacts the pipeline already
+  * computes, and the audit itself is one groupBy over them.
+  */
+object Audit {
+
+  /** Near-dup leakage matrix across data splits: for every unordered
+    * split pair, how many verified near-dup pairs straddle it. A
+    * non-zero (train, test) row is exactly the eval-contamination bug
+    * deterministic splits are supposed to prevent — after near-dup-aware
+    * splitting, every off-diagonal count must be zero.
+    *
+    * `pairs` is any (da, db) frame (e.g. `Dedup.lshVerifiedPairs`);
+    * `splits` maps id → split label. The split frame is a projection of
+    * the corpus (broadcast-sized labels), and the pairs frame is
+    * |near-dups| — at 100 TB the join input is the dedup output already
+    * in hand, never the corpus itself. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame, id: String,
+                   splitCol: String = "split"): DataFrame = {
+    val sa = splits.select(col(id).as("da"), col(splitCol).as("split_a"))
+    val sb = splits.select(col(id).as("db"), col(splitCol).as("split_b"))
+    pairs.select(col("da"), col("db"))
+      .join(sa, Seq("da")).join(sb, Seq("db"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+  }
+
+  /** Per-source corpus datasheet: document count, size, token means,
+    * short-doc and exact-duplicate counts, detected-language count —
+    * the "corpus card" row a curation run publishes per source. All
+    * inputs are map-side projections; the only shuffle is the final
+    * groupBy(source), whose cardinality is |sources|. */
+  def corpusCard(docs: DataFrame, id: String, text: String,
+                 source: String, langCol: org.apache.spark.sql.Column,
+                 shortTokenFloor: Int = 20): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokenCount(col(text))
+    val perDoc = docs.select(col(source).as("source"), col(id),
+      length(col(text)).as("chars"), toks.as("toks"),
+      md5(col(text)).as("chash"), langCol.as("lang"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        (sum(col("toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+        sum(when(col("toks") < shortTokenFloor, 1L).otherwise(0L)).as("n_short"),
+        (count(lit(1)) - countDistinct(col("chash"))).as("n_exact_dupes"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+  }
+}

@@ -582,6 +582,31 @@ object LlmQueries {
         .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
           col("n_kept"), md5(col("text_clean")).as("clean_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-split leakage audit: verified near-dup pairs classified by
+    // the (deterministic l15) split of each endpoint — any off-diagonal
+    // row is eval contamination a near-dup-aware splitter must prevent.
+    "l49_split_leakage" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = substring(
+        md5(concat(lit("split42|"), col("doc_id").cast("string"))), 1, 2)
+      val splits = docs.select(col("doc_id"),
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      graft.operators.Audit.splitLeakage(pairs, splits, "doc_id")
+        .orderBy(col("split_lo"), col("split_hi"))
+    }),
+
+    // Per-source corpus datasheet ("corpus card"): the publication row a
+    // curation run emits per source — counts, sizes, short-doc and
+    // exact-dup tallies, detected-language composition.
+    "l50_corpus_card" -> ((s, dir) => {
+      graft.operators.Audit.corpusCard(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", TextFunctions.langId(col("text")))
+        .orderBy(col("source"))
     })
   )
 
@@ -1472,6 +1497,64 @@ object LlmQueries {
         |  COALESCE(r.n_kept, 0) AS n_kept,
         |  md5(COALESCE(r.text_clean, '')) AS clean_md5
         |FROM corpus c LEFT JOIN reb r ON r.doc_id = c.doc_id
-        |ORDER BY c.doc_id""".stripMargin
+        |ORDER BY c.doc_id""".stripMargin,
+    "l49_split_leakage" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed % 4 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.da
+        |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |          GROUP BY 1, 2),
+        |ver AS (SELECT da, db
+        |        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |        WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents)
+        |SELECT least(a.split, b.split) AS split_lo, greatest(a.split, b.split) AS split_hi,
+        |  COUNT(*) AS n_pairs, least(a.split, b.split) <> greatest(a.split, b.split) AS leaky
+        |FROM ver JOIN sp a ON a.doc_id = ver.da JOIN sp b ON b.doc_id = ver.db
+        |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
+    "l50_corpus_card" ->
+      """WITH f AS (
+        |  SELECT source, length(text) AS chars,
+        |    len(regexp_extract_all(text, '\S+')) AS toks,
+        |    md5(text) AS chash,
+        |    CASE WHEN en + de + fr + es = 0 THEN 'und'
+        |         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |         WHEN de >= fr AND de >= es THEN 'de'
+        |         WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang
+        |  FROM (SELECT source, text,
+        |    len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['the','a','and','of','is'], x))) AS en,
+        |    len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        |    len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['le','la','et','les','est'], x))) AS fr,
+        |    len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['el','los','y','las','es'], x))) AS es
+        |  FROM documents))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(CASE WHEN toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  COUNT(*) - COUNT(DISTINCT chash) AS n_exact_dupes,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("splitLeakage classifies pairs by unordered split endpoints and flags cross-split rows") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (2L, 3L)).toDF("da", "db")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "val"), (5L, "val")).toDF("doc_id", "split")
+    val out = Audit.splitLeakage(pairs, splits, "doc_id")
+      .orderBy("split_lo", "split_hi")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    // (1,2)=train/test leak, (1,3)=train/train, (4,5)=val/val, (2,3)=test/train leak
+    assert(out == Seq(
+      ("test", "train", 2L, true),
+      ("train", "train", 1L, false),
+      ("val", "val", 1L, false)))
+  }
+
+  test("corpusCard aggregates per-source counts, sizes, short docs, exact dupes, language") {
+    val docs = Seq(
+      (1L, "web", "the a and of is something rather longer than the floor limit yes truly"),
+      (2L, "web", "the a and of is something rather longer than the floor limit yes truly"),
+      (3L, "web", "tiny"),
+      (4L, "books", "der die das und ist ein buch text hier")).toDF("doc_id", "source", "text")
+    val out = Audit.corpusCard(docs, "doc_id", "text", "source",
+        graft.functions.TextFunctions.langId(col("text")), shortTokenFloor = 5)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Long, Long, Long)].collect().toSeq
+    val Seq(books, web) = out
+    assert(books._1 == "books" && books._2 == 1L && books._5 == 0L &&
+      books._6 == 0L && books._7 == 0L) // german, not short, no dupes
+    assert(web._1 == "web" && web._2 == 3L)
+    assert(web._5 == 1L)      // "tiny" is short
+    assert(web._6 == 1L)      // docs 1 and 2 are byte-identical → one dupe
+    assert(web._7 == 2L)      // two english docs ("tiny" has no stopwords)
+    assert(math.abs(web._4 - (14 + 14 + 1) / 3.0) < 1e-9) // avg tokens
+  }
+}
