@@ -243,6 +243,23 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
+    }),
+
+    // J4 LEFT OUTER interval join — the unmatched-side emission outer
+    // stream-stream joins add (StreamingSliceSpec proves the streaming
+    // leg's watermark-gated null emission; this grades the operator's
+    // values through StreamJoins.windowed itself, symmetric ±4h bound).
+    "j4_interval_left" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      graft.streaming.StreamJoins.windowed(c, p, "user_id", "p_user",
+          "c_ts", "p_ts", withinMs = 4L * 3600 * 1000, joinType = "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -323,6 +340,13 @@ object EventQueries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "j4_interval_left" ->
+      """SELECT c.user_id, COUNT(*) AS n_rows, COUNT(p.ts) AS n_matched
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts - INTERVAL 4 HOUR AND p.ts <= c.ts + INTERVAL 4 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -607,6 +607,19 @@ object LlmQueries {
       graft.operators.Audit.corpusCard(Tables.load(s, dir, "documents"),
           "doc_id", "text", "source", TextFunctions.langId(col("text")))
         .orderBy(col("source"))
+    }),
+
+    // Curriculum difficulty binning: fixed-width score bins (NOT a
+    // global ntile — a single-partition window is the 100 TB
+    // anti-pattern; width-0.1 bins are map-side and layout-invariant,
+    // and a curriculum sampler composes them with l23's rate machinery).
+    "l51_difficulty_bins" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("bin", least(lit(9L), floor(col("q") * 10).cast("long")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -1555,6 +1568,25 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
         |  COUNT(*) - COUNT(DISTINCT chash) AS n_exact_dupes,
         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l51_difficulty_bins" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |        x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+        |      / NULLIF(len(regexp_extract_all(text, '\S+')), 0) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS upper_ratio,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |    -1.5 + 3.0 * stop_ratio - 8.0 * punct_ratio - 2.0 * upper_ratio
+        |      + 0.35 * ln(1.0 + n_tokens) AS z
+        |  FROM f),
+        |q AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS q FROM z)
+        |SELECT least(9, CAST(floor(q * 10) AS BIGINT)) AS bin, COUNT(*) AS n,
+        |  MIN(q) AS q_min, MAX(q) AS q_max
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -110,6 +110,35 @@ class StreamingSliceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by the watermark horizon (W12 at scale)") {
+    // plain dropDuplicates keeps every id forever; the WithinWatermark
+    // form evicts an id once the watermark passes its horizon — the
+    // only shape a 100 TB/day stream can run. Eviction is observable:
+    // a duplicate arriving after expiry re-emits.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val deduped = in.toDF.toDF("event_id", "sec")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"))
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      in.addData(("e1", 10.0), ("e1", 11.0), ("e2", 12.0)) // in-batch dup
+      q.processAllAvailable()
+      in.addData(("e1", 13.0)) // cross-batch dup, inside the horizon
+      q.processAllAvailable()
+      in.addData(("adv", 100.0)) // watermark → 95, evicts e1/e2 state
+      q.processAllAvailable()
+      in.addData(("e1", 101.0)) // same id, AFTER eviction → re-emits
+      q.processAllAvailable()
+      val counts = spark.table("dedup_wm_out").groupBy("event_id").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts == Map("e1" -> 2L, "e2" -> 1L, "adv" -> 1L),
+        s"horizon dedup mismatch: $counts")
+    } finally q.stop()
+  }
+
   test("foldAggregator: the fold callback as a first-class aggregate in Dataset agg and SQL") {
     import org.apache.spark.sql.functions._
     // (count, sum) stats fold with an associative merge → map-side
