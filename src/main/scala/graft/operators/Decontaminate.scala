@@ -77,8 +77,15 @@ object Decontaminate {
     // the filter rides a scalar subquery (the only form might_contain
     // accepts), evaluated once and shipped to every probe task
     val bloom = bloomOf(evalSh, xxhash64(col("s")), expectedEvalShingles)
+    // persisted: the maybe/clean branch split below consumes the marked
+    // frame twice, and without staging the tokenize→explode→distinct
+    // pass (a full shuffle) would run once per branch. At 100 TB this
+    // is the staged shingle artifact a production run writes to storage
+    // between the mark and verify phases; callers' clearCache() (or the
+    // next action's eviction) reclaims it.
     val marked = trainSh
       .withColumn("maybe", mightContain(bloom, xxhash64(col("s"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // survivors verify exactly; definite misses skip the join entirely
     // and feed the SAME single groupBy(id) through the union, keeping
     // the one-aggregation discipline of the exact path

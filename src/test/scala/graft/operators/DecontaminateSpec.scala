@@ -73,8 +73,10 @@ class DecontaminateSpec extends AnyFunSuite {
     val train = df((1L, "u v w completely unrelated"), (2L, "p q r s t u"))
     val q = Decontaminate.bloomOverlapStats(train, eval, "doc_id", "text", 3, 0.5,
       expectedEvalShingles = 4)
-    assert(q.queryExecution.executedPlan.toString.contains("might_contain"),
-      "BloomFilterMightContain must appear in the physical plan")
+    // the probe sits inside the persisted marked frame — assert on the
+    // analyzed plan, which prints the pre-cache-substitution tree
+    assert(q.queryExecution.analyzed.toString.contains("might_contain"),
+      "BloomFilterMightContain must appear in the plan")
     val exact = Decontaminate.overlapStats(train, eval, "doc_id", "text", 3, 0.5)
       .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
     assert(q.orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq == exact)

@@ -39,6 +39,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected one groupBy(doc_id) pass (<=4 HashAggregate nodes keyed on doc_id), got $hashAggs")
   }
 
+  test("bloom decontamination: scalar-subquery bloom probe prefilters the train shingles") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val q = graft.operators.Decontaminate.bloomOverlapStats(
+      train = docs.filter(col("doc_id") % 40 =!= 0),
+      eval = docs.filter(col("doc_id") % 40 === 0),
+      "doc_id", "text", n = 3, flagFrac = 0.3, expectedEvalShingles = 1 << 16)
+    // the probe/aggregate live inside the persisted marked frame, so
+    // they are asserted on the ANALYZED plan (pre-cache-substitution);
+    // the executed plan must show both branches reading the cache
+    val analyzed = q.queryExecution.analyzed.toString
+    assert(analyzed.contains("might_contain"),
+      "the bloom membership probe must prefilter the train shingle stream")
+    assert(analyzed.contains("bloom_filter_agg"),
+      "the filter must be built by the one-pass BloomFilterAggregate subquery")
+    // the maybe/clean branch split must read the STAGED marked frame,
+    // not re-run the tokenize→explode→distinct shuffle per branch
+    assert(q.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "both branches must read the persisted marked shingle frame")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("multi-table LSH pairs: vectors join back AFTER candidate dedup (ids only in the bucket join)") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val q = graft.operators.Similarity.lshCosinePairs(
