@@ -609,6 +609,25 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // LSH recall report: the production dedup path (l16) measured
+    // in-engine against the exact n-gram Jaccard ground truth (l5) at
+    // the same threshold. Verified pairs are a SUBSET of exact pairs by
+    // construction (same jaccard > t filter), so precision is 1 and the
+    // single number that matters is recall — the artifact a pipeline
+    // publishes to justify its band/hash configuration.
+    "l52_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("da"), col("db"))
+      val lsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+        .select(col("da"), col("db"), lit(1).as("hit"))
+      exact.join(lsh, Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_lsh"))
+        .select(col("n_exact"), col("n_lsh"),
+          (col("n_lsh").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     // Curriculum difficulty binning: fixed-width score bins (NOT a
     // global ntile — a single-partition window is the 100 TB
     // anti-pattern; width-0.1 bins are map-side and layout-invariant,
@@ -1569,6 +1588,41 @@ object LlmQueries {
         |  COUNT(*) - COUNT(DISTINCT chash) AS n_exact_dupes,
         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l52_lsh_recall" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |einter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |exact AS (SELECT da, db
+        |          FROM einter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |          WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8),
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed % 4 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |vinter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |           FROM cand c
+        |           JOIN sh a ON a.doc_id = c.da
+        |           JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |           GROUP BY 1, 2),
+        |lsh AS (SELECT da, db
+        |        FROM vinter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |        WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8)
+        |SELECT COUNT(*) AS n_exact, COUNT(l.da) AS n_lsh,
+        |  CAST(COUNT(l.da) AS DOUBLE) / COUNT(*) AS recall
+        |FROM exact e LEFT JOIN lsh l ON l.da = e.da AND l.db = e.db""".stripMargin,
     "l51_difficulty_bins" ->
       """WITH f AS (SELECT doc_id,
         |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
