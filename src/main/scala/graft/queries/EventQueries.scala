@@ -170,6 +170,55 @@ object EventQueries {
       }
     }),
 
+    // W3 session semantics on the Spark 4 TIMER API: sessionizeTws
+    // splits sessions in-batch (strict gap, session_window-compatible)
+    // and closes the trailing session per key from handleExpiredTimer
+    // once the watermark passes its gap — output produced by TIMERS,
+    // not input rows. The oracle is the batch session computation
+    // restricted to sessions the final watermark (max ts) can close;
+    // the whole file arrives in one AvailableNow batch, so in-batch
+    // splits are deterministic.
+    "w9_tws_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ets", "0 seconds")
+          .select(col("user_id"), unix_micros(col("ets")).as("us"))
+          .as[(Long, Long)]
+        // session arithmetic in µs; engine timers are ms (msPerUnit).
+        // AvailableNow runs a trailing no-data batch after the data
+        // batch advances the watermark to max(ts), so exactly the
+        // sessions whose ceiling-ms expiry the final watermark passes
+        // close via handleExpiredTimer — the oracle mirrors that
+        // boundary arithmetic literally.
+        val sessions = graft.streaming.KeyedState
+          .sessionizeTws(src, gap = 6L * 3600 * 1000 * 1000, msPerUnit = 1000)
+          .map { case (u, startUs, _, n) => (u, startUs / 1000000L, n) }
+          .toDF("user_id", "session_start", "n")
+        val sink = "tws_sess_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_sess").toString
+        val q = sessions.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy(col("user_id"), col("session_start"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }),
+
     // W12 idempotent dedup: first event per (user_id, event_type) —
     // deterministic min-id representative rather than dropDuplicates'
     // arbitrary row, so the oracle can match it.
@@ -318,6 +367,25 @@ object EventQueries {
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w9_tws_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n
+        |         FROM s GROUP BY user_id, sid)
+        |SELECT user_id, CAST(floor(epoch(start_ts)) AS BIGINT) AS session_start, n
+        |FROM sess
+        |-- the engine's timer clock is MILLISECONDS: a session closes iff
+        |-- floor(watermark µs / 1000) >= ceil((end + gap) µs / 1000) —
+        |-- mirrored exactly (timestamps are µs-precision in this data)
+        |WHERE epoch_us((SELECT MAX(ts) FROM events)) // 1000
+        |      >= (epoch_us(end_ts) + 21600000000 + 999) // 1000
+        |ORDER BY user_id, session_start""".stripMargin,
     "w12_dedup_first" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary per-key fold state (reference: windowed fold aggregation
   * pspf/stream.py:349-471 and Context.state KV surface
@@ -106,6 +106,82 @@ object KeyedState {
       }
     }
     ds.groupByKey(key).transformWithState(proc, timeMode, OutputMode.Update())
+  }
+
+  /** Timer-driven session close on `transformWithState` (event-time
+    * mode) — the decoupled-timer half of the Spark 4 state API that
+    * mapGroupsWithState could only approximate with per-batch timeout
+    * checks. Per key the processor folds (start, lastTs, count),
+    * re-arms ONE event-time timer at lastTs + gap on every update
+    * (deleting the stale one), and emits the closed session from
+    * `handleExpiredTimer` once the watermark passes the gap — output is
+    * produced by the TIMER, not by input rows, which is exactly the
+    * reference's "emit the session when it goes quiet" contract
+    * (session windows, pspf/processing/windows.py:49-65) without
+    * holding the whole session's rows. Input must carry a watermark;
+    * rows are (key, eventTime) in any integer unit (ms, µs) with `gap`
+    * in the same unit; output (key, start, end, n). ENGINE TIMERS ARE
+    * EPOCH-MILLISECONDS — `msPerUnit` (1 for ms, 1000 for µs) converts
+    * a unit expiry to its ceiling millisecond for registerTimer, so a
+    * timer never fires before the true expiry; the session arithmetic
+    * itself stays in full input precision. Requires the RocksDB state
+    * store provider. */
+  def sessionizeTws[K: Encoder](ds: Dataset[(K, Long)], gap: Long,
+                                msPerUnit: Long = 1L)(
+      implicit st3: Encoder[(Long, Long, Long)],
+      out: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] = {
+    require(gap > 0, s"session gap must be positive, got $gap")
+    require(msPerUnit >= 1, s"msPerUnit must be >= 1, got $msPerUnit")
+    val sEnc = implicitly[Encoder[(Long, Long, Long)]]
+    // ceiling-ms of a session's expiry (end-of-session + gap, in input
+    // units) — the value registered with the engine's ms timer clock
+    def timerMs(last: Long): Long = (last + gap + (msPerUnit - 1)) / msPerUnit
+    val proc = new StatefulProcessor[K, (K, Long), (K, Long, Long, Long)] {
+      @transient private var st: ValueState[(Long, Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Long, Long)]("sess", sEnc, TTLConfig.NONE)
+      override def handleInputRows(k: K, rows: Iterator[(K, Long)],
+                                   tv: TimerValues): Iterator[(K, Long, Long, Long)] = {
+        // the batch slice sorts (bounded by the key's per-batch volume,
+        // the same contract as the as-of join's group fold) and splits
+        // on a STRICT gap — events exactly gap apart merge, matching
+        // session_window. Sessions closed by in-batch evidence emit
+        // immediately; only the trailing open session waits on a timer.
+        val ts = rows.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        val closed = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Long)]
+        var (start, last, n) = if (st.exists()) st.get() else (0L, 0L, 0L)
+        val hadOpen = n > 0
+        val oldEnd = last
+        ts.foreach { t =>
+          if (n == 0) { start = t; last = t; n = 1 }
+          else if (t - last > gap) {
+            closed += ((k, start, last, n)); start = t; last = t; n = 1
+          } else { // cross-batch stragglers may precede the carried start
+            if (t < start) start = t
+            if (t > last) last = t
+            n += 1
+          }
+        }
+        st.update((start, last, n))
+        if (!hadOpen) getHandle.registerTimer(timerMs(last))
+        else if (last != oldEnd) { // re-arm: drop the stale timer first
+          getHandle.deleteTimer(timerMs(oldEnd))
+          getHandle.registerTimer(timerMs(last))
+        }
+        closed.iterator // watermark-closed sessions emit from the timer
+      }
+      override def handleExpiredTimer(k: K, tv: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[(K, Long, Long, Long)] =
+        if (st.exists()) {
+          val (start, last, n) = st.get()
+          if (info.getExpiryTimeInMs >= timerMs(last)) {
+            st.clear()
+            Iterator.single((k, start, last, n))
+          } else Iterator.empty // superseded by a newer arrival's timer
+        } else Iterator.empty
+    }
+    ds.groupByKey(_._1).transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** The reference fold callback promoted to a FIRST-CLASS typed

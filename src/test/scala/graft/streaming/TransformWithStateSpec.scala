@@ -73,6 +73,50 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTws: event-time timers close sessions once the watermark passes the gap") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Double)] // (key, epoch seconds)
+      val ds = in.toDF().toDF("key", "sec")
+        .select(col("key"), timestamp_seconds(col("sec")).as("ts"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("key"), (unix_micros(col("ts")) / 1000).cast("long").as("ms"))
+        .as[(String, Long)]
+      val sessions = KeyedState.sessionizeTws(ds, gap = 10000)
+        .toDF("key", "start_ms", "end_ms", "n")
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("sess_tws").start()
+      def rows(): Set[(String, Long, Long, Long)] =
+        spark.table("sess_tws").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def await(expect: Set[(String, Long, Long, Long)]): Unit = {
+        // timers fire in the no-data batch AFTER the watermark advances —
+        // poll instead of assuming processAllAvailable covers it
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (rows() != expect && System.nanoTime() < deadline &&
+          q.exception.isEmpty) Thread.sleep(100)
+        assert(rows() == expect, s"got ${rows()}; query exception: ${q.exception}")
+      }
+      try {
+        in.addData(("a", 10.0), ("a", 12.0), ("b", 11.0))
+        q.processAllAvailable() // watermark 12s: no session is 10s quiet yet
+        assert(rows().isEmpty, "no session may close before the gap elapses")
+        in.addData(("a", 15.0)) // extends a's session (re-arms its timer)
+        q.processAllAvailable()
+        in.addData(("c", 100.0)) // watermark 100s: a (quiet since 15) and b close
+        await(Set(("a", 10000L, 15000L, 3L), ("b", 11000L, 11000L, 1L)))
+        in.addData(("z", 200.0)) // watermark 200s: c closes; z stays open
+        await(Set(("a", 10000L, 15000L, 3L), ("b", 11000L, 11000L, 1L),
+          ("c", 100000L, 100000L, 1L)))
+        // two d bursts 50s apart in ONE batch: the first closes on
+        // in-batch evidence (no watermark wait), the second stays open
+        in.addData(("d", 300.0), ("d", 350.0))
+        await(Set(("a", 10000L, 15000L, 3L), ("b", 11000L, 11000L, 1L),
+          ("c", 100000L, 100000L, 1L), ("d", 300000L, 300000L, 1L)))
+      } finally q.stop()
+    }
+  }
+
   test("a non-NONE TTL starts (processing-time mode) and folds normally within the TTL window") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
