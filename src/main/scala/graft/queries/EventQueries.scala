@@ -219,6 +219,50 @@ object EventQueries {
       }
     }),
 
+    // Per-key running top-k on transformWithState LIST state: the
+    // named-variable API (ListState + ValueState) graded end-to-end.
+    // State is bounded at k (score, id) pairs per key forever; the
+    // latest Update emission per key (max running seen-count) is the
+    // final top-k, which a batch ROW_NUMBER oracle mirrors exactly
+    // (score desc, event_id asc tie-break, exact integer cents).
+    "w10_tws_topk" -> ((s, dir) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("user_id"), (dec("value") * 100).cast(LongType).as("cents"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+        val topk = graft.streaming.KeyedState.topKTws(src, k = 3)
+          .toDF("user_id", "n_seen", "rk", "cents", "event_id")
+        val sink = "tws_topk_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_topk").toString
+        val q = topk.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val t = s.table(sink)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        t.withColumn("mx", max(col("n_seen")).over(w))
+          .filter(col("n_seen") === col("mx"))
+          .select(col("user_id"), col("rk").cast(LongType).as("rk"),
+            (col("cents").cast(DoubleType) / 100).as("value"), col("event_id"))
+          .orderBy(col("user_id"), col("rk"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }),
+
     // W12 idempotent dedup: first event per (user_id, event_type) —
     // deterministic min-id representative rather than dropDuplicates'
     // arbitrary row, so the oracle can match it.
@@ -386,6 +430,16 @@ object EventQueries {
         |WHERE epoch_us((SELECT MAX(ts) FROM events)) // 1000
         |      >= (epoch_us(end_ts) + 21600000000 + 999) // 1000
         |ORDER BY user_id, session_start""".stripMargin,
+    "w10_tws_topk" ->
+      """SELECT user_id, rk,
+        |  CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) / 100 AS value,
+        |  event_id
+        |FROM (SELECT user_id, value, event_id,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+        |                   event_id) AS rk
+        |      FROM events)
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
     "w12_dedup_first" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,

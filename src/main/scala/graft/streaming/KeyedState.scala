@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary per-key fold state (reference: windowed fold aggregation
   * pspf/stream.py:349-471 and Context.state KV surface
@@ -182,6 +182,46 @@ object KeyedState {
         } else Iterator.empty
     }
     ds.groupByKey(_._1).transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-key running top-k on `transformWithState` LIST state — the
+    * named-variable API surface beyond a single value blob. The state
+    * is the current top-k (score, id) pairs, merged and trimmed on
+    * every batch (bounded at k elements per key forever, however long
+    * the stream runs). Ordering is (score desc, id asc) — the
+    * deterministic tie-break a batch oracle can mirror. Emits the full
+    * current top-k each trigger in Update fashion, tagged with the
+    * running seen-count so a consumer can take the latest emission per
+    * key. Input (key, score, id); output (key, nSeen, rank, score, id).
+    */
+  def topKTws[K: Encoder](ds: Dataset[(K, Long, Long)], k: Int)(
+      implicit lEnc: Encoder[(Long, Long)], nEnc: Encoder[Long],
+      out: Encoder[(K, Long, Int, Long, Long)]): Dataset[(K, Long, Int, Long, Long)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairEnc = implicitly[Encoder[(Long, Long)]]
+    val longEnc = implicitly[Encoder[Long]]
+    val proc = new StatefulProcessor[K, (K, Long, Long), (K, Long, Int, Long, Long)] {
+      @transient private var top: ListState[(Long, Long)] = _
+      @transient private var seen: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        top = getHandle.getListState[(Long, Long)]("top", pairEnc, TTLConfig.NONE)
+        seen = getHandle.getValueState[Long]("seen", longEnc, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: K, rows: Iterator[(K, Long, Long)],
+                                   tv: TimerValues): Iterator[(K, Long, Int, Long, Long)] = {
+        val incoming = rows.map(r => (r._2, r._3)).toArray
+        val merged = (top.get().toArray ++ incoming)
+          .sortBy { case (score, id) => (-score, id) }
+          .take(k)
+        top.put(merged)
+        val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+        seen.update(n)
+        merged.iterator.zipWithIndex.map { case ((score, id), i) =>
+          (key, n, i + 1, score, id)
+        }
+      }
+    }
+    ds.groupByKey(_._1).transformWithState(proc, TimeMode.None(), OutputMode.Update())
   }
 
   /** The reference fold callback promoted to a FIRST-CLASS typed

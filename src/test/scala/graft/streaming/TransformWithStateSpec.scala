@@ -117,6 +117,69 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("topKTws: ListState keeps a bounded top-k per key across triggers with deterministic ties") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Long, Long)] // key, score, id
+      val topk = KeyedState.topKTws(in.toDS(), k = 2)
+        .toDF("key", "n_seen", "rk", "score", "id")
+      val q = topk.writeStream.outputMode("update")
+        .format("memory").queryName("tws_topk").start()
+      try {
+        in.addData(("a", 10L, 1L), ("a", 30L, 2L), ("a", 20L, 3L))
+        q.processAllAvailable()
+        in.addData(("a", 25L, 4L), ("a", 30L, 5L)) // 30 ties: lower id wins
+        q.processAllAvailable()
+        val t = spark.table("tws_topk")
+        val maxSeen = t.agg(max("n_seen")).collect().head.getLong(0)
+        assert(maxSeen == 5L, "seen-count must accumulate across triggers")
+        val fin = t.filter(col("n_seen") === maxSeen)
+          .select("rk", "score", "id").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        // top-2 of {10/1, 30/2, 20/3, 25/4, 30/5}: (30,2) then (30,5)
+        assert(fin == Set((1, 30L, 2L), (2, 30L, 5L)))
+      } finally q.stop()
+    }
+  }
+
+  test("MapState: per-(key, sub-key) counts as a named map variable (reference ctx.state KV)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+        TTLConfig, TimeMode, TimerValues}
+      val strEnc = implicitly[org.apache.spark.sql.Encoder[String]]
+      val longEnc = implicitly[org.apache.spark.sql.Encoder[Long]]
+      val proc = new StatefulProcessor[String, (String, String), (String, String, Long)] {
+        @transient private var counts: MapState[String, Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          counts = getHandle.getMapState[String, Long]("counts", strEnc, longEnc, TTLConfig.NONE)
+        override def handleInputRows(k: String, rows: Iterator[(String, String)],
+                                     tv: TimerValues): Iterator[(String, String, Long)] = {
+          rows.foreach { case (_, sub) =>
+            val cur = if (counts.containsKey(sub)) counts.getValue(sub) else 0L
+            counts.updateValue(sub, cur + 1)
+          }
+          counts.iterator().map { case (sub, n) => (k, sub, n) }
+        }
+      }
+      val in = MemoryStream[(String, String)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+        .toDF("key", "sub", "n")
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("tws_map").start()
+      try {
+        in.addData(("u1", "click"), ("u1", "click"), ("u1", "buy"), ("u2", "click"))
+        q.processAllAvailable()
+        in.addData(("u1", "click")) // map value increments across triggers
+        q.processAllAvailable()
+        val got = spark.table("tws_map").groupBy("key", "sub").agg(max("n").as("n"))
+          .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        assert(got == Map(("u1", "click") -> 3L, ("u1", "buy") -> 1L, ("u2", "click") -> 1L))
+      } finally q.stop()
+    }
+  }
+
   test("a non-NONE TTL starts (processing-time mode) and folds normally within the TTL window") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
