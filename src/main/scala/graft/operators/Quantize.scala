@@ -64,4 +64,84 @@ object Quantize {
       when(n2x === 0.0 || n2q === 0.0, lit(0.0))
         .otherwise(round(dotXQ / (sqrt(n2x) * sqrt(n2q)), 6)).as("cos_deq"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): split dim into m subspaces, code each
+  // subvector against a per-subspace codebook of k centroids, and search
+  // with asymmetric distance (ADC) over a k×m lookup table — the
+  // IVF-PQ memory layout every billion-vector ANN deployment runs
+  // (codes are m bytes/vector instead of dim×4). Codebooks here are
+  // prefix-initialized (first k vectors by id, the same deterministic
+  // discipline as l18's coarse quantizer); `Similarity.kmeansIters`
+  // composes per subspace when trained codebooks are wanted — assignment
+  // and ADC are identical either way.
+  // ---------------------------------------------------------------------
+
+  /** Squared L2 distance between two float vectors, 6-d.p. rounded —
+    * left-to-right fold, matching DuckDB's list_sum order exactly. */
+  private def sqDist(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, z) => acc + z), 6)
+
+  /** Per-subspace prefix codebooks: (sub, cid, cvec) — m×k rows, always
+    * broadcast-sized (m·k·(dim/m) floats ≪ executor memory). */
+  def pqCodebooks(emb: DataFrame, id: String, vec: String,
+                  dim: Int, m: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val d = dim / m
+    val base = emb.orderBy(col(id)).limit(k)
+      .select(col(id), col(vec))
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(id))) - 1)
+    base.select(col("cid").cast("long").as("cid"), col(vec),
+        posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")))
+      .select(col("sub").cast("long").as("sub"), col("cid"),
+        expr(s"slice($vec, sub * $d + 1, $d)").as("cvec"))
+  }
+
+  /** PQ codes per vector: (id, sub, code) — the argmin centroid per
+    * subspace (squared-L2, ties on lower cid). The codebook join is a
+    * broadcast; everything else is a codegen'd projection + one
+    * groupBy(id, sub) whose input is |vectors|·m·k scored rows. */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, id: String, vec: String,
+               dim: Int, m: Int): DataFrame = {
+    val d = dim / m
+    val sliced = emb.select(col(id), col(vec),
+        posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")))
+      .select(col(id), col("sub").cast("long").as("sub"),
+        expr(s"slice($vec, sub * $d + 1, $d)").as("svec"))
+    sliced.join(broadcast(codebooks), Seq("sub"))
+      .select(col(id), col("sub"),
+        struct(sqDist(col("svec"), col("cvec")).as("dist"), col("cid")).as("sc"))
+      .groupBy(col(id), col("sub"))
+      .agg(min(col("sc")).as("best"))
+      .select(col(id), col("sub"), col("best.cid").as("code"))
+  }
+
+  /** ADC top-k: distances from ONE probe vector to every coded vector,
+    * via the k×m lookup table dist(probe_sub, centroid) — each corpus
+    * vector costs m table lookups + an m-term sum, never a float-vector
+    * op. Returns (id, adc_dist) for the nearest `topK` (ties on id). */
+  def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, probe: DataFrame,
+                id: String, vec: String, dim: Int, m: Int, topK: Int): DataFrame = {
+    val d = dim / m
+    val probeSub = probe.select(col(vec),
+        posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")))
+      .select(col("sub").cast("long").as("sub"),
+        expr(s"slice($vec, sub * $d + 1, $d)").as("qvec"))
+    val dtab = codebooks.join(broadcast(probeSub), Seq("sub"))
+      .select(col("sub"), col("cid").as("code"),
+        sqDist(col("qvec"), col("cvec")).as("dsub"))
+    // per-sub distances become exact integer micros BEFORE the m-term
+    // sum: adding rounded doubles in partial-agg order is not
+    // associative, integer addition is — the sum is order-free and the
+    // oracle mirrors it exactly
+    codes.join(broadcast(dtab), Seq("sub", "code"))
+      .select(col(id), round(col("dsub") * 1000000).cast("long").as("du"))
+      .groupBy(col(id))
+      .agg((sum(col("du")).cast("double") / 1000000).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(id))
+      .limit(topK)
+  }
 }

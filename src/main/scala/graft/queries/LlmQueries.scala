@@ -628,6 +628,33 @@ object LlmQueries {
           (col("n_lsh").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    // Product quantization codes: each vector as m=4 one-byte codes
+    // against per-subspace prefix codebooks — the IVF-PQ memory layout
+    // (m bytes/vector vs dim×4). Assignment is squared-L2 argmin per
+    // subspace, ties on lower centroid id.
+    "l53_pq_codes" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = graft.operators.Quantize.pqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      graft.operators.Quantize.pqEncode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
+    // PQ asymmetric-distance search: one probe vector against the coded
+    // corpus via the k×m lookup table — each corpus vector costs m
+    // integer lookups + an exact integer-micro sum, never a float
+    // vector op. The 100 TB ANN serving shape.
+    "l54_pq_adc" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = graft.operators.Quantize.pqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      val codes = graft.operators.Quantize.pqEncode(
+        emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+      val probe = emb.filter(col("vec_id") === 0)
+      graft.operators.Quantize.pqAdcTopK(codes, cb, probe,
+        "vec_id", "embedding", dim = 64, m = 4, topK = 10)
+    }),
+
     // Curriculum difficulty binning: fixed-width score bins (NOT a
     // global ntile — a single-partition window is the 100 TB
     // anti-pattern; width-0.1 bins are map-side and layout-invariant,
@@ -1623,6 +1650,52 @@ object LlmQueries {
         |SELECT COUNT(*) AS n_exact, COUNT(l.da) AS n_lsh,
         |  CAST(COUNT(l.da) AS DOUBLE) / COUNT(*) AS recall
         |FROM exact e LEFT JOIN lsh l ON l.da = e.da AND l.db = e.db""".stripMargin,
+    "l53_pq_codes" ->
+      """WITH idx AS (SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.sub, cid, embedding[sub*16+1 : sub*16+16] AS cvec
+        |       FROM idx, UNNEST(generate_series(0, 3)) t(sub)),
+        |sv AS (SELECT vec_id, t.sub, embedding[sub*16+1 : sub*16+16] AS svec
+        |       FROM embeddings, UNNEST(generate_series(0, 3)) t(sub)),
+        |scored AS (SELECT sv.vec_id, sv.sub, cb.cid,
+        |    round(list_sum(list_transform(list_zip(sv.svec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dist
+        |  FROM sv JOIN cb ON cb.sub = sv.sub)
+        |SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, cid AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
+        |  FROM scored) WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin,
+    "l54_pq_adc" ->
+      """WITH idx AS (SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.sub, cid, embedding[sub*16+1 : sub*16+16] AS cvec
+        |       FROM idx, UNNEST(generate_series(0, 3)) t(sub)),
+        |sv AS (SELECT vec_id, t.sub, embedding[sub*16+1 : sub*16+16] AS svec
+        |       FROM embeddings, UNNEST(generate_series(0, 3)) t(sub)),
+        |scored AS (SELECT sv.vec_id, sv.sub, cb.cid,
+        |    round(list_sum(list_transform(list_zip(sv.svec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dist
+        |  FROM sv JOIN cb ON cb.sub = sv.sub),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, cid AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |qs AS (SELECT t.sub, embedding[sub*16+1 : sub*16+16] AS qvec
+        |       FROM (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |            UNNEST(generate_series(0, 3)) t(sub)),
+        |dtab AS (SELECT cb.sub, cb.cid AS code,
+        |    round(list_sum(list_transform(list_zip(qs.qvec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dsub
+        |  FROM cb JOIN qs ON qs.sub = cb.sub)
+        |SELECT c.vec_id,
+        |  CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
+        |FROM codes c JOIN dtab d ON d.sub = c.sub AND d.code = c.code
+        |GROUP BY 1 ORDER BY adc_dist, c.vec_id LIMIT 10""".stripMargin,
     "l51_difficulty_bins" ->
       """WITH f AS (SELECT doc_id,
         |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
