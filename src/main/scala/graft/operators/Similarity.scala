@@ -356,6 +356,36 @@ object Similarity extends Serializable {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** IVF building blocks exposed for composition (IVF-PQ: route with
+    * the coarse quantizer, score with `Quantize.pqAdcTopK`): every
+    * vector under its single nearest centroid — same assignment
+    * discipline as `ivfTopK` (6-d.p. cosine, ties to lower cid,
+    * zero-norm guarded). */
+  def ivfLists(df: DataFrame, id: String, vec: String, nCentroids: Int,
+               kmeansIters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(
+      coarseCentroids(df, id, vec, nCentroids, kmeansIters))
+    ds.map { case (i, v) => (i, nearestCentroidIds(bc.value, v, 1).head) }
+      .toDF(id, "bucket")
+  }
+
+  /** The `nProbe` nearest list ids of ONE probe vector — a 1-column
+    * broadcast-sized routing frame for IVF-composed scorers. */
+  def ivfProbeLists(df: DataFrame, id: String, vec: String, nCentroids: Int,
+                    nProbe: Int, probeId: Long, kmeansIters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probe = df.filter(col(id) === probeId)
+      .select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(
+      coarseCentroids(df, id, vec, nCentroids, kmeansIters))
+    probe.flatMap { case (_, v) => nearestCentroidIds(bc.value, v, nProbe) }
+      .toDF("bucket")
+  }
+
   /** SemDedup (semantic dedup over embeddings): cluster with the coarse
     * quantizer, then inside each cluster drop every vector that has a
     * LOWER-ID neighbor with cosine >= threshold — the keep-the-first

@@ -655,6 +655,27 @@ object LlmQueries {
         "vec_id", "embedding", dim = 64, m = 4, topK = 10)
     }),
 
+    // IVF-PQ: the full billion-vector serving stack — the coarse
+    // quantizer routes the probe to nProbe inverted lists, and ADC
+    // scores ONLY those lists' codes against the k×m lookup table.
+    // Scan cost = nProbe/nCentroids of the corpus, each touched vector
+    // costing m byte-lookups; no float vector leaves the codebooks.
+    "l55_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val lists = Similarity.ivfLists(emb, "vec_id", "embedding", nCentroids = 16)
+      val probeB = Similarity.ivfProbeLists(emb, "vec_id", "embedding",
+        nCentroids = 16, nProbe = 4, probeId = 0)
+      val cand = lists.join(broadcast(probeB), Seq("bucket")).select(col("vec_id"))
+      val cb = graft.operators.Quantize.pqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      val codes = graft.operators.Quantize.pqEncode(
+          emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+        .join(cand, Seq("vec_id"), "left_semi")
+      val probe = emb.filter(col("vec_id") === 0)
+      graft.operators.Quantize.pqAdcTopK(codes, cb, probe,
+        "vec_id", "embedding", dim = 64, m = 4, topK = 10)
+    }),
+
     // Curriculum difficulty binning: fixed-width score bins (NOT a
     // global ntile — a single-partition window is the 100 TB
     // anti-pattern; width-0.1 bins are map-side and layout-invariant,
@@ -1650,6 +1671,50 @@ object LlmQueries {
         |SELECT COUNT(*) AS n_exact, COUNT(l.da) AS n_lsh,
         |  CAST(COUNT(l.da) AS DOUBLE) / COUNT(*) AS recall
         |FROM exact e LEFT JOIN lsh l ON l.da = e.da AND l.db = e.db""".stripMargin,
+    "l55_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nr
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
+        |ac AS (SELECT v.vec_id AS vid, c.vec_id AS ci,
+        |    round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) AS cos
+        |  FROM e v, c),
+        |ranked AS (SELECT vid, ci,
+        |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, ci) AS rnk FROM ac),
+        |buckets AS (SELECT ci AS bucket, vid FROM ranked WHERE rnk = 1),
+        |pb AS (SELECT ci AS bucket FROM ranked WHERE vid = 0 AND rnk <= 4),
+        |cand AS (SELECT b.vid AS vec_id FROM buckets b JOIN pb ON pb.bucket = b.bucket),
+        |idx AS (SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.sub, cid, embedding[sub*16+1 : sub*16+16] AS cvec
+        |       FROM idx, UNNEST(generate_series(0, 3)) t(sub)),
+        |sv AS (SELECT vec_id, t.sub, embedding[sub*16+1 : sub*16+16] AS svec
+        |       FROM embeddings, UNNEST(generate_series(0, 3)) t(sub)),
+        |scored AS (SELECT sv.vec_id, sv.sub, cb.cid,
+        |    round(list_sum(list_transform(list_zip(sv.svec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dist
+        |  FROM sv JOIN cb ON cb.sub = sv.sub),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, cid AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
+        |  FROM scored) WHERE rk = 1
+        |  AND vec_id IN (SELECT vec_id FROM cand)),
+        |qs AS (SELECT t.sub, embedding[sub*16+1 : sub*16+16] AS qvec
+        |       FROM (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |            UNNEST(generate_series(0, 3)) t(sub)),
+        |dtab AS (SELECT cb.sub, cb.cid AS code,
+        |    round(list_sum(list_transform(list_zip(qs.qvec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dsub
+        |  FROM cb JOIN qs ON qs.sub = cb.sub)
+        |SELECT c2.vec_id,
+        |  CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
+        |FROM codes c2 JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code
+        |GROUP BY 1 ORDER BY adc_dist, c2.vec_id LIMIT 10""".stripMargin,
     "l53_pq_codes" ->
       """WITH idx AS (SELECT vec_id, embedding,
         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
