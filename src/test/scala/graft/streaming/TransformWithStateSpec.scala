@@ -117,6 +117,55 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTws equals a reference sessionizer on randomized workloads (all sessions closed)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(4242)
+      val gap = 10L // seconds
+      (1 to 3).foreach { round =>
+        // random events over a small key/time domain → plenty of
+        // duplicate timestamps, gap-boundary hits, singleton sessions
+        val events = Seq.fill(120)((s"k${rnd.nextInt(6)}", (rnd.nextInt(500) + 1).toDouble))
+        val expected = events.groupBy(_._1).flatMap { case (k, evs) =>
+          val ts = evs.map(_._2.toLong * 1000).sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+          var (start, last, n) = (ts.head, ts.head, 1L)
+          ts.tail.foreach { t =>
+            if (t - last > gap * 1000) {
+              sessions += ((k, start, last, n)); start = t; last = t; n = 1
+            } else { last = t; n += 1 }
+          }
+          sessions += ((k, start, last, n))
+          sessions
+        }.toSet
+
+        val in = MemoryStream[(String, Double)]
+        val ds = in.toDF().toDF("key", "sec")
+          .select(col("key"), timestamp_seconds(col("sec")).as("ts"))
+          .withWatermark("ts", "0 seconds")
+          .select(col("key"), (unix_micros(col("ts")) / 1000).cast("long").as("ms"))
+          .as[(String, Long)]
+        val name = s"sess_prop_$round"
+        val q = KeyedState.sessionizeTws(ds, gap = gap * 1000)
+          .filter(_._1 != "zz")
+          .toDF("key", "start_ms", "end_ms", "n")
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try {
+          in.addData(events: _*)
+          q.processAllAvailable()
+          in.addData(("zz", 1e6)) // watermark sentinel: closes everything
+          def rows() = spark.table(name).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (rows() != expected && System.nanoTime() < deadline &&
+            q.exception.isEmpty) { q.processAllAvailable(); Thread.sleep(100) }
+          assert(rows() == expected,
+            s"round $round: got ${rows().toSeq.sorted}\nexpected ${expected.toSeq.sorted}")
+        } finally q.stop()
+      }
+    }
+  }
+
   test("topKTws: ListState keeps a bounded top-k per key across triggers with deterministic ties") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
