@@ -144,4 +144,33 @@ object Quantize {
       .orderBy(col("adc_dist"), col(id))
       .limit(topK)
   }
+
+  /** Batch-probe ADC: top-k per probe for a whole FRAME of query
+    * vectors — the serving shape (requests arrive in batches, not one
+    * at a time). The lookup table becomes (qid, sub, code) → dsub,
+    * |probes|·m·k rows; it broadcasts while the probe batch stays
+    * bounded (serve in chunks otherwise), so each corpus code row still
+    * costs m lookups regardless of probe count. Returns (qid, id, rk,
+    * adc_dist), ties on id, self-matches (qid = id) excluded. */
+  def pqAdcTopKAll(codes: DataFrame, codebooks: DataFrame, probes: DataFrame,
+                   id: String, vec: String, dim: Int, m: Int, topK: Int): DataFrame = {
+    val d = dim / m
+    val probeSub = probes.select(col(id).as("qid"), col(vec),
+        posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")))
+      .select(col("qid"), col("sub").cast("long").as("sub"),
+        expr(s"slice($vec, sub * $d + 1, $d)").as("qvec"))
+    val dtab = codebooks.join(broadcast(probeSub), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        sqDist(col("qvec"), col("cvec")).as("dsub"))
+    val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col(id) =!= col("qid"))
+      .select(col("qid"), col(id),
+        round(col("dsub") * 1000000).cast("long").as("du"))
+      .groupBy(col("qid"), col(id))
+      .agg((sum(col("du")).cast("double") / 1000000).as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_dist"), col(id))
+    adc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
 }

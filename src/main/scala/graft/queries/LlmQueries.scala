@@ -676,6 +676,22 @@ object LlmQueries {
         "vec_id", "embedding", dim = 64, m = 4, topK = 10)
     }),
 
+    // Batch-probe ADC serving: top-5 per probe for a frame of query
+    // vectors in ONE pass — the (qid, sub, code) lookup table
+    // broadcasts and each corpus code row costs m lookups regardless
+    // of probe count.
+    "l56_pq_adc_batch" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = graft.operators.Quantize.pqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+      val codes = graft.operators.Quantize.pqEncode(
+        emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+      val probes = emb.filter(col("vec_id") < 5)
+      graft.operators.Quantize.pqAdcTopKAll(codes, cb, probes,
+          "vec_id", "embedding", dim = 64, m = 4, topK = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Curriculum difficulty binning: fixed-width score bins (NOT a
     // global ntile — a single-partition window is the 100 TB
     // anti-pattern; width-0.1 bins are map-side and layout-invariant,
@@ -1715,6 +1731,40 @@ object LlmQueries {
         |  CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
         |FROM codes c2 JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code
         |GROUP BY 1 ORDER BY adc_dist, c2.vec_id LIMIT 10""".stripMargin,
+    "l56_pq_adc_batch" ->
+      """WITH idx AS (SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.sub, cid, embedding[sub*16+1 : sub*16+16] AS cvec
+        |       FROM idx, UNNEST(generate_series(0, 3)) t(sub)),
+        |sv AS (SELECT vec_id, t.sub, embedding[sub*16+1 : sub*16+16] AS svec
+        |       FROM embeddings, UNNEST(generate_series(0, 3)) t(sub)),
+        |scored AS (SELECT sv.vec_id, sv.sub, cb.cid,
+        |    round(list_sum(list_transform(list_zip(sv.svec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dist
+        |  FROM sv JOIN cb ON cb.sub = sv.sub),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, cid AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |qs AS (SELECT vec_id AS qid, t.sub, embedding[sub*16+1 : sub*16+16] AS qvec
+        |       FROM embeddings, UNNEST(generate_series(0, 3)) t(sub)
+        |       WHERE vec_id < 5),
+        |dtab AS (SELECT qs.qid, cb.sub, cb.cid AS code,
+        |    round(list_sum(list_transform(list_zip(qs.qvec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dsub
+        |  FROM cb JOIN qs ON qs.sub = cb.sub),
+        |adc AS (SELECT d.qid, c2.vec_id,
+        |    CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
+        |  FROM codes c2 JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code
+        |  WHERE c2.vec_id <> d.qid
+        |  GROUP BY 1, 2)
+        |SELECT qid, vec_id, rk, adc_dist FROM (
+        |  SELECT qid, vec_id, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+        |  FROM adc) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "l53_pq_codes" ->
       """WITH idx AS (SELECT vec_id, embedding,
         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid

@@ -36,6 +36,21 @@ class PqSpec extends AnyFunSuite {
     assert(top.map(_._2).toSeq == top.map(_._2).toSeq.sorted, "ascending ADC order")
   }
 
+  test("batch-probe ADC agrees with the single-probe form for each probe") {
+    val cb = Quantize.pqCodebooks(corpus, "vec_id", "embedding", dim = 8, m = 2, k = 4)
+    val codes = Quantize.pqEncode(corpus, cb, "vec_id", "embedding", dim = 8, m = 2)
+    val batch = Quantize.pqAdcTopKAll(codes, cb, corpus.filter(col("vec_id") < 3),
+        "vec_id", "embedding", dim = 8, m = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = (0L until 3L).flatMap { q =>
+      Quantize.pqAdcTopK(codes, cb, corpus.filter(col("vec_id") === q),
+          "vec_id", "embedding", dim = 8, m = 2, topK = 4)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+        .filter(_._2 != q).take(3) // single-probe form includes self; drop + re-trim
+    }.toSet
+    assert(batch == singles, s"batch=$batch singles=$singles")
+  }
+
   test("codes are bounded by k and every (vector, subspace) gets exactly one code") {
     val cb = Quantize.pqCodebooks(corpus, "vec_id", "embedding", dim = 8, m = 2, k = 4)
     val codes = Quantize.pqEncode(corpus, cb, "vec_id", "embedding", dim = 8, m = 2)
