@@ -38,10 +38,11 @@ object Audit {
   }
 
   /** Per-source corpus datasheet: document count, size, token means,
-    * short-doc and exact-duplicate counts, detected-language count —
-    * the "corpus card" row a curation run publishes per source. All
-    * inputs are map-side projections; the only shuffle is the final
-    * groupBy(source), whose cardinality is |sources|. */
+    * short-doc and exact-duplicate counts, detected-language count, and
+    * a sample document pointer (min id) — the "corpus card" row a
+    * curation run publishes per source. All inputs are map-side
+    * projections; the only shuffle is the final groupBy(source), whose
+    * cardinality is |sources|. */
   def corpusCard(docs: DataFrame, id: String, text: String,
                  source: String, langCol: org.apache.spark.sql.Column,
                  shortTokenFloor: Int = 20): DataFrame = {
@@ -55,6 +56,7 @@ object Audit {
         (sum(col("toks")).cast("double") / count(lit(1))).as("avg_tokens"),
         sum(when(col("toks") < shortTokenFloor, 1L).otherwise(0L)).as("n_short"),
         (count(lit(1)) - countDistinct(col("chash"))).as("n_exact_dupes"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        min(col(id)).as("sample_id"))
   }
 }

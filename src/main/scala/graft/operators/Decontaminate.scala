@@ -83,8 +83,14 @@ object Decontaminate {
     // is the staged shingle artifact a production run writes to storage
     // between the mark and verify phases; callers' clearCache() (or the
     // next action's eviction) reclaims it.
+    // BloomFilterAggregate over an EMPTY build side yields NULL, and a
+    // NULL probe result would make both branch filters below drop every
+    // train shingle (breaking the bit-identical-to-overlapStats
+    // contract for an empty/too-short eval corpus) — an absent filter
+    // means "definitely not present"
     val marked = trainSh
-      .withColumn("maybe", mightContain(bloom, xxhash64(col("s"))))
+      .withColumn("maybe",
+        coalesce(mightContain(bloom, xxhash64(col("s"))), lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // survivors verify exactly; definite misses skip the join entirely
     // and feed the SAME single groupBy(id) through the union, keeping

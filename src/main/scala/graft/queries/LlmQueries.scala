@@ -1148,8 +1148,9 @@ object LlmQueries {
         |  FROM embeddings),
         |c AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
         |ac AS (SELECT v.vec_id AS vid, c.vec_id AS ci,
-        |    round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) AS cos
+        |    CASE WHEN v.n2 = 0 OR c.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) END AS cos
         |  FROM e v, c),
         |ranked AS (SELECT vid, ci,
         |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, ci) AS rnk FROM ac),
@@ -1632,14 +1633,14 @@ object LlmQueries {
         |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
     "l50_corpus_card" ->
       """WITH f AS (
-        |  SELECT source, length(text) AS chars,
+        |  SELECT source, doc_id, length(text) AS chars,
         |    len(regexp_extract_all(text, '\S+')) AS toks,
         |    md5(text) AS chash,
         |    CASE WHEN en + de + fr + es = 0 THEN 'und'
         |         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
         |         WHEN de >= fr AND de >= es THEN 'de'
         |         WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang
-        |  FROM (SELECT source, text,
+        |  FROM (SELECT source, doc_id, text,
         |    len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['the','a','and','of','is'], x))) AS en,
         |    len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['der','die','das','und','ist'], x))) AS de,
         |    len(list_filter(regexp_extract_all(text,'\S+'), x -> list_contains(['le','la','et','les','est'], x))) AS fr,
@@ -1650,7 +1651,8 @@ object LlmQueries {
         |  CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_tokens,
         |  CAST(SUM(CASE WHEN toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
         |  COUNT(*) - COUNT(DISTINCT chash) AS n_exact_dupes,
-        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  MIN(doc_id) AS sample_id
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "l52_lsh_recall" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
@@ -1694,8 +1696,9 @@ object LlmQueries {
         |  FROM embeddings),
         |c AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
         |ac AS (SELECT v.vec_id AS vid, c.vec_id AS ci,
-        |    round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
-        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) AS cos
+        |    CASE WHEN v.n2 = 0 OR c.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) END AS cos
         |  FROM e v, c),
         |ranked AS (SELECT vid, ci,
         |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, ci) AS rnk FROM ac),

@@ -210,8 +210,11 @@ object KeyedState {
       override def handleInputRows(key: K, rows: Iterator[(K, Long, Long)],
                                    tv: TimerValues): Iterator[(K, Long, Int, Long, Long)] = {
         val incoming = rows.map(r => (r._2, r._3)).toArray
+        // explicit ordering, NOT sortBy(-score): unary negation of
+        // Long.MinValue overflows back to Long.MinValue and would rank
+        // the worst possible score first
         val merged = (top.get().toArray ++ incoming)
-          .sortBy { case (score, id) => (-score, id) }
+          .sorted(Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
           .take(k)
         top.put(merged)
         val n = (if (seen.exists()) seen.get() else 0L) + incoming.length

@@ -31,14 +31,16 @@ class AuditSpec extends AnyFunSuite {
     val out = Audit.corpusCard(docs, "doc_id", "text", "source",
         graft.functions.TextFunctions.langId(col("text")), shortTokenFloor = 5)
       .orderBy("source")
-      .as[(String, Long, Long, Double, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Double, Long, Long, Long, Long)].collect().toSeq
     val Seq(books, web) = out
     assert(books._1 == "books" && books._2 == 1L && books._5 == 0L &&
       books._6 == 0L && books._7 == 0L) // german, not short, no dupes
+    assert(books._8 == 4L)    // sample pointer = min doc id of the source
     assert(web._1 == "web" && web._2 == 3L)
     assert(web._5 == 1L)      // "tiny" is short
     assert(web._6 == 1L)      // docs 1 and 2 are byte-identical → one dupe
     assert(web._7 == 2L)      // two english docs ("tiny" has no stopwords)
+    assert(web._8 == 1L)
     assert(math.abs(web._4 - (14 + 14 + 1) / 3.0) < 1e-9) // avg tokens
   }
 }

@@ -82,6 +82,16 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(q.orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq == exact)
   }
 
+  test("bloomOverlapStats with an EMPTY eval side still reports true per-doc shingle counts") {
+    // an empty build side makes BloomFilterAggregate return NULL; the
+    // probe must treat that as definitely-absent, not drop every row
+    val eval = df((100L, "a b")) // too short for trigrams → zero eval shingles
+    val train = df((1L, "the quick brown fox jumps"), (2L, "x y"))
+    val out = Decontaminate.bloomOverlapStats(train, eval, "doc_id", "text", 3, 0.5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L, 0.0, false), (2L, 0L, 0L, 0.0, false)))
+  }
+
   test("overlap is computed on DISTINCT n-grams: repeats in train don't inflate the count") {
     val eval = df((100L, "x y z"))
     val train = df((1L, "x y z x y z x y z")) // trigram "x y z" appears 3 times
