@@ -68,6 +68,26 @@ object TextFunctions {
   def cleanText(text: Column): Column =
     normalizeWhitespace(redactEmails(stripUrls(text)))
 
+  /** HTML → text for web-corpus curation: script/style blocks vanish
+    * entirely (their content is code, not prose), remaining tags
+    * vanish, the six standard entities decode AFTER tag removal (so a
+    * literal `&lt;tag&gt;` in prose survives as text), whitespace
+    * normalizes. Regexes stay in the Java∩RE2-portable subset like the
+    * rest of this file — inline (?is) flags, non-greedy block bodies,
+    * explicit char classes — so a DuckDB oracle reproduces the bytes. */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit("<[^>]+>"), lit(" "))
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        regexp_replace(c, lit(ent), lit(ch))
+      }
+    normalizeWhitespace(decoded)
+  }
+
   /** Count of tokens that are exactly one of `words`. Tokens are
     * \S+ runs, so token boundaries are "not adjacent to non-whitespace"
     * ((?<!\S) / (?!\S)) — exactly equivalent to extracting all \S+

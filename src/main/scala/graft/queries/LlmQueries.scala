@@ -692,6 +692,27 @@ object LlmQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // HTML → text extraction (web-corpus ingest). The synthetic docs
+    // are plain text, so the corpus is wrapped in deterministic HTML
+    // in-query — style/script blocks, attributes, entities — which both
+    // engines construct identically; the md5 of the extracted text
+    // forces byte-exact agreement on the whole strip/decode pipeline.
+    "l57_html_strip" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><style>body{color:red}</style>" +
+          "<script>var x=1;</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit("</p><div>&amp; &lt;tags&gt; &quot;quoted&quot; " +
+          "&#39;q&#39;&nbsp;end</div></body></html>"))
+      docs.select(col("doc_id"),
+          TextFunctions.stripHtml(html).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("n_chars_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Curriculum difficulty binning: fixed-width score bins (NOT a
     // global ntile — a single-partition window is the 100 TB
     // anti-pattern; width-0.1 bins are map-side and layout-invariant,
@@ -1814,6 +1835,25 @@ object LlmQueries {
         |  CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
         |FROM codes c JOIN dtab d ON d.sub = c.sub AND d.code = c.code
         |GROUP BY 1 ORDER BY adc_dist, c.vec_id LIMIT 10""".stripMargin,
+    // DuckDB regexp_replace is single-match by default — the 'g' flag is
+    // load-bearing on every rule; entity decode runs AFTER tag removal
+    "l57_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><style>body{color:red}</style><script>var x=1;</script></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text ||
+        |    '</p><div>&amp; &lt;tags&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean FROM s3)
+        |SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS n_chars_clean
+        |FROM s4 ORDER BY doc_id""".stripMargin,
     "l51_difficulty_bins" ->
       """WITH f AS (SELECT doc_id,
         |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),

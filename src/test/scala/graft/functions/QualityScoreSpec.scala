@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class QualityScoreSpec extends AnyFunSuite {
+
+  test("stripHtml: blocks vanish, tags vanish, entities decode after tags, whitespace normalizes") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val html = "<html><head><style>p{x:1}</style><script>if(a<b){}</script></head>" +
+      "<body><h1>Title</h1>\n<p class=\"x\">Hello &amp; welcome to &lt;graft&gt;." +
+      "&nbsp;&quot;quoted&#39;</p></body></html>"
+    val out = Seq(html).toDF("t")
+      .select(graft.functions.TextFunctions.stripHtml(col("t")).as("c"))
+      .as[String].head()
+    assert(out == "Title Hello & welcome to <graft>. \"quoted'")
+    // idempotent on already-clean prose without angle brackets
+    val plain = "just ordinary text"
+    val again = Seq(plain).toDF("t")
+      .select(graft.functions.TextFunctions.stripHtml(col("t")).as("c"))
+      .as[String].head()
+    assert(again == plain)
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
