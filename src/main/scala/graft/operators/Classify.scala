@@ -82,4 +82,52 @@ object Classify {
       .select(col(id), col(label), col("pred"), col("votes"),
         coalesce((col(label) === col("pred")).cast("int"), lit(0)).as("correct"))
   }
+
+  /** Trainable quality classifier: logistic regression fit with
+    * FIXED-iteration batch gradient descent — the FineWeb-Edu-style
+    * "train a small classifier on heuristic features, score the
+    * corpus" step, without reaching outside the engine. Determinism
+    * discipline is `Similarity.kmeansIters`'s: per-row gradient
+    * contributions round to 9 d.p. and sum as exact DECIMAL, so the
+    * learned weights are bit-identical under any partitioning/layout
+    * and a SQL oracle can replay training iteration by iteration.
+    * Driver holds only the weight vector (|features|+1 doubles);
+    * each iteration is ONE aggregation job over the corpus.
+    *
+    * Returns weights (features, then bias). `lr` is the plain GD step
+    * scaled by 1/n. Features should be bounded (ratios, log-lengths) —
+    * no internal standardization is applied. */
+  def trainLogReg(df: DataFrame, features: Seq[String], label: String,
+                  iters: Int, lr: Double): Array[Double] = {
+    require(features.nonEmpty && iters >= 1)
+    val n = df.count().toDouble
+    require(n > 0, "empty training frame")
+    var w = Array.fill(features.size + 1)(0.0)
+    val y = col(label).cast("double")
+    for (_ <- 0 until iters) {
+      val z = features.zipWithIndex
+        .map { case (f, j) => col(f).cast("double") * lit(w(j)) }
+        .reduce(_ + _) + lit(w(features.size))
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val gradCols = features.map(f =>
+        sum(round((p - y) * col(f).cast("double"), 9).cast("decimal(28,9)"))) :+
+        sum(round(p - y, 9).cast("decimal(28,9)"))
+      val row = df.agg(gradCols.head, gradCols.tail: _*).head()
+      w = w.indices.map { j =>
+        val g = if (row.isNullAt(j)) 0.0
+          else row.getDecimal(j).doubleValue()
+        w(j) - lr * g / n
+      }.toArray
+    }
+    w
+  }
+
+  /** Decision column for `trainLogReg` weights: P(label) >= 0.5, i.e.
+    * the linear score is non-negative. */
+  def predictLogReg(features: Seq[String], w: Array[Double]): org.apache.spark.sql.Column = {
+    val z = features.zipWithIndex
+      .map { case (f, j) => col(f).cast("double") * lit(w(j)) }
+      .reduce(_ + _) + lit(w(features.size))
+    z >= 0.0
+  }
 }

@@ -713,6 +713,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Trained quality classifier (FineWeb-Edu shape): logistic
+    // regression on heuristic features fit with 10 fixed GD iterations,
+    // decimal-exact gradient sums (layout-invariant weights), then the
+    // corpus scored with the learned boundary. The oracle REPLAYS
+    // training: an unrolled 10-step CTE chain carrying the weight
+    // vector, generated mechanically (see logRegOracle).
+    "l58_logreg_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0 &&
+          TextFunctions.tokenCount(col("text")) > 0)
+      val feats = docs.select(
+        (TextFunctions.stopwordCount(col("text")).cast("double") /
+          TextFunctions.tokenCount(col("text"))).as("x1"),
+        (TextFunctions.punctCount(col("text")).cast("double") /
+          length(col("text"))).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.operators.Classify.trainLogReg(
+        feats, Seq("x1", "x2"), "y", iters = 10, lr = 1.0)
+      val pred = graft.operators.Classify.predictLogReg(Seq("x1", "x2"), w)
+      val Row2 = feats.agg(
+        sum((pred === (col("y") === 1.0)).cast("long")).as("n_correct"),
+        count(lit(1)).as("n_rows")).head()
+      Seq((w(0), w(1), w(2), Row2.getLong(0), Row2.getLong(1)))
+        .toDF("w_stop", "w_punct", "w_bias", "n_correct", "n_rows")
+    }),
+
     // Curriculum difficulty binning: fixed-width score bins (NOT a
     // global ntile — a single-partition window is the 100 TB
     // anti-pattern; width-0.1 bins are map-side and layout-invariant,
@@ -727,7 +755,46 @@ object LlmQueries {
     })
   )
 
+  /** The l58 training replay: an UNROLLED 10-iteration GD chain. Each
+    * step is two CTEs — exact-decimal gradient sums under the previous
+    * weights, then the weight update — generated mechanically so the
+    * oracle provably runs the same recurrence as Classify.trainLogReg
+    * (same per-row 9-d.p. round, same decimal sums, same operation
+    * order in z and the update). */
+  private def logRegOracle: String = {
+    val z = "(i.w1*f.x1 + i.w2*f.x2 + i.w0)"
+    val p = s"1.0/(1.0 + exp(-$z))"
+    def grad(t: String) =
+      s"SUM(CAST(round(($p - f.y)$t, 9) AS DECIMAL(28,9)))"
+    val steps = (1 to 10).map { k =>
+      s"""g$k AS (SELECT ${grad(" * f.x1")} AS g1, ${grad(" * f.x2")} AS g2,
+         |    ${grad("")} AS g0 FROM feats f, i${k - 1} i),
+         |i$k AS (SELECT i.w1 - CAST(g.g1 AS DOUBLE)/nn.n AS w1,
+         |    i.w2 - CAST(g.g2 AS DOUBLE)/nn.n AS w2,
+         |    i.w0 - CAST(g.g0 AS DOUBLE)/nn.n AS w0
+         |  FROM i${k - 1} i, g$k g, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feats AS (SELECT
+       |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+       |        x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+       |      / len(regexp_extract_all(text, '\\S+')) AS x1,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS x2,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents
+       |  WHERE length(text) > 0 AND len(regexp_extract_all(text, '\\S+')) > 0),
+       |nn AS (SELECT COUNT(*) AS n FROM feats),
+       |i0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w0),
+       |$steps
+       |SELECT i.w1 AS w_stop, i.w2 AS w_punct, i.w0 AS w_bias,
+       |  CAST(SUM(CASE WHEN ((i.w1*f.x1 + i.w2*f.x2 + i.w0) >= 0) = (f.y = 1.0)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  COUNT(*) AS n_rows
+       |FROM feats f, i10 i GROUP BY 1, 2, 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "l58_logreg_quality" -> logRegOracle,
     "l1_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -8,6 +8,30 @@ class ClassifySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("trainLogReg learns a separable boundary and predicts it back") {
+    // y = 1 iff x1 > 0.5, comfortably separated
+    val data = ((1 to 40).map(i => (0.8 + (i % 5) * 0.04, 0.3, 1.0)) ++
+      (1 to 40).map(i => (0.1 + (i % 5) * 0.04, 0.3, 0.0))).toDF("x1", "x2", "y")
+    val w = Classify.trainLogReg(data, Seq("x1", "x2"), "y", iters = 200, lr = 2.0)
+    val acc = data.select(
+        (Classify.predictLogReg(Seq("x1", "x2"), w) === (col("y") === 1.0))
+          .cast("int").as("c"))
+      .agg(org.apache.spark.sql.functions.avg("c")).head.getDouble(0)
+    assert(acc == 1.0, s"separable data must classify perfectly, got $acc (w=${w.toSeq})")
+    assert(w(0) > 0, "weight on the separating feature must be positive")
+  }
+
+  test("trainLogReg weights are bit-identical under any partitioning (decimal gradient sums)") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(300)((rnd.nextDouble(), rnd.nextDouble(),
+      if (rnd.nextBoolean()) 1.0 else 0.0)).toDF("x1", "x2", "y")
+    val w1 = Classify.trainLogReg(data, Seq("x1", "x2"), "y", iters = 15, lr = 1.0)
+    val w2 = Classify.trainLogReg(data.repartition(17), Seq("x1", "x2"), "y", iters = 15, lr = 1.0)
+    val w3 = Classify.trainLogReg(data.coalesce(1), Seq("x1", "x2"), "y", iters = 15, lr = 1.0)
+    assert(w1.toSeq == w2.toSeq && w1.toSeq == w3.toSeq,
+      s"layout must not change learned weights: $w1 / $w2 / $w3")
+  }
+
   // (qid, cid, cos, rk) — rk already best-first, as lshTopK emits
   private def nb(rows: (Long, Long, Double, Int)*) =
     rows.toSeq.toDF("qid", "cid", "cos", "rk")
