@@ -74,11 +74,21 @@ object TextFunctions {
     * literal `&lt;tag&gt;` in prose survives as text), whitespace
     * normalizes. Regexes stay in the Java∩RE2-portable subset like the
     * rest of this file — inline (?is) flags, non-greedy block bodies,
-    * explicit char classes — so a DuckDB oracle reproduces the bytes. */
+    * explicit char classes, and NO lookarounds (RE2 has none) — so a
+    * DuckDB oracle reproduces the bytes.
+    *
+    * Tag shape is anchored: a tag is `<` or `</` followed by a LETTER
+    * (`<(script|style)` additionally requires `>` or whitespace right
+    * after the name), so comparison prose like "5 < 10 and x > 3"
+    * survives and `<styles>`/`<script-loader>` are NOT treated as
+    * script/style blocks. Malformed markup where prose genuinely looks
+    * like `<a word>` still strips — the inherent regex-extractor limit;
+    * a full parser is out of scope by design. */
   def stripHtml(text: Column): Column = {
     val noBlocks = regexp_replace(text,
-      lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
-    val noTags = regexp_replace(noBlocks, lit("<[^>]+>"), lit(" "))
+      lit("(?is)<(script|style)(>|" + wsClass + "[^>]*>).*?</(script|style)" +
+        wsClass + "*>"), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit("</?[A-Za-z][^>]*>"), lit(" "))
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

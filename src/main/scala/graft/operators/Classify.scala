@@ -100,19 +100,25 @@ object Classify {
   def trainLogReg(df: DataFrame, features: Seq[String], label: String,
                   iters: Int, lr: Double): Array[Double] = {
     require(features.nonEmpty && iters >= 1)
-    val n = df.count().toDouble
-    require(n > 0, "empty training frame")
     var w = Array.fill(features.size + 1)(0.0)
     val y = col(label).cast("double")
-    for (_ <- 0 until iters) {
+    // the row count rides the first gradient aggregation (a count
+    // column costs nothing there) — a separate count() would be a
+    // whole extra corpus scan before training even starts
+    var n = 0.0
+    for (it <- 0 until iters) {
       val z = features.zipWithIndex
         .map { case (f, j) => col(f).cast("double") * lit(w(j)) }
         .reduce(_ + _) + lit(w(features.size))
       val p = lit(1.0) / (lit(1.0) + exp(-z))
       val gradCols = features.map(f =>
-        sum(round((p - y) * col(f).cast("double"), 9).cast("decimal(28,9)"))) :+
-        sum(round(p - y, 9).cast("decimal(28,9)"))
+        sum(round((p - y) * col(f).cast("double"), 9).cast("decimal(28,9)"))) ++
+        Seq(sum(round(p - y, 9).cast("decimal(28,9)")), count(lit(1)))
       val row = df.agg(gradCols.head, gradCols.tail: _*).head()
+      if (it == 0) {
+        n = row.getLong(features.size + 1).toDouble
+        require(n > 0, "empty training frame")
+      }
       w = w.indices.map { j =>
         val g = if (row.isNullAt(j)) 0.0
           else row.getDecimal(j).doubleValue()

@@ -119,41 +119,33 @@ object Quantize {
       .select(col(id), col("sub"), col("best.cid").as("code"))
   }
 
-  /** ADC top-k: distances from ONE probe vector to every coded vector,
-    * via the k×m lookup table dist(probe_sub, centroid) — each corpus
-    * vector costs m table lookups + an m-term sum, never a float-vector
-    * op. Returns (id, adc_dist) for the nearest `topK` (ties on id). */
+  /** ADC top-k: distances from ONE probe vector to every coded vector
+    * — a thin wrapper over the batch form (one-row probe frame,
+    * self-matches KEPT: a single known probe ranking itself first is
+    * useful signal, and the l54 contract grades it). Returns
+    * (id, adc_dist) for the nearest `topK` (ties on id). */
   def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, probe: DataFrame,
-                id: String, vec: String, dim: Int, m: Int, topK: Int): DataFrame = {
-    val d = dim / m
-    val probeSub = probe.select(col(vec),
-        posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")))
-      .select(col("sub").cast("long").as("sub"),
-        expr(s"slice($vec, sub * $d + 1, $d)").as("qvec"))
-    val dtab = codebooks.join(broadcast(probeSub), Seq("sub"))
-      .select(col("sub"), col("cid").as("code"),
-        sqDist(col("qvec"), col("cvec")).as("dsub"))
-    // per-sub distances become exact integer micros BEFORE the m-term
-    // sum: adding rounded doubles in partial-agg order is not
-    // associative, integer addition is — the sum is order-free and the
-    // oracle mirrors it exactly
-    codes.join(broadcast(dtab), Seq("sub", "code"))
-      .select(col(id), round(col("dsub") * 1000000).cast("long").as("du"))
-      .groupBy(col(id))
-      .agg((sum(col("du")).cast("double") / 1000000).as("adc_dist"))
+                id: String, vec: String, dim: Int, m: Int, topK: Int): DataFrame =
+    pqAdcTopKAll(codes, codebooks, probe, id, vec, dim, m, topK,
+      excludeSelf = false)
+      .select(col(id), col("adc_dist"))
       .orderBy(col("adc_dist"), col(id))
-      .limit(topK)
-  }
 
   /** Batch-probe ADC: top-k per probe for a whole FRAME of query
     * vectors — the serving shape (requests arrive in batches, not one
     * at a time). The lookup table becomes (qid, sub, code) → dsub,
     * |probes|·m·k rows; it broadcasts while the probe batch stays
     * bounded (serve in chunks otherwise), so each corpus code row still
-    * costs m lookups regardless of probe count. Returns (qid, id, rk,
-    * adc_dist), ties on id, self-matches (qid = id) excluded. */
+    * costs m lookups regardless of probe count. This is the ONE copy of
+    * the determinism-critical ADC arithmetic: per-sub distances become
+    * exact integer micros BEFORE the m-term sum (adding rounded doubles
+    * in partial-agg order is not associative, integer addition is), so
+    * the sum is order-free and the oracles mirror it exactly. Returns
+    * (qid, id, adc_dist, rk), ties on id; `excludeSelf` drops qid = id
+    * rows (corpus-resident probes searching for OTHER neighbors). */
   def pqAdcTopKAll(codes: DataFrame, codebooks: DataFrame, probes: DataFrame,
-                   id: String, vec: String, dim: Int, m: Int, topK: Int): DataFrame = {
+                   id: String, vec: String, dim: Int, m: Int, topK: Int,
+                   excludeSelf: Boolean = true): DataFrame = {
     val d = dim / m
     val probeSub = probes.select(col(id).as("qid"), col(vec),
         posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")))
@@ -162,8 +154,8 @@ object Quantize {
     val dtab = codebooks.join(broadcast(probeSub), Seq("sub"))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         sqDist(col("qvec"), col("cvec")).as("dsub"))
-    val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
-      .filter(col(id) =!= col("qid"))
+    val joined = codes.join(broadcast(dtab), Seq("sub", "code"))
+    val adc = (if (excludeSelf) joined.filter(col(id) =!= col("qid")) else joined)
       .select(col("qid"), col(id),
         round(col("dsub") * 1000000).cast("long").as("du"))
       .groupBy(col("qid"), col(id))

@@ -1911,8 +1911,8 @@ object LlmQueries {
         |    '</p><div>&amp; &lt;tags&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</div></body></html>' AS html
         |  FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(html,
-        |    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
+        |    '(?is)<(script|style)(>|[ \t\n\x0B\f\r][^>]*>).*?</(script|style)[ \t\n\x0B\f\r]*>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '</?[A-Za-z][^>]*>', ' ', 'g') AS t FROM s1),
         |s3 AS (SELECT doc_id,
         |    replace(replace(replace(replace(replace(replace(t,
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

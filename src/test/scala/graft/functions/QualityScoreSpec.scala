@@ -23,6 +23,19 @@ class QualityScoreSpec extends AnyFunSuite {
       .select(graft.functions.TextFunctions.stripHtml(col("t")).as("c"))
       .as[String].head()
     assert(again == plain)
+    // comparison prose survives: a tag must start with a letter, so
+    // "< 10" / "> 3" are NOT treated as markup
+    val math = "Prices: 5 < 10 and x > 3"
+    val mathOut = Seq(math).toDF("t")
+      .select(graft.functions.TextFunctions.stripHtml(col("t")).as("c"))
+      .as[String].head()
+    assert(mathOut == math, s"comparison prose must survive: '$mathOut'")
+    // <styles> is NOT a style block: only its tags strip, content stays
+    val styles = "<styles>keep this text</styles> and </script> alone"
+    val stylesOut = Seq(styles).toDF("t")
+      .select(graft.functions.TextFunctions.stripHtml(col("t")).as("c"))
+      .as[String].head()
+    assert(stylesOut == "keep this text and alone", s"got '$stylesOut'")
   }
   private lazy val spark = TestSpark.spark
   import spark.implicits._

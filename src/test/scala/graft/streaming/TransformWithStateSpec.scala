@@ -160,7 +160,8 @@ class TransformWithStateSpec extends AnyFunSuite {
           while (rows() != expected && System.nanoTime() < deadline &&
             q.exception.isEmpty) { q.processAllAvailable(); Thread.sleep(100) }
           assert(rows() == expected,
-            s"round $round: got ${rows().toSeq.sorted}\nexpected ${expected.toSeq.sorted}")
+            s"round $round: got ${rows().toSeq.sorted}\nexpected ${expected.toSeq.sorted}" +
+              s"\nquery exception: ${q.exception}")
         } finally q.stop()
       }
     }
