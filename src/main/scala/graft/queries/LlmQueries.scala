@@ -741,6 +741,29 @@ object LlmQueries {
         .toDF("w_stop", "w_punct", "w_bias", "n_correct", "n_rows")
     }),
 
+    // The trained classifier APPLIED: per-document keep/drop decisions
+    // from the l58 model — the FineWeb-Edu loop closed (train on
+    // features, score the corpus map-side). Training reruns here so
+    // the query is self-contained; a pipeline would load saved weights.
+    "l59_classifier_filter" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0 &&
+          TextFunctions.tokenCount(col("text")) > 0)
+      val feats = docs.select(col("doc_id"),
+        (TextFunctions.stopwordCount(col("text")).cast("double") /
+          TextFunctions.tokenCount(col("text"))).as("x1"),
+        (TextFunctions.punctCount(col("text")).cast("double") /
+          length(col("text"))).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.operators.Classify.trainLogReg(
+        feats, Seq("x1", "x2"), "y", iters = 10, lr = 1.0)
+      feats.select(col("doc_id"),
+          graft.operators.Classify.predictLogReg(Seq("x1", "x2"), w).as("keep"),
+          (col("y") === 1.0).as("label_en"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Curriculum difficulty binning: fixed-width score bins (NOT a
     // global ntile — a single-partition window is the 100 TB
     // anti-pattern; width-0.1 bins are map-side and layout-invariant,
@@ -761,7 +784,16 @@ object LlmQueries {
     * oracle provably runs the same recurrence as Classify.trainLogReg
     * (same per-row 9-d.p. round, same decimal sums, same operation
     * order in z and the update). */
-  private def logRegOracle: String = {
+  private def logRegOracle: String = logRegOracleWith(
+    """SELECT i.w1 AS w_stop, i.w2 AS w_punct, i.w0 AS w_bias,
+      |  CAST(SUM(CASE WHEN ((i.w1*f.x1 + i.w2*f.x2 + i.w0) >= 0) = (f.y = 1.0)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  COUNT(*) AS n_rows
+      |FROM feats f, i10 i GROUP BY 1, 2, 3""".stripMargin)
+
+  /** The shared l58/l59 training replay (unrolled GD chain); callers
+    * supply the final SELECT over `feats` × `i10`. */
+  private def logRegOracleWith(finalSelect: String): String = {
     val z = "(i.w1*f.x1 + i.w2*f.x2 + i.w0)"
     val p = s"1.0/(1.0 + exp(-$z))"
     def grad(t: String) =
@@ -774,7 +806,7 @@ object LlmQueries {
          |    i.w0 - CAST(g.g0 AS DOUBLE)/nn.n AS w0
          |  FROM i${k - 1} i, g$k g, nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH feats AS (SELECT
+    s"""WITH feats AS (SELECT doc_id,
        |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
        |        x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
        |      / len(regexp_extract_all(text, '\\S+')) AS x1,
@@ -786,15 +818,15 @@ object LlmQueries {
        |nn AS (SELECT COUNT(*) AS n FROM feats),
        |i0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w0),
        |$steps
-       |SELECT i.w1 AS w_stop, i.w2 AS w_punct, i.w0 AS w_bias,
-       |  CAST(SUM(CASE WHEN ((i.w1*f.x1 + i.w2*f.x2 + i.w0) >= 0) = (f.y = 1.0)
-       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       |  COUNT(*) AS n_rows
-       |FROM feats f, i10 i GROUP BY 1, 2, 3""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
     "l58_logreg_quality" -> logRegOracle,
+    "l59_classifier_filter" -> logRegOracleWith(
+      """SELECT f.doc_id, ((i.w1*f.x1 + i.w2*f.x2 + i.w0) >= 0) AS keep,
+        |  (f.y = 1.0) AS label_en
+        |FROM feats f, i10 i ORDER BY f.doc_id""".stripMargin),
     "l1_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
