@@ -113,7 +113,10 @@ object Classify {
       val p = lit(1.0) / (lit(1.0) + exp(-z))
       val gradCols = features.map(f =>
         sum(round((p - y) * col(f).cast("double"), 9).cast("decimal(28,9)"))) ++
-        Seq(sum(round(p - y, 9).cast("decimal(28,9)")), count(lit(1)))
+        Seq(sum(round(p - y, 9).cast("decimal(28,9)"))) ++
+        // the count is only read once — later iterations aggregate
+        // just the gradient columns
+        (if (it == 0) Seq(count(lit(1))) else Nil)
       val row = df.agg(gradCols.head, gradCols.tail: _*).head()
       if (it == 0) {
         n = row.getLong(features.size + 1).toDouble

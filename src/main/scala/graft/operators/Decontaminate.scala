@@ -81,8 +81,8 @@ object Decontaminate {
     // frame twice, and without staging the tokenize→explode→distinct
     // pass (a full shuffle) would run once per branch. At 100 TB this
     // is the staged shingle artifact a production run writes to storage
-    // between the mark and verify phases; callers' clearCache() (or the
-    // next action's eviction) reclaims it.
+    // between the mark and verify phases; released below once the
+    // per-document stats are checkpointed.
     // BloomFilterAggregate over an EMPTY build side yields NULL, and a
     // NULL probe result would make both branch filters below drop every
     // train shingle (breaking the bit-identical-to-overlapStats
@@ -100,9 +100,16 @@ object Decontaminate {
       .select(col(id), col("hit"))
     val clean = marked.filter(!col("maybe"))
       .select(col(id), lit(null).cast("int").as("hit"))
+    // eager localCheckpoint collapses the staged pipeline into a
+    // per-document frame (|train| rows, 3 cols) whose blocks the
+    // ContextCleaner reclaims on GC — which lets the big shingle cache
+    // be released HERE instead of leaking into the session until
+    // someone calls clearCache()
     val stats = verified.unionByName(clean)
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
+      .localCheckpoint(true)
+    marked.unpersist(blocking = false)
     val frac = when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
       .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"))
     train.select(col(id))

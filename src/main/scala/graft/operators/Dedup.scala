@@ -24,9 +24,11 @@ object Dedup {
     * literally in every minhash oracle SQL, so they are part of the
     * cross-engine contract and must not change silently. */
   private[graft] val MinhashA =
-    Array(40503L, 34283L, 49843L, 10193L, 5717L, 9539L, 62989L, 55021L)
+    Array(40503L, 34283L, 49843L, 10193L, 5717L, 9539L, 62989L, 55021L,
+      14939L, 58057L, 23371L, 60943L, 3571L, 38833L, 50993L, 17389L)
   private[graft] val MinhashB =
-    Array(27179L, 43691L, 20117L, 51347L, 7129L, 63577L, 31769L, 44201L)
+    Array(27179L, 43691L, 20117L, 51347L, 7129L, 63577L, 31769L, 44201L,
+      29527L, 12641L, 54679L, 8363L, 47507L, 64151L, 21841L, 36653L)
 
   /** First prime past 2^40 — the modulus of the derived seed family. */
   private[graft] val MinhashP = 1099511627791L
@@ -95,7 +97,11 @@ object Dedup {
     * Hash cost: the variable-length shingle is md5'd ONCE into a 32-char
     * fingerprint; each seed hash digests only `seed|fp` (fixed 34 bytes)
     * instead of re-digesting the whole shingle per seed — still md5-only,
-    * so a DuckDB oracle reproduces signatures exactly. */
+    * so a DuckDB oracle reproduces signatures exactly.
+    *
+    * `numHashes` is capped at the fixed derived-seed family size
+    * (currently 16, `MinhashA.length`); larger signatures need more
+    * fixed odd 16-bit constant pairs mirrored into the oracles. */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
     minhashLshPairsFromShingles(shingleSet(docs, id, text, shingleN),
@@ -227,7 +233,8 @@ object Dedup {
     * the quadratic probe space never materializes — per docs/
     * SCALE_DESIGN.md this is the plan that runs at 100 TB, and on
     * corpora where LSH recall covers the threshold band it returns
-    * exactly ngramJaccardPairs' rows. */
+    * exactly ngramJaccardPairs' rows. `numHashes` <= the fixed seed
+    * family size (16) — see `bandFrame`. */
   def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
                        shingleN: Int, numHashes: Int, rowsPerBand: Int,
                        threshold: Double): DataFrame = {

@@ -44,11 +44,13 @@ object EventQueries {
                      outputMode: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(providerKey)
+    val prevNanos = s.conf.getOption(nanosKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set(nanosKey, "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -61,9 +63,17 @@ object EventQueries {
         .start()
       q.awaitTermination()
       s.table(sink)
-    } finally prev match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None    => s.conf.unset(providerKey)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+      // restore the legacy parquet flag too — leaking it would silently
+      // change every later nanos-timestamp parquet read in this session
+      prevNanos match {
+        case Some(v) => s.conf.set(nanosKey, v)
+        case None    => s.conf.unset(nanosKey)
+      }
     }
   }
 

@@ -71,12 +71,30 @@ class DecontaminateSpec extends AnyFunSuite {
     // only the prefilter's selectivity degrades
     val eval = df((100L, "u v w x y z"))
     val train = df((1L, "u v w completely unrelated"), (2L, "p q r s t u"))
-    val q = Decontaminate.bloomOverlapStats(train, eval, "doc_id", "text", 3, 0.5,
-      expectedEvalShingles = 4)
-    // the probe sits inside the persisted marked frame — assert on the
-    // analyzed plan, which prints the pre-cache-substitution tree
-    assert(q.queryExecution.analyzed.toString.contains("might_contain"),
-      "BloomFilterMightContain must appear in the plan")
+    // the staged stats are eagerly checkpointed inside the call (so the
+    // shingle cache can be released there) — the probe therefore runs
+    // DURING the call, not in the returned lazy plan. Capture the
+    // executed plans with a listener and assert the probe was in one.
+    val executed = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        executed.add(qe.analyzed.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    import scala.jdk.CollectionConverters._
+    // listener delivery is async — poll briefly for the probe's plan
+    def probeSeen: Boolean = executed.asScala.exists(_.contains("might_contain"))
+    val q = try {
+      val r = Decontaminate.bloomOverlapStats(train, eval, "doc_id", "text", 3, 0.5,
+        expectedEvalShingles = 4)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!probeSeen && System.nanoTime() < deadline) Thread.sleep(50)
+      r
+    } finally spark.listenerManager.unregister(listener)
+    assert(probeSeen, "BloomFilterMightContain must appear in an executed plan")
     val exact = Decontaminate.overlapStats(train, eval, "doc_id", "text", 3, 0.5)
       .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
     assert(q.orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq == exact)
