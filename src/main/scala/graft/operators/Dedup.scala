@@ -180,11 +180,20 @@ object Dedup {
     * precision. */
   def incrementalLshPairs(newDocs: DataFrame, seenDocs: DataFrame,
                           id: String, text: String, shingleN: Int,
-                          numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val nb = bandFrame(shingleSet(newDocs, id, text, shingleN), id, numHashes, rowsPerBand)
-      .select(col(id).as("new_id"), col("band"), col("bsig"))
-    val sb = bandFrame(shingleSet(seenDocs, id, text, shingleN), id, numHashes, rowsPerBand)
-      .select(col(id).as("seen_id"), col("band"), col("bsig"))
+                          numHashes: Int, rowsPerBand: Int): DataFrame =
+    incrementalLshPairsFromBands(
+      bandFrame(shingleSet(newDocs, id, text, shingleN), id, numHashes, rowsPerBand),
+      bandFrame(shingleSet(seenDocs, id, text, shingleN), id, numHashes, rowsPerBand),
+      id)
+
+  /** `incrementalLshPairs` over ALREADY-BUILT band frames (id, band,
+    * bsig) — the form the streaming ingest loop uses: the seen side is
+    * the band store persisted at ingest time, so the historical corpus
+    * is never re-shingled. */
+  def incrementalLshPairsFromBands(newBands: DataFrame, seenBands: DataFrame,
+                                   id: String): DataFrame = {
+    val nb = newBands.select(col(id).as("new_id"), col("band"), col("bsig"))
+    val sb = seenBands.select(col(id).as("seen_id"), col("band"), col("bsig"))
     nb.join(sb, Seq("band", "bsig"))
       .select(col("new_id"), col("seen_id"))
       .distinct()

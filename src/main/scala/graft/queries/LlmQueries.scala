@@ -775,6 +775,37 @@ object LlmQueries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), min(col("q")).as("q_min"), max(col("q")).as("q_max"))
         .orderBy(col("bin"))
+    }),
+
+    // The l36 shape run FOR REAL as a streaming ingest loop: four
+    // crawl drops (doc_id % 4) land one at a time; each drives an
+    // AvailableNow foreachBatch run that LSH-checks the drop against
+    // the PERSISTED band store of every earlier drop and then appends
+    // its own bands — checkpoint-resumed across runs, history never
+    // re-shingled. The oracle replays the same cross-batch band join
+    // relationally, so the streaming loop's accumulated verdicts are
+    // hash-graded end to end.
+    "l61_stream_incr_dedup" -> ((s, dir) => {
+      import graft.streaming.IncrementalDedup
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      val cfg = IncrementalDedup.Config("doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      (0 until 4).foreach { k =>
+        // drop k lands as new parquet part files in the watched dir...
+        docs.filter(col("doc_id") % 4 === k)
+          .write.mode("append").parquet(s"$root/src")
+        // ...and one AvailableNow run drains exactly the new files,
+        // resuming from the shared checkpoint (micro-batch k)
+        IncrementalDedup.run(
+          s.readStream.schema(docs.schema).parquet(s"$root/src"),
+          cfg, s"$root/bands", s"$root/out", s"$root/ckpt")
+          .awaitTermination()
+      }
+      IncrementalDedup.results(s, s"$root/out")
+        .select(col("doc_id"), col("ingest_batch").cast("long").as("ingest_batch"),
+          col("first_match"), col("n_matches"), col("is_dup"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1434,6 +1465,36 @@ object LlmQueries {
         |  CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
         |  m.first_match IS NOT NULL AS is_dup
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) n
+        |LEFT JOIN m ON m.did = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // The streaming ingest loop's accumulated verdicts: same band
+    // contract as l36, but every doc surfaces with its drop id and
+    // matches run against ALL strictly-earlier drops.
+    "l61_stream_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed % 4 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |m AS (SELECT x.doc_id AS did, MIN(y.doc_id) AS first_match,
+        |        COUNT(DISTINCT y.doc_id) AS n_matches
+        |      FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+        |      WHERE (y.doc_id % 4) < (x.doc_id % 4)
+        |      GROUP BY 1)
+        |SELECT n.doc_id, CAST(n.doc_id % 4 AS BIGINT) AS ingest_batch,
+        |  m.first_match,
+        |  CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |  m.first_match IS NOT NULL AS is_dup
+        |FROM documents n
         |LEFT JOIN m ON m.did = n.doc_id
         |ORDER BY doc_id""".stripMargin,
     "l37_bpe_pairs" ->

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The rolling-crawl ingest loop end to end: crawl drops arrive one at
+  * a time, each AvailableNow run dedups the drop against the PERSISTED
+  * band store of all earlier drops, checkpoint-resumed across runs.
+  * Proves (a) batch N+1 dedups against batches 1..N, (b) history is
+  * never re-shingled — the already-ingested source files are DELETED
+  * and dedup still works off the stored bands, (c) a micro-batch
+  * replayed after a simulated crash (commit marker removed) rewrites
+  * its partitions idempotently. */
+class IncrementalDedupStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = IncrementalDedup.Config("doc_id", "text",
+    shingleN = 3, numHashes = 8, rowsPerBand = 2)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively(_))
+    Files.deleteIfExists(p)
+  }
+
+  test("drops dedup against persisted bands; deleted history stays dedupable; replay is idempotent") {
+    val root = Files.createTempDirectory("graft_incr_spec").toString
+    val src = s"$root/src"; val bands = s"$root/bands"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit =
+      IncrementalDedup.run(
+        spark.readStream.schema(schema).parquet(src),
+        cfg, bands, out, ckpt).awaitTermination()
+    def verdicts(): Map[Long, (Option[Long], Long, Boolean)] =
+      IncrementalDedup.results(spark, out)
+        .select(col("doc_id"), col("first_match"), col("n_matches"), col("is_dup"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+            r.getLong(2), r.getBoolean(3)))
+        .toMap
+
+    // drop 0: two unrelated docs
+    drop(
+      1L -> "the quick brown fox jumps over the lazy dog every single day",
+      2L -> "completely unrelated words describing some other topic entirely here")
+    runOnce()
+    assert(verdicts() == Map(
+      1L -> (None, 0L, false),
+      2L -> (None, 0L, false)))
+
+    // history is now only the band store: delete every ingested source
+    // file — a pipeline that re-shingled batches 1..N would break here
+    Files.list(Paths.get(src)).forEach(f => deleteRecursively(f))
+    assert(Files.list(Paths.get(src)).count() == 0)
+
+    // drop 1: one exact near-dup of doc 1, one novel doc
+    drop(
+      10L -> "the quick brown fox jumps over the lazy dog every single day",
+      11L -> "novel sentences that match nothing previously ingested at all anywhere")
+    runOnce()
+    val afterDrop1 = verdicts()
+    assert(afterDrop1(10L) == ((Some(1L), 1L, true)),
+      s"drop-1 dup must match stored batch-0 bands: $afterDrop1")
+    assert(afterDrop1(11L) == ((None, 0L, false)))
+    assert(afterDrop1(1L) == ((None, 0L, false))) // batch-0 verdicts untouched
+
+    // simulated crash after batch 1 ran but before its commit marker:
+    // removing commits/1 makes the restart REPLAY micro-batch 1 from
+    // the checkpoint's recorded file list; batchId-keyed overwrites
+    // must leave the stores byte-identical in content (no dup rows,
+    // same verdicts) and the replayed batch must not see its own
+    // earlier band write as seen corpus (n_matches would double)
+    assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.1.crc")) // local-FS checksum sidecar
+    runOnce()
+    val afterReplay = verdicts()
+    assert(afterReplay == afterDrop1, "replay must be idempotent")
+    assert(IncrementalDedup.results(spark, out).count() == 4)
+
+    // drop 2 still composes: dups against BOTH earlier drops
+    drop(20L -> "the quick brown fox jumps over the lazy dog every single day")
+    runOnce()
+    val afterDrop2 = verdicts()
+    assert(afterDrop2(20L) == ((Some(1L), 2L, true)),
+      s"drop-2 doc must match docs 1 and 10 via stored bands: $afterDrop2")
+  }
+
+  test("seenBands excludes the replaying batch's own partition and handles a missing store") {
+    val root = Files.createTempDirectory("graft_incr_seen").toString
+    assert(IncrementalDedup.seenBands(spark, s"$root/nope", 5L).isEmpty)
+    Seq((1L, 0, "x")).toDF("doc_id", "band", "bsig")
+      .write.parquet(s"$root/st/ingest_batch=0")
+    Seq((2L, 0, "y")).toDF("doc_id", "band", "bsig")
+      .write.parquet(s"$root/st/ingest_batch=1")
+    val seen = IncrementalDedup.seenBands(spark, s"$root/st", 1L).get
+    assert(seen.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(IncrementalDedup.seenBands(spark, s"$root/st", 0L).isEmpty)
+  }
+}
