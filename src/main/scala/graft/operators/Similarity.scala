@@ -386,6 +386,37 @@ object Similarity extends Serializable {
       .toDF("bucket")
   }
 
+  /** The coarse quantizer's centroids as a PERSISTABLE frame (cid,
+    * cvec) — what an ingest cycle writes next to the inverted lists so
+    * serve-time routing never touches the corpus again. Float arrays
+    * round-trip parquet bit-exactly, so routing from the loaded frame
+    * is identical to routing from a rebuild. */
+  def coarseCentroidFrame(df: DataFrame, id: String, vec: String,
+                          nCentroids: Int, kmeansIters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    coarseCentroids(df, id, vec, nCentroids, kmeansIters)
+      .map { case (ci, v, _) => (ci, v) }.toSeq
+      .toDF("cid", "cvec")
+  }
+
+  /** Serve-time twin of `ivfProbeLists`: the `nProbe` nearest list ids
+    * per probe row, routed against a LOADED centroid frame (collected
+    * driver-side — nCentroids×dim floats, bounded). Same 6-d.p.
+    * cosine / lower-cid tie discipline as assignment. */
+  def ivfProbeListsFrom(centroids: DataFrame, probes: DataFrame,
+                        id: String, vec: String, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("cid").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (c, v) => (c, v, math.sqrt(normOf(v))) }
+    require(cents.nonEmpty, "empty centroid frame")
+    probes.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+      .flatMap { case (_, v) => nearestCentroidIds(cents, v, nProbe) }
+      .toDF("bucket")
+  }
+
   /** SemDedup (semantic dedup over embeddings): cluster with the coarse
     * quantizer, then inside each cluster drop every vector that has a
     * LOWER-ID neighbor with cosine >= threshold — the keep-the-first

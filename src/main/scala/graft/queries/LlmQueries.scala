@@ -806,6 +806,25 @@ object LlmQueries {
         .select(col("doc_id"), col("ingest_batch").cast("long").as("ingest_batch"),
           col("first_match"), col("n_matches"), col("is_dup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // l55's IVF-PQ search SERVED FROM A PERSISTED INDEX: codebooks,
+    // codes, coarse centroids and inverted lists are built once and
+    // written to parquet (the per-ingest-cycle artifact), then the
+    // query runs entirely off the loaded frames — its plan's only
+    // corpus access is fetching the probe vector. Hash-graded against
+    // l55's recompute oracle, proving serve-from-disk is bit-identical
+    // to rebuild-per-query.
+    "l62_ann_index_serve" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_annix").toString
+      AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
+      val ix = AnnIndex.load(s, root)
+      val probe = emb.filter(col("vec_id") === 0)
+      AnnIndex.serveIvfPq(ix, probe, "vec_id", "embedding",
+        dim = 64, m = 4, nProbe = 4, topK = 10)
     })
   )
 
@@ -852,7 +871,14 @@ object LlmQueries {
        |$finalSelect""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // l62 serves from the PERSISTED index; floats round-trip parquet
+    // bit-exactly, so its contract is l55's recompute oracle verbatim
+    base + ("l62_ann_index_serve" -> base("l55_ivf_pq"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "l58_logreg_quality" -> logRegOracle,
     "l59_classifier_filter" -> logRegOracleWith(
       """SELECT f.doc_id, ((i.w1*f.x1 + i.w2*f.x2 + i.w0) >= 0) AS keep,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Persisted IVF-PQ index: serve-from-disk must be bit-identical to
+  * the rebuild-per-query path, and the serving plan must contain no
+  * training subtree — its only corpus access is the probe fetch. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 12 deterministic 8-dim vectors in two obvious clusters
+  private lazy val emb = {
+    val rows = (0L until 12L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.tabulate(8)(d => base * (1.0f + 0.01f * (i + d))))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("serveIvfPq from a persisted index equals the recompute composition") {
+    val dir = Files.createTempDirectory("annix").toString
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    val ix = AnnIndex.load(spark, dir)
+    val probe = emb.filter(col("vec_id") === 0)
+
+    val served = AnnIndex.serveIvfPq(ix, probe, "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 2, topK = 5)
+      .as[(Long, Double)].collect().toSeq
+
+    // the recompute path: same composition but every artifact rebuilt
+    val lists = Similarity.ivfLists(emb, "vec_id", "embedding", nCentroids = 4)
+    val probeB = Similarity.ivfProbeLists(emb, "vec_id", "embedding",
+      nCentroids = 4, nProbe = 2, probeId = 0)
+    val cand = lists.join(broadcast(probeB), Seq("bucket")).select(col("vec_id"))
+    val cb = Quantize.pqCodebooks(emb, "vec_id", "embedding", dim = 8, m = 2, k = 4)
+    val codes = Quantize.pqEncode(emb, cb, "vec_id", "embedding", dim = 8, m = 2)
+      .join(cand, Seq("vec_id"), "left_semi")
+    val recomputed = Quantize.pqAdcTopK(codes, cb, probe,
+        "vec_id", "embedding", dim = 8, m = 2, topK = 5)
+      .as[(Long, Double)].collect().toSeq
+
+    assert(served == recomputed)
+    assert(served.nonEmpty)
+  }
+
+  test("the serving plan reads the index and touches the corpus only for the probe") {
+    val dir = Files.createTempDirectory("annix_plan").toString
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    val ix = AnnIndex.load(spark, dir)
+
+    // a parquet-backed corpus so probe pushdown is visible in the plan
+    val corpusDir = s"$dir/corpus"
+    emb.write.parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val probe = corpus.filter(col("vec_id") === 0)
+
+    val served = AnnIndex.serveIvfPq(ix, probe, "vec_id", "embedding",
+      dim = 8, m = 2, nProbe = 2, topK = 5)
+    val plan = served.queryExecution.executedPlan.toString
+
+    // serves from the persisted artifacts...
+    assert(plan.contains(s"$dir/codes"), "codes must be scanned from the index")
+    assert(plan.contains(s"$dir/codebooks"), "codebooks must be scanned from the index")
+    assert(plan.contains(s"$dir/lists"), "lists must be scanned from the index")
+    // ...and every corpus scan is a pushed-down probe fetch — a
+    // training subtree would need an unfiltered corpus scan
+    val corpusScans = plan.linesIterator
+      .filter(l => l.contains("corpus") && l.contains("PushedFilters")).toSeq
+    assert(corpusScans.nonEmpty, "probe fetch must scan the corpus")
+    corpusScans.foreach { l =>
+      assert(l.contains("EqualTo(vec_id,0)"),
+        s"corpus scan without probe pushdown (training subtree?): $l")
+    }
+  }
+}
