@@ -302,18 +302,90 @@ object Dedup {
     * threshold: A~B and B~C pairs must collapse into ONE group even
     * when A~C alone would miss the cut.
     *
-    * Algorithm: iterative min-label propagation to a fixpoint. Each
-    * round is one shuffle (neighbor-join + min-aggregate); rounds ≈
-    * component diameter, and near-dup clusters are shallow (dups of a
-    * common source), so 2-4 rounds close real corpora. Each round
-    * materializes into a persisted RDD and rebuilds the frame from it
-    * (truncating the otherwise per-round-doubling lineage), and the
-    * SUPERSEDED round's blocks are released immediately — storage stays
-    * at one labels copy + edges, not one per round. The returned frame
-    * is backed by the final persisted copy. Giant-component graphs
-    * would swap in the large-star/small-star variant; the per-round
-    * plan shape (equi-join + min agg) is already the scalable one. */
-  def connectedComponents(pairs: DataFrame, a: String = "da", b: String = "db"): DataFrame = {
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * O(log n) rounds on ANY graph shape. Plain min-label propagation
+    * needs diameter rounds, which is fine for shallow near-dup
+    * clusters but degenerates on the giant hub component a
+    * boilerplate-heavy corpus produces (every doc near-dup of a
+    * template chains into one deep component); large-star halves long
+    * chains every round. Each half-round is one groupBy-min + one
+    * equi-join shuffle over the edge frame. Rounds materialize into
+    * persisted RDDs with the superseded round's blocks released
+    * immediately — storage stays at one edge copy, not one per round.
+    * The min-label reference implementation is retained as
+    * `connectedComponentsMinLabel` and pinned equivalent by property
+    * test. */
+  def connectedComponents(pairs: DataFrame, a: String = "da", b: String = "db"): DataFrame =
+    connectedComponentsStar(pairs, a, b)._1
+
+  /** The star algorithm with its round count exposed (the O(log n)
+    * convergence property is what the tests pin). */
+  private[graft] def connectedComponentsStar(pairs: DataFrame, a: String,
+                                             b: String): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(level)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    // canonical undirected edge set (x < y); self-pairs are no-ops
+    var (edges, edgesRdd) = materialize(
+      pairs.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct())
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      // LARGE-STAR: each node u links every LARGER neighbor v to the
+      // min m of u's closed neighborhood — emitted canonical (m, v)
+      // since m <= u < v. Long chains halve here.
+      val nbrs = edges.select(col("x").as("u"), col("y").as("v"))
+        .union(edges.select(col("y").as("u"), col("x").as("v")))
+      val ls = nbrs.join(
+          nbrs.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m")), "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("x"), col("v").as("y"))
+        .distinct()
+      // SMALL-STAR: each node u links its SMALLER neighbors and itself
+      // to their min. In canonical form u's smaller neighbors are
+      // exactly the x's of its (x, u) edges, so no union-of-directions
+      // is needed; one explode emits both (v, m) and (u, m).
+      val sn = ls.select(col("y").as("u"), col("x").as("v"))
+      val round = sn.join(sn.groupBy(col("u")).agg(min(col("v")).as("m")), "u")
+        .select(col("m").as("x"), explode(array(col("v"), col("u"))).as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct()
+      val (next, nextRdd) = materialize(round)
+      rounds += 1
+      // O(log^2 n) is the proven ceiling — a triple-digit round count
+      // means a logic bug, and failing beats looping forever
+      require(rounds <= 100, s"connectedComponents failed to converge in $rounds rounds")
+      // fixpoint = the edge set is a STAR PARTITION (the paper's stable
+      // states): every child has exactly one root and no root is also a
+      // child. Both probes scan the just-persisted round.
+      converged =
+        next.groupBy(col("y")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .filter(col("mn") =!= col("mx")).isEmpty &&
+        next.select(col("x")).intersect(next.select(col("y"))).isEmpty
+      edgesRdd.unpersist(blocking = false)
+      edges = next
+      edgesRdd = nextRdd
+    }
+    // converged star edges (root, child) → labels; roots label themselves
+    val labels = edges.select(col("y").as("id"), col("x").as("rep"))
+      .union(edges.select(col("x"), col("x")).distinct()
+        .toDF("id", "rep"))
+    (labels, rounds)
+  }
+
+  /** Min-label propagation to a fixpoint — rounds ≈ component diameter
+    * (one neighbor-join + min-aggregate shuffle per round). Retained as
+    * the independently-derived reference the star algorithm is
+    * differentially tested against; prefer `connectedComponents` for
+    * anything that might see deep components. */
+  private[graft] def connectedComponentsMinLabel(pairs: DataFrame, a: String = "da",
+                                                 b: String = "db"): DataFrame = {
     val spark = pairs.sparkSession
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {

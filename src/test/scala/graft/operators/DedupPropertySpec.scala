@@ -72,4 +72,35 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(got == unionFind(edges), s"seed $seed, edges $edges")
     }
   }
+
+  test("star CC converges in O(log n) rounds on a 1k path graph and a 1k star graph") {
+    // path 0-1-2-...-1023: diameter 1023 — min-label propagation would
+    // need ~1023 rounds; large-star/small-star must close in O(log n)
+    val path = (0L until 1023L).map(i => (i, i + 1)).toDF("da", "db")
+    val (pathLabels, pathRounds) = Dedup.connectedComponentsStar(path, "da", "db")
+    assert(pathLabels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(pathLabels.select("id").distinct().count() == 1024)
+    assert(pathRounds <= 2 * 10 + 5, // ~2·log2(1024) with slack
+      s"path graph took $pathRounds rounds — not O(log n)")
+
+    // hub component: everything near-dup of one template
+    val star = (0L until 1024L).filter(_ != 500L).map(i => (math.min(i, 500L), math.max(i, 500L)))
+      .toDF("da", "db")
+    val (starLabels, starRounds) = Dedup.connectedComponentsStar(star, "da", "db")
+    assert(starLabels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(starRounds <= 3, s"star graph took $starRounds rounds")
+  }
+
+  test("star CC labels equal the min-label reference on random graphs") {
+    for (seed <- Seq(7L, 41L)) {
+      val gen = Gen.listOfN(60,
+        Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)).suchThat(p => p._1 != p._2))
+      val edges = gen(Gen.Parameters.default, Seed(seed)).get
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val df = edges.toDF("da", "db")
+      val star = Dedup.connectedComponents(df).as[(Long, Long)].collect().toMap
+      val ref = Dedup.connectedComponentsMinLabel(df).as[(Long, Long)].collect().toMap
+      assert(star == ref, s"seed $seed")
+    }
+  }
 }
