@@ -825,6 +825,36 @@ object LlmQueries {
       val probe = emb.filter(col("vec_id") === 0)
       AnnIndex.serveIvfPq(ix, probe, "vec_id", "embedding",
         dim = 64, m = 4, nProbe = 4, topK = 10)
+    }),
+
+    // l52's recall audit made corpus-scale runnable: the exact-Jaccard
+    // denominator is quadratic, so it runs on a DETERMINISTIC document
+    // sample (the md5-coin — any engine/layout/rerun keeps the same
+    // docs) and reports the estimate with its 95% normal half-width.
+    // Restriction doesn't bias the per-pair verdict: a pair's LSH
+    // outcome depends only on its own two signatures. Quadratic cost
+    // shrinks by rate²; rate is the knob that keeps the audit runnable
+    // at any corpus size.
+    "l63_lsh_recall_sampled" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sampled = graft.operators.Sampling.sample(docs, "doc_id", 0.5, "recall62")
+      val exact = Dedup.ngramJaccardPairs(sampled, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("da"), col("db"))
+      val lsh = Dedup.lshVerifiedPairs(sampled, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+        .select(col("da"), col("db"), lit(1).as("hit"))
+      // identical expression trees on both engines: p once per column,
+      // (p*(1-p))/n under the sqrt, 6-d.p. rounds
+      def p = col("n_lsh").cast("double") / col("n_exact")
+      exact.join(lsh, Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_lsh"))
+        .select(col("n_exact"), col("n_lsh"),
+          when(col("n_exact") === 0, lit(null).cast("double"))
+            .otherwise(round(p, 6)).as("recall_est"),
+          when(col("n_exact") === 0, lit(null).cast("double"))
+            .otherwise(round(lit(1.96) *
+              sqrt(p * (lit(1.0) - p) / col("n_exact").cast("double")), 6))
+            .as("recall_err95"))
     })
   )
 
@@ -1896,6 +1926,53 @@ object LlmQueries {
         |SELECT COUNT(*) AS n_exact, COUNT(l.da) AS n_lsh,
         |  CAST(COUNT(l.da) AS DOUBLE) / COUNT(*) AS recall
         |FROM exact e LEFT JOIN lsh l ON l.da = e.da AND l.db = e.db""".stripMargin,
+    // l52's chain over the md5-coin document sample, with the
+    // normal-approximation half-width mirrored expression-for-expression.
+    "l63_lsh_recall_sampled" ->
+      """WITH sdoc AS (SELECT doc_id, text FROM documents
+        |  WHERE CAST('0x' || substr(md5('recall62|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        / 4294967296.0 < 0.5),
+        |d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM sdoc),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |einter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |exact AS (SELECT da, db
+        |          FROM einter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |          WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8),
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+        |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+        |             % 1099511627791) AS mh
+        |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed % 4 AS band,
+        |            array_to_string(list_sort(list(mh)), '|') AS bsig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |vinter AS (SELECT c.da, c.db, COUNT(*) AS i
+        |           FROM cand c
+        |           JOIN sh a ON a.doc_id = c.da
+        |           JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |           GROUP BY 1, 2),
+        |lsh AS (SELECT da, db
+        |        FROM vinter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |        WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8),
+        |agg AS (SELECT COUNT(*) AS n_exact, COUNT(l.da) AS n_lsh
+        |        FROM exact e LEFT JOIN lsh l ON l.da = e.da AND l.db = e.db)
+        |SELECT n_exact, n_lsh,
+        |  CASE WHEN n_exact = 0 THEN NULL
+        |       ELSE round(CAST(n_lsh AS DOUBLE) / n_exact, 6) END AS recall_est,
+        |  CASE WHEN n_exact = 0 THEN NULL
+        |       ELSE round(1.96 * sqrt((CAST(n_lsh AS DOUBLE) / n_exact)
+        |              * (1.0 - CAST(n_lsh AS DOUBLE) / n_exact)
+        |              / CAST(n_exact AS DOUBLE)), 6) END AS recall_err95
+        |FROM agg""".stripMargin,
     "l55_ivf_pq" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
