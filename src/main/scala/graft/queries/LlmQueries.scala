@@ -855,6 +855,22 @@ object LlmQueries {
             .otherwise(round(lit(1.96) *
               sqrt(p * (lit(1.0) - p) / col("n_exact").cast("double")), 6))
             .as("recall_err95"))
+    }),
+
+    // BPE tokenizer TRAINING (l37 computed only the first merge's
+    // statistics): 10 actual merges learned iteratively — one
+    // pair-count aggregation job per merge over the |vocab|-row
+    // word-frequency frame, driver state = the merge list. The oracle
+    // REPLAYS all 10 merges as a mechanical CTE chain, so the learned
+    // sequence (not just one step) is hash-graded.
+    "l60_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = graft.operators.Bpe.wordFreqs(
+          Tables.load(s, dir, "documents"), "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Bpe.trainMerges(words, iters = 10)
+        .toDF("step", "l_sym", "r_sym", "pair_freq")
+        .orderBy(col("step"))
     })
   )
 
@@ -905,7 +921,39 @@ object LlmQueries {
     val base = oracleSqlBase
     // l62 serves from the PERSISTED index; floats round-trip parquet
     // bit-exactly, so its contract is l55's recompute oracle verbatim
-    base + ("l62_ann_index_serve" -> base("l55_ivf_pq"))
+    base +
+      ("l62_ann_index_serve" -> base("l55_ivf_pq")) +
+      ("l60_bpe_train" -> bpeOracle(10))
+  }
+
+  /** The l60 training replay: an UNROLLED merge chain — step k counts
+    * adjacent symbol pairs of the post-(k-1)-merges reprs, takes the
+    * (freq desc, pair lexicographic) arg-max, and applies it with the
+    * same literal sentinel replace the engine uses. Generated
+    * mechanically so the oracle provably runs Bpe.trainMerges'
+    * recurrence. */
+  private def bpeOracle(iters: Int): String = {
+    val sep = graft.operators.Bpe.Sep
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT sy[i] AS l, sy[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS s
+         |  FROM (SELECT freq, x[2:len(x)-1] AS sy
+         |        FROM (SELECT freq, string_split(repr, '$sep$sep') AS x FROM r${k - 1})),
+         |       UNNEST(generate_series(1, greatest(len(sy)-1, 0))) g(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT $k AS step, l, r, s FROM p$k ORDER BY s DESC, l, r LIMIT 1),
+         |r$k AS (SELECT replace(repr, '$sep' || m.l || '$sep$sep' || m.r || '$sep',
+         |                       '$sep' || m.l || m.r || '$sep') AS repr, freq
+         |        FROM r${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS word FROM documents)
+       |  GROUP BY 1),
+       |r0 AS (SELECT '$sep' || regexp_replace(word, '(.)', '$sep\\1$sep', 'g') || '$sep' AS repr,
+       |         freq FROM w),
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, l AS l_sym, r AS r_sym, s AS pair_freq
+       |FROM (${(1 to iters).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
