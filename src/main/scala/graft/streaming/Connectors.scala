@@ -137,11 +137,31 @@ final class FileConnector(root: String, schema: StructType,
   * `value` into a `payload` JSON string + `event_type` (extracted from
   * the payload, matching the reference's in-payload event_type,
   * pspf/stream.py:235-247) so SchemaRegistry.parse works unchanged;
-  * writes wrap all columns into a JSON `value`. NOTE: requires the
-  * spark-sql-kafka package on the classpath (not shipped in this
-  * environment — construction succeeds, start() would fail fast). */
-final class KafkaConnector(bootstrap: String) extends Connector {
-  import org.apache.spark.sql.functions.{col, get_json_object, struct, to_json}
+  * writes wrap all columns into a JSON `value`.
+  *
+  * LIVE-LEG ACTIVATION: the spark-sql-kafka package is detected on the
+  * classpath at construction. When present, every route goes through
+  * the real `kafka` source/sink; when absent (this environment ships
+  * no broker or jar), routes go through the configured `fallback`
+  * connector — typically the graftlog broker emulation — carrying the
+  * SAME envelope in both directions (the byte-exact `wrap` values land
+  * as graftlog record values; reads surface the identical
+  * key/payload/event_type/topic/partition/offset/timestamp columns).
+  * A broker swap is therefore config-only: put the jar on the
+  * classpath and pass the real bootstrap string. */
+final class KafkaConnector(bootstrap: String,
+                           fallback: Option[Connector] = None,
+                           liveOverride: Option[Boolean] = None) extends Connector {
+  import org.apache.spark.sql.functions.{col, get_json_object, lit, struct, to_json}
+
+  private[streaming] val live: Boolean =
+    liveOverride.getOrElse(KafkaConnector.liveAvailable)
+
+  private def route: Connector = fallback.getOrElse(
+    throw new IllegalStateException(
+      s"${KafkaConnector.ProviderClass} is not on the classpath and no " +
+        "fallback connector is configured — add the spark-sql-kafka " +
+        "package or pass a fallback (e.g. GraftLogConnector)"))
 
   private[streaming] def unwrap(df: DataFrame): DataFrame =
     df.select(
@@ -151,36 +171,68 @@ final class KafkaConnector(bootstrap: String) extends Connector {
       col("topic"), col("partition"), col("offset"),
       col("timestamp").as("timestamp"))
 
+  /** The graftlog envelope adapted to `unwrap`'s exact output shape —
+    * event_type re-derived from the payload JSON (same derivation on
+    * both legs, whatever the producer wrote). */
+  private[streaming] def adapt(df: DataFrame, topic: String): DataFrame =
+    df.select(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("payload"),
+      get_json_object(col("value").cast("string"), "$.event_type").as("event_type"),
+      lit(topic).as("topic"), col("partition"), col("offset"),
+      col("timestamp").as("timestamp"))
+
   private[streaming] def wrap(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   override def readStream(spark: SparkSession, topic: String): DataFrame =
-    unwrap(spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load())
+    if (live)
+      unwrap(spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+    else adapt(route.readStream(spark, topic), topic)
 
   override def readBatch(spark: SparkSession, topic: String): DataFrame =
-    unwrap(spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .load())
+    if (live)
+      unwrap(spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load())
+    else adapt(route.readBatch(spark, topic), topic)
 
   override def writeBatch(df: DataFrame, topic: String): Unit =
-    wrap(df).write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .save()
+    if (live)
+      wrap(df).write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    else route.writeBatch(wrap(df), topic)
 
   override def writeStream(df: DataFrame, topic: String, checkpoint: String,
                            outputMode: String): StreamingQuery =
-    wrap(df).writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
-      .outputMode(outputMode)
-      .start()
+    if (live)
+      wrap(df).writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(outputMode)
+        .start()
+    else route.writeStream(wrap(df), topic, checkpoint, outputMode)
+}
+
+object KafkaConnector {
+  /** The DSv2 provider shipped by the spark-sql-kafka package. */
+  val ProviderClass = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+  /** True when the spark-sql-kafka package is loadable — the live-leg
+    * activation switch. */
+  def liveAvailable: Boolean = liveAvailable(getClass.getClassLoader)
+
+  private[streaming] def liveAvailable(cl: ClassLoader): Boolean =
+    try { cl.loadClass(ProviderClass); true }
+    catch { case _: ClassNotFoundException => false }
 }
 
 /** In-memory topics for tests (reference: MemoryBackend,
