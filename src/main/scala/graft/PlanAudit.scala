@@ -14,7 +14,13 @@ object PlanAudit {
     // all-pairs cosine baseline: engine-managed broadcast self-join —
     // Spark enforces the broadcast size bound (vs. a driver collect,
     // which had no bound); Similarity.lshTopK buckets are the scale path
-    "l8_embed_pairs" -> "broadcast self-join all-pairs cosine baseline (size-bounded by engine)")
+    "l8_embed_pairs" -> "broadcast self-join all-pairs cosine baseline (size-bounded by engine)",
+    // the next three cross ONE broadcast stats row (corpus-level
+    // constants: mix scale / bm25 avgdl+N / LM vocab+total) into the
+    // corpus — a scalar join, not a data x data nested loop
+    "l29_domain_mix" -> "1-row mix-scale stat frame broadcast-crossed into the corpus",
+    "l33_bm25" -> "1-row (N, avgdl) stat frame broadcast-crossed into the term join",
+    "l42_lm_xentropy" -> "1-row (vocab, total) stat frame broadcast-crossed into the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

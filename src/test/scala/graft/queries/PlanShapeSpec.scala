@@ -41,21 +41,37 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("bloom decontamination: scalar-subquery bloom probe prefilters the train shingles") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
-    val q = graft.operators.Decontaminate.bloomOverlapStats(
-      train = docs.filter(col("doc_id") % 40 =!= 0),
-      eval = docs.filter(col("doc_id") % 40 === 0),
-      "doc_id", "text", n = 3, flagFrac = 0.3, expectedEvalShingles = 1 << 16)
-    // the probe/aggregate live inside the persisted marked frame, so
-    // they are asserted on the ANALYZED plan (pre-cache-substitution);
-    // the executed plan must show both branches reading the cache
-    val analyzed = q.queryExecution.analyzed.toString
-    assert(analyzed.contains("might_contain"),
+    // the probe/aggregate/branch-split now run eagerly inside the call
+    // (the staged stats are localCheckpointed so the shingle cache can
+    // be released there) — capture the executed plans with a listener
+    // and assert the shapes on what actually ran
+    val executed = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        executed.add((qe.analyzed.toString, qe.executedPlan.toString))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    import scala.jdk.CollectionConverters._
+    def seen(p: ((String, String)) => Boolean): Boolean = executed.asScala.exists(p)
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Decontaminate.bloomOverlapStats(
+        train = docs.filter(col("doc_id") % 40 =!= 0),
+        eval = docs.filter(col("doc_id") % 40 === 0),
+        "doc_id", "text", n = 3, flagFrac = 0.3, expectedEvalShingles = 1 << 16)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!seen(_._1.contains("might_contain")) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    assert(seen(_._1.contains("might_contain")),
       "the bloom membership probe must prefilter the train shingle stream")
-    assert(analyzed.contains("bloom_filter_agg"),
+    assert(seen(_._1.contains("bloom_filter_agg")),
       "the filter must be built by the one-pass BloomFilterAggregate subquery")
     // the maybe/clean branch split must read the STAGED marked frame,
     // not re-run the tokenize→explode→distinct shuffle per branch
-    assert(q.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+    assert(seen(e => e._1.contains("might_contain") && e._2.contains("InMemoryTableScan")),
       "both branches must read the persisted marked shingle frame")
     spark.sharedState.cacheManager.clearCache()
   }
