@@ -48,6 +48,21 @@ object AnnIndex {
     centroids = spark.read.parquet(s"$dir/centroids"),
     lists = spark.read.parquet(s"$dir/lists"))
 
+  /** Extend a persisted index with NEW vectors, no rebuild: codes are
+    * assigned against the PERSISTED codebooks and list membership
+    * against the PERSISTED centroids, appended to the codes/lists
+    * dirs. The quantizers stay fixed between ingest cycles (retrain on
+    * drift, not per drop), so an append-extended index is bit-identical
+    * to a rebuild over the union corpus under the same quantizers. */
+  def appendVectors(spark: SparkSession, dir: String, newEmb: DataFrame,
+                    id: String, vec: String, dim: Int, m: Int): Unit = {
+    val ix = load(spark, dir)
+    Quantize.pqEncode(newEmb, ix.codebooks, id, vec, dim, m)
+      .write.mode("append").parquet(s"$dir/codes")
+    Similarity.ivfListsFrom(ix.centroids, newEmb, id, vec)
+      .write.mode("append").parquet(s"$dir/lists")
+  }
+
   /** Whole-corpus ADC top-k from the loaded index (l54's shape, no
     * IVF routing — every coded vector scored). */
   def servePqAdc(ix: IvfPq, probe: DataFrame, id: String, vec: String,

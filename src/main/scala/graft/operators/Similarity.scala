@@ -400,21 +400,43 @@ object Similarity extends Serializable {
       .toDF("cid", "cvec")
   }
 
-  /** Serve-time twin of `ivfProbeLists`: the `nProbe` nearest list ids
-    * per probe row, routed against a LOADED centroid frame (collected
-    * driver-side — nCentroids×dim floats, bounded). Same 6-d.p.
-    * cosine / lower-cid tie discipline as assignment. */
-  def ivfProbeListsFrom(centroids: DataFrame, probes: DataFrame,
-                        id: String, vec: String, nProbe: Int): DataFrame = {
-    val spark = probes.sparkSession
+  /** A persisted (cid, cvec) centroid frame collected back to the
+    * driver with norms recomputed — nCentroids×dim floats, bounded. */
+  private def centroidArray(centroids: DataFrame): Array[(Long, Array[Float], Double)] = {
+    val spark = centroids.sparkSession
     import spark.implicits._
     val cents = centroids.select(col("cid").cast("long"), col("cvec"))
       .as[(Long, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(normOf(v))) }
     require(cents.nonEmpty, "empty centroid frame")
+    cents
+  }
+
+  /** Serve-time twin of `ivfProbeLists`: the `nProbe` nearest list ids
+    * per probe row, routed against a LOADED centroid frame. Same
+    * 6-d.p. cosine / lower-cid tie discipline as assignment. */
+  def ivfProbeListsFrom(centroids: DataFrame, probes: DataFrame,
+                        id: String, vec: String, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroidArray(centroids))
     probes.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
-      .flatMap { case (_, v) => nearestCentroidIds(cents, v, nProbe) }
+      .flatMap { case (_, v) => nearestCentroidIds(bc.value, v, nProbe) }
       .toDF("bucket")
+  }
+
+  /** Ingest-time twin of `ivfLists` for index APPENDS: assign vectors
+    * to their nearest list against a LOADED centroid frame — identical
+    * assignment to a rebuild as long as the centroids are held fixed
+    * (the per-ingest-cycle contract). */
+  def ivfListsFrom(centroids: DataFrame, df: DataFrame,
+                   id: String, vec: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroidArray(centroids))
+    df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+      .map { case (i, v) => (i, nearestCentroidIds(bc.value, v, 1).head) }
+      .toDF(id, "bucket")
   }
 
   /** SemDedup (semantic dedup over embeddings): cluster with the coarse

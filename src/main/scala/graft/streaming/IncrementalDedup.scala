@@ -112,4 +112,72 @@ object IncrementalDedup {
     * `ingest_batch` partition column. */
   def results(spark: SparkSession, resultDir: String): DataFrame =
     spark.read.parquet(resultDir)
+
+  /** Compact the band store: fold every partition with id <
+    * `upToBatch` into ONE partition dir (named for the highest folded
+    * id). Over thousands of crawl drops the per-batch dirs accumulate
+    * small files; dedup semantics only need "strictly before the
+    * current batch", not which batch a band came from, so folding is
+    * loss-free — batch N (and any replay of it, N >= upToBatch) reads
+    * the compacted partition exactly as it read the originals.
+    *
+    * Call only with `upToBatch` <= the last COMMITTED batch id: the
+    * one batch the checkpoint can replay must stay out of the fold
+    * (its replay overwrites its own partition by id).
+    * Returns the number of partitions folded (0 = nothing to do). */
+  def compactBandStore(spark: SparkSession, bandStoreDir: String,
+                       upToBatch: Long): Int = {
+    val p = new Path(bandStoreDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0
+    recoverPendingCompaction(fs, bandStoreDir)
+    val olds = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap(d => d.getName match {
+        case BatchDirRe(b) if b.toLong < upToBatch => Some((b.toLong, d))
+        case _ => None
+      })
+      .sortBy(_._1)
+    if (olds.size < 2) return 0
+    val target = olds.map(_._1).max
+    val merged = spark.read
+      .option("basePath", bandStoreDir)
+      .parquet(olds.map(_._2.toString): _*)
+      .drop("ingest_batch")
+    // crash discipline (single writer): the fold is FULLY staged in a
+    // dot-dir (invisible to seenBands' partition regex) before any old
+    // partition is touched; a crash after staging is completed by
+    // recoverPendingCompaction on the next call — every interleaving
+    // leaves either the old layout, or tmp + a prefix of the deletes
+    // (all of tmp's content), never a partial partition
+    val tmp = s"$bandStoreDir/$TmpPrefix$target"
+    merged.write.mode("overwrite").parquet(tmp)
+    olds.foreach { case (_, d) => fs.delete(d, true) }
+    fs.rename(new Path(tmp), new Path(batchDir(bandStoreDir, target)))
+    olds.size
+  }
+
+  private val TmpPrefix = ".compact_tmp_"
+
+  /** Finish a compaction interrupted between staging and swap: the
+    * staged dot-dir holds the COMPLETE fold (a _SUCCESS-marked parquet
+    * write), so deleting every partition it covers and renaming it
+    * into place is always safe. An unmarked (torn) stage is discarded. */
+  private def recoverPendingCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                       bandStoreDir: String): Unit =
+    fs.listStatus(new Path(bandStoreDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
+      .foreach { s =>
+        val target = s.getPath.getName.stripPrefix(TmpPrefix).toLong
+        if (fs.exists(new Path(s"${s.getPath}/_SUCCESS"))) {
+          fs.listStatus(new Path(bandStoreDir)).toSeq
+            .filter(_.isDirectory)
+            .foreach(d => d.getPath.getName match {
+              case BatchDirRe(b) if b.toLong <= target => fs.delete(d.getPath, true)
+              case _ => ()
+            })
+          fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target)))
+        } else fs.delete(s.getPath, true)
+      }
 }

@@ -50,6 +50,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("appendVectors extends the index bit-identically to a full rebuild") {
+    // the first 6 ids include the k lowest, so the prefix-initialized
+    // codebooks/centroids of the partial build equal the full build's —
+    // append-then-serve must therefore match rebuild-then-serve exactly
+    val dirA = Files.createTempDirectory("annix_app").toString
+    val dirB = Files.createTempDirectory("annix_full").toString
+    val low = emb.filter(col("vec_id") < 6)
+    val high = emb.filter(col("vec_id") >= 6)
+
+    AnnIndex.buildIvfPq(low, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dirA)
+    AnnIndex.appendVectors(spark, dirA, high, "vec_id", "embedding", dim = 8, m = 2)
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dirB)
+
+    val probe = emb.filter(col("vec_id") === 0)
+    def serve(dir: String) =
+      AnnIndex.serveIvfPq(AnnIndex.load(spark, dir), probe, "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 2, topK = 8).as[(Long, Double)].collect().toSeq
+    val appended = serve(dirA)
+    val rebuilt = serve(dirB)
+    assert(appended == rebuilt)
+    // the appended index must actually contain the new vectors
+    assert(appended.exists(_._1 >= 6), s"high-id vectors missing from results: $appended")
+  }
+
   test("the serving plan reads the index and touches the corpus only for the probe") {
     val dir = Files.createTempDirectory("annix_plan").toString
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding",

@@ -95,6 +95,57 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       s"drop-2 doc must match docs 1 and 10 via stored bands: $afterDrop2")
   }
 
+  test("band-store compaction folds history; verdicts continue unchanged; interrupted swap recovers") {
+    val root = Files.createTempDirectory("graft_incr_compact").toString
+    val src = s"$root/src"; val bands = s"$root/bands"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit =
+      IncrementalDedup.run(spark.readStream.schema(schema).parquet(src),
+        cfg, bands, out, ckpt).awaitTermination()
+    def partDirs(): Seq[String] =
+      Files.list(Paths.get(bands)).map[String](_.getFileName.toString)
+        .filter(_.startsWith("ingest_batch=")).sorted.toArray.map(_.toString).toSeq
+
+    drop(1L -> "the quick brown fox jumps over the lazy dog every single day",
+      2L -> "completely unrelated words describing some other topic entirely here")
+    runOnce()
+    drop(10L -> "the quick brown fox jumps over the lazy dog every single day")
+    runOnce()
+    assert(partDirs() == Seq("ingest_batch=0", "ingest_batch=1"))
+
+    // fold batches 0..1 into one partition (both are committed)
+    assert(IncrementalDedup.compactBandStore(spark, bands, upToBatch = 2) == 2)
+    assert(partDirs() == Seq("ingest_batch=1"))
+
+    // dedup against the folded history still works, counting BOTH
+    // original drops' bands
+    drop(20L -> "the quick brown fox jumps over the lazy dog every single day")
+    runOnce()
+    val v = IncrementalDedup.results(spark, out)
+      .filter(col("doc_id") === 20L)
+      .select("first_match", "n_matches", "is_dup").collect().head
+    assert((v.getLong(0), v.getLong(1), v.getBoolean(2)) == ((1L, 2L, true)))
+
+    // simulate a crash between staging and swap: move the folded
+    // partition back to its staged dot-name — the next compaction call
+    // must complete the swap before doing anything else
+    Files.move(Paths.get(s"$bands/ingest_batch=1"),
+      Paths.get(s"$bands/.compact_tmp_1"))
+    // the call first completes the interrupted swap (restoring 1),
+    // then folds {1, 2} into 2 as asked
+    IncrementalDedup.compactBandStore(spark, bands, upToBatch = 3)
+    assert(partDirs() == Seq("ingest_batch=2"))
+    drop(30L -> "the quick brown fox jumps over the lazy dog every single day")
+    runOnce()
+    val v30 = IncrementalDedup.results(spark, out)
+      .filter(col("doc_id") === 30L)
+      .select("first_match", "n_matches", "is_dup").collect().head
+    assert((v30.getLong(0), v30.getLong(1), v30.getBoolean(2)) == ((1L, 3L, true)))
+  }
+
   test("seenBands excludes the replaying batch's own partition and handles a missing store") {
     val root = Files.createTempDirectory("graft_incr_seen").toString
     assert(IncrementalDedup.seenBands(spark, s"$root/nope", 5L).isEmpty)
