@@ -24,43 +24,60 @@ object AnnIndex {
   case class IvfPq(codebooks: DataFrame, codes: DataFrame,
                    centroids: DataFrame, lists: DataFrame)
 
-  /** Build every serving artifact under `dir`. The codebooks are
-    * written first and re-read for encoding, so the persisted copy is
-    * provably the one the codes were assigned against. */
+  /** Codes and lists live under per-ingest partition dirs
+    * (`codes/ingest=<tag>`), so every write — the base build and each
+    * append — is a tag-keyed OVERWRITE: a crashed-and-retried ingest
+    * rewrites exactly its own partition instead of duplicating rows
+    * (the same replay discipline as the dedup band store). */
+  private def ingestDir(dir: String, artifact: String, tag: String) = {
+    require(tag.matches("[A-Za-z0-9_.-]+"), s"ingest tag must be path-safe, got '$tag'")
+    s"$dir/$artifact/ingest=$tag"
+  }
+
+  /** Build every serving artifact under `dir`. The quantizers
+    * (codebooks, centroids) are written FIRST and re-read for
+    * encoding/assignment, so the persisted copies are provably the
+    * ones the codes and lists were derived against — and the coarse
+    * quantizer is computed exactly once. */
   def buildIvfPq(emb: DataFrame, id: String, vec: String,
                  dim: Int, m: Int, k: Int, nCentroids: Int, dir: String,
                  kmeansIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     Quantize.pqCodebooks(emb, id, vec, dim, m, k)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    val cb = spark.read.parquet(s"$dir/codebooks")
-    Quantize.pqEncode(emb, cb, id, vec, dim, m)
-      .write.mode("overwrite").parquet(s"$dir/codes")
     Similarity.coarseCentroidFrame(emb, id, vec, nCentroids, kmeansIters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    Similarity.ivfLists(emb, id, vec, nCentroids, kmeansIters)
-      .write.mode("overwrite").parquet(s"$dir/lists")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Quantize.pqEncode(emb, cb, id, vec, dim, m)
+      .write.mode("overwrite").parquet(ingestDir(dir, "codes", "base"))
+    Similarity.ivfListsFrom(cents, emb, id, vec)
+      .write.mode("overwrite").parquet(ingestDir(dir, "lists", "base"))
   }
 
   def load(spark: SparkSession, dir: String): IvfPq = IvfPq(
     codebooks = spark.read.parquet(s"$dir/codebooks"),
-    codes = spark.read.parquet(s"$dir/codes"),
+    codes = spark.read.parquet(s"$dir/codes").drop("ingest"),
     centroids = spark.read.parquet(s"$dir/centroids"),
-    lists = spark.read.parquet(s"$dir/lists"))
+    lists = spark.read.parquet(s"$dir/lists").drop("ingest"))
 
   /** Extend a persisted index with NEW vectors, no rebuild: codes are
     * assigned against the PERSISTED codebooks and list membership
-    * against the PERSISTED centroids, appended to the codes/lists
-    * dirs. The quantizers stay fixed between ingest cycles (retrain on
-    * drift, not per drop), so an append-extended index is bit-identical
-    * to a rebuild over the union corpus under the same quantizers. */
+    * against the PERSISTED centroids, written under `ingestTag`'s
+    * partition (idempotent under retry; reusing a tag replaces that
+    * ingest). The quantizers stay fixed between ingest cycles (retrain
+    * on drift, not per drop), so an append-extended index is
+    * bit-identical to a rebuild over the union corpus under the same
+    * quantizers. */
   def appendVectors(spark: SparkSession, dir: String, newEmb: DataFrame,
-                    id: String, vec: String, dim: Int, m: Int): Unit = {
+                    id: String, vec: String, dim: Int, m: Int,
+                    ingestTag: String): Unit = {
+    require(ingestTag != "base", "'base' is the build's own partition")
     val ix = load(spark, dir)
     Quantize.pqEncode(newEmb, ix.codebooks, id, vec, dim, m)
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(ingestDir(dir, "codes", ingestTag))
     Similarity.ivfListsFrom(ix.centroids, newEmb, id, vec)
-      .write.mode("append").parquet(s"$dir/lists")
+      .write.mode("overwrite").parquet(ingestDir(dir, "lists", ingestTag))
   }
 
   /** Whole-corpus ADC top-k from the loaded index (l54's shape, no

@@ -69,8 +69,11 @@ object Bpe {
             (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("s"))
-      val best = pairs.orderBy(col("s").desc, col("l"), col("r")).limit(1).head()
-      val (l, r, s) = (best.getString(0), best.getString(1), best.getLong(2))
+      val best = pairs.orderBy(col("s").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) return merges.toSeq // vocabulary exhausted: every
+      // word is one symbol — the oracle's CTE chain likewise yields no
+      // further m_k rows, so both sides return the same shorter sequence
+      val (l, r, s) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((k.toLong, l, r, s))
       repr = applyMerge(repr, l, r)
     }

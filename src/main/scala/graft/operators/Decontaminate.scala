@@ -100,16 +100,25 @@ object Decontaminate {
       .select(col(id), col("hit"))
     val clean = marked.filter(!col("maybe"))
       .select(col(id), lit(null).cast("int").as("hit"))
-    // eager localCheckpoint collapses the staged pipeline into a
-    // per-document frame (|train| rows, 3 cols) whose blocks the
-    // ContextCleaner reclaims on GC — which lets the big shingle cache
-    // be released HERE instead of leaking into the session until
-    // someone calls clearCache()
-    val stats = verified.unionByName(clean)
+    // the per-document stats (|train| rows, 3 cols) are staged to a
+    // temp parquet dir — the literal "staged artifact between mark and
+    // verify phases" of the 100 TB story. This (a) lets the big
+    // shingle cache be released HERE instead of leaking into the
+    // session until someone calls clearCache(), and (b) keeps the
+    // returned frame recomputable from DISK after executor loss
+    // (localCheckpoint blocks are executor-local and unrecoverable).
+    val spark = train.sparkSession
+    // cluster runs stage on the shared checkpoint FS; local runs (no
+    // checkpoint dir configured) use a driver-local temp dir
+    val stageDir = spark.sparkContext.getCheckpointDir
+      .map(d => s"$d/graft_decontam_stats_${java.util.UUID.randomUUID().toString.take(12)}")
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_decontam_stats").toString)
+    verified.unionByName(clean)
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(stageDir)
     marked.unpersist(blocking = false)
+    val stats = spark.read.parquet(stageDir)
     val frac = when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
       .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"))
     train.select(col(id))

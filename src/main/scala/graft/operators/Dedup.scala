@@ -319,17 +319,22 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, a: String = "da", b: String = "db"): DataFrame =
     connectedComponentsStar(pairs, a, b)._1
 
+  /** Persist a round into an RDD and rebuild the frame from it —
+    * truncates the otherwise per-round-doubling lineage; shared by
+    * both CC implementations. */
+  private def materializeRound(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** The star algorithm with its round count exposed (the O(log n)
     * convergence property is what the tests pin). */
   private[graft] def connectedComponentsStar(pairs: DataFrame, a: String,
                                              b: String): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
-    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(level)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-    // canonical undirected edge set (x < y); self-pairs are no-ops
+    def materialize(df: DataFrame) = materializeRound(df)
+    // canonical undirected edge set (x < y); self-pairs carry no
+    // connectivity but their nodes must still surface (appended as
+    // singleton groups below — min-label parity)
     var (edges, edgesRdd) = materialize(
       pairs.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
         .filter(col("x") =!= col("y"))
@@ -373,10 +378,15 @@ object Dedup {
       edgesRdd = nextRdd
     }
     // converged star edges (root, child) → labels; roots label themselves
-    val labels = edges.select(col("y").as("id"), col("x").as("rep"))
+    val starLabels = edges.select(col("y").as("id"), col("x").as("rep"))
       .union(edges.select(col("x"), col("x")).distinct()
         .toDF("id", "rep"))
-    (labels, rounds)
+    // nodes whose ONLY evidence is a self-pair (a == b) never enter the
+    // edge set — they still surface as their own singleton group
+    val selfOnly = pairs.filter(col(a) === col(b))
+      .select(col(a).as("id"), col(a).as("rep")).distinct()
+      .join(starLabels.select(col("id")), Seq("id"), "left_anti")
+    (starLabels.unionByName(selfOnly), rounds)
   }
 
   /** Min-label propagation to a fixpoint — rounds ≈ component diameter
@@ -386,12 +396,7 @@ object Dedup {
     * anything that might see deep components. */
   private[graft] def connectedComponentsMinLabel(pairs: DataFrame, a: String = "da",
                                                  b: String = "db"): DataFrame = {
-    val spark = pairs.sparkSession
-    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(level)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
+    def materialize(df: DataFrame) = materializeRound(df)
     val (edges, edgesRdd) = materialize(
       pairs.select(col(a).as("x"), col(b).as("y"))
         .union(pairs.select(col(b).as("x"), col(a).as("y")))

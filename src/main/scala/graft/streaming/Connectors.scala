@@ -227,8 +227,13 @@ object KafkaConnector {
   val ProviderClass = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
 
   /** True when the spark-sql-kafka package is loadable — the live-leg
-    * activation switch. */
-  def liveAvailable: Boolean = liveAvailable(getClass.getClassLoader)
+    * activation switch. Probes the CONTEXT classloader first: jars
+    * added via --packages/--jars live in Spark's child
+    * MutableURLClassLoader, invisible to this class's own loader when
+    * graft sits in /opt/spark/jars. */
+  def liveAvailable: Boolean = liveAvailable(
+    Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader))
 
   private[streaming] def liveAvailable(cl: ClassLoader): Boolean =
     try { cl.loadClass(ProviderClass); true }

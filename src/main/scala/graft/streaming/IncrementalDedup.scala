@@ -48,6 +48,11 @@ object IncrementalDedup {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
+      // a compaction interrupted between its delete and rename leaves
+      // history ONLY in the staged dot-dir — reading past it would
+      // dedup against a hole and write permanently wrong verdicts, so
+      // the read path completes any pending swap first
+      recoverPendingCompaction(fs, bandStoreDir)
       val dirs = fs.listStatus(p).toSeq
         .filter(_.isDirectory)
         .map(_.getPath)

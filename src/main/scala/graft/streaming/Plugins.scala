@@ -55,7 +55,14 @@ final class GraftLogConnectorProvider extends ConnectorProvider {
 
 final class KafkaConnectorProvider extends ConnectorProvider {
   override def name: String = "kafka"
+  /** `fallbackRoot` (optional) configures the jar-less envelope
+    * fallback: a graftlog broker emulation at that root — so the
+    * documented config-only swap works through the plugin path too,
+    * not just direct construction. */
   override def create(conf: Map[String, String]): Connector =
-    new KafkaConnector(conf.getOrElse("bootstrap",
-      throw new IllegalArgumentException("kafka connector needs 'bootstrap'")))
+    new KafkaConnector(
+      conf.getOrElse("bootstrap",
+        throw new IllegalArgumentException("kafka connector needs 'bootstrap'")),
+      fallback = conf.get("fallbackRoot").map(r => new GraftLogConnector(r,
+        conf.get("numPartitions").flatMap(_.toIntOption).getOrElse(4))))
 }

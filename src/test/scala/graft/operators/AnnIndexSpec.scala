@@ -61,7 +61,12 @@ class AnnIndexSpec extends AnyFunSuite {
 
     AnnIndex.buildIvfPq(low, "vec_id", "embedding",
       dim = 8, m = 2, k = 4, nCentroids = 4, dir = dirA)
-    AnnIndex.appendVectors(spark, dirA, high, "vec_id", "embedding", dim = 8, m = 2)
+    AnnIndex.appendVectors(spark, dirA, high, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop1")
+    // a RETRY of the same ingest overwrites its own partition — no
+    // duplicate code rows can reach the scorer
+    AnnIndex.appendVectors(spark, dirA, high, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop1")
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
       dim = 8, m = 2, k = 4, nCentroids = 4, dir = dirB)
 

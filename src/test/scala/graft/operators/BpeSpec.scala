@@ -38,6 +38,15 @@ class BpeSpec extends AnyFunSuite {
     assert(train("aaaa", 2) == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
 
+  test("training stops early when the vocabulary exhausts (no pairs left)") {
+    // "ab": one merge fully collapses the only word; asking for 5
+    // yields the 1 learnable merge (the oracle's CTE chain likewise
+    // produces no further rows)
+    assert(train("ab", 5) == Seq((1L, "a", "b", 1L)))
+    // single-character words have no adjacent pairs at all
+    assert(train("a b c", 5).isEmpty)
+  }
+
   test("merged symbols never false-match inside larger symbols") {
     // after merge (a,a) the word "aaab" is [aa, a, b]; merge (a,b)
     // must match the SINGLE a, not the tail of aa

@@ -91,6 +91,16 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(starRounds <= 3, s"star graph took $starRounds rounds")
   }
 
+  test("self-pairs surface as singleton groups (min-label parity)") {
+    // node 7's only evidence is (7,7); node 3 has a self-pair AND a
+    // real edge — only 7 needs the singleton path
+    val pairs = Seq((7L, 7L), (3L, 3L), (1L, 3L)).toDF("da", "db")
+    val star = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val ref = Dedup.connectedComponentsMinLabel(pairs).as[(Long, Long)].collect().toMap
+    assert(star == Map(7L -> 7L, 3L -> 1L, 1L -> 1L))
+    assert(star == ref)
+  }
+
   test("star CC labels equal the min-label reference on random graphs") {
     for (seed <- Seq(7L, 41L)) {
       val gen = Gen.listOfN(60,
