@@ -332,13 +332,18 @@ object Dedup {
   private[graft] def connectedComponentsStar(pairs: DataFrame, a: String,
                                              b: String): (DataFrame, Int) = {
     def materialize(df: DataFrame) = materializeRound(df)
-    // canonical undirected edge set (x < y); self-pairs carry no
-    // connectivity but their nodes must still surface (appended as
-    // singleton groups below — min-label parity)
-    var (edges, edgesRdd) = materialize(
+    // ONE scan of the (possibly expensive) pairs subtree: canonical
+    // rows INCLUDING self rows. Self-pairs carry no connectivity but
+    // their nodes must still surface as singleton groups (min-label
+    // parity) — both the edge set and that singleton branch read this
+    // persisted copy, so the pairs pipeline never runs twice. base
+    // stays persisted: the RETURNED labels frame reads it lazily
+    // (same discipline as the final round's RDD backing the labels).
+    val (base, baseRdd) = materialize(
       pairs.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
-        .filter(col("x") =!= col("y"))
         .distinct())
+    var edges = base.filter(col("x") =!= col("y"))
+    var edgesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged) {
@@ -373,7 +378,7 @@ object Dedup {
         next.groupBy(col("y")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
           .filter(col("mn") =!= col("mx")).isEmpty &&
         next.select(col("x")).intersect(next.select(col("y"))).isEmpty
-      edgesRdd.unpersist(blocking = false)
+      if (edgesRdd != null) edgesRdd.unpersist(blocking = false)
       edges = next
       edgesRdd = nextRdd
     }
@@ -381,10 +386,11 @@ object Dedup {
     val starLabels = edges.select(col("y").as("id"), col("x").as("rep"))
       .union(edges.select(col("x"), col("x")).distinct()
         .toDF("id", "rep"))
-    // nodes whose ONLY evidence is a self-pair (a == b) never enter the
-    // edge set — they still surface as their own singleton group
-    val selfOnly = pairs.filter(col(a) === col(b))
-      .select(col(a).as("id"), col(a).as("rep")).distinct()
+    // nodes whose ONLY evidence is a self-pair (x == y) never enter the
+    // edge set — they still surface as their own singleton group,
+    // read from the persisted base (no second pairs evaluation)
+    val selfOnly = base.filter(col("x") === col("y"))
+      .select(col("x").as("id"), col("x").as("rep"))
       .join(starLabels.select(col("id")), Seq("id"), "left_anti")
     (starLabels.unionByName(selfOnly), rounds)
   }
