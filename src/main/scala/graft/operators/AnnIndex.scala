@@ -97,4 +97,20 @@ object AnnIndex {
     Quantize.pqAdcTopK(ix.codes.join(cand, Seq(id), "left_semi"),
       ix.codebooks, probe, id, vec, dim, m, topK)
   }
+
+  /** Batch IVF-PQ serve — the production request shape: a FRAME of
+    * probes, each routed to its own `nProbe` lists, ADC restricted to
+    * each probe's candidate pairs (a (qid, id) semi-join), top-k per
+    * probe in one pass. Scan cost per probe stays nProbe/nCentroids of
+    * the corpus regardless of batch size. Returns (qid, id, adc_dist,
+    * rk). */
+  def serveIvfPqBatch(ix: IvfPq, probes: DataFrame, id: String, vec: String,
+                      dim: Int, m: Int, nProbe: Int, topK: Int,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val pb = Similarity.ivfProbeBucketsFrom(ix.centroids, probes, id, vec, nProbe)
+    val cand = ix.lists.join(broadcast(pb), Seq("bucket"))
+      .select(col("qid"), col(id))
+    Quantize.pqAdcTopKAll(ix.codes, ix.codebooks, probes, id, vec, dim, m,
+      topK, excludeSelf = excludeSelf, candidates = Some(cand))
+  }
 }

@@ -145,7 +145,8 @@ object Quantize {
     * rows (corpus-resident probes searching for OTHER neighbors). */
   def pqAdcTopKAll(codes: DataFrame, codebooks: DataFrame, probes: DataFrame,
                    id: String, vec: String, dim: Int, m: Int, topK: Int,
-                   excludeSelf: Boolean = true): DataFrame = {
+                   excludeSelf: Boolean = true,
+                   candidates: Option[DataFrame] = None): DataFrame = {
     val d = dim / m
     val probeSub = probes.select(col(id).as("qid"), col(vec),
         posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")))
@@ -154,7 +155,13 @@ object Quantize {
     val dtab = codebooks.join(broadcast(probeSub), Seq("sub"))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         sqDist(col("qvec"), col("cvec")).as("dsub"))
-    val joined = codes.join(broadcast(dtab), Seq("sub", "code"))
+    val all = codes.join(broadcast(dtab), Seq("sub", "code"))
+    // IVF-batch restriction: only (probe, vector) pairs whose vector
+    // sits in one of THAT probe's routed lists are scored — the
+    // semi-join keys are (qid, id), so each probe keeps its own
+    // candidate set
+    val joined = candidates.fold(all)(c =>
+      all.join(c.select(col("qid"), col(id)), Seq("qid", id), "left_semi"))
     val adc = (if (excludeSelf) joined.filter(col(id) =!= col("qid")) else joined)
       .select(col("qid"), col(id),
         round(col("dsub") * 1000000).cast("long").as("du"))

@@ -425,6 +425,19 @@ object Similarity extends Serializable {
       .toDF("bucket")
   }
 
+  /** Per-probe routing for BATCH serving: (qid, bucket) rows — each
+    * probe's `nProbe` nearest lists, against a LOADED centroid frame.
+    * |probes|×nProbe rows: broadcast-sized for any sane request batch. */
+  def ivfProbeBucketsFrom(centroids: DataFrame, probes: DataFrame,
+                          id: String, vec: String, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroidArray(centroids))
+    probes.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+      .flatMap { case (q, v) => nearestCentroidIds(bc.value, v, nProbe).map(b => (q, b)) }
+      .toDF("qid", "bucket")
+  }
+
   /** Ingest-time twin of `ivfLists` for index APPENDS: assign vectors
     * to their nearest list against a LOADED centroid frame — identical
     * assignment to a rebuild as long as the centroids are held fixed

@@ -857,6 +857,23 @@ object LlmQueries {
             .as("recall_err95"))
     }),
 
+    // Batch IVF-PQ serving from the persisted index — the production
+    // request shape: five probes, each routed to ITS OWN nProbe lists
+    // via the persisted centroids, ADC restricted per probe to its
+    // candidate pairs, top-5 per probe in one pass.
+    "l64_ivf_pq_batch" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_annix_b").toString
+      AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
+      val ix = AnnIndex.load(s, root)
+      val probes = emb.filter(col("vec_id") < 5)
+      AnnIndex.serveIvfPqBatch(ix, probes, "vec_id", "embedding",
+          dim = 64, m = 4, nProbe = 4, topK = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // BPE tokenizer TRAINING (l37 computed only the first merge's
     // statistics): 10 actual merges learned iteratively — one
     // pair-count aggregation job per merge over the |vocab|-row
@@ -2066,6 +2083,59 @@ object LlmQueries {
         |  CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
         |FROM codes c2 JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code
         |GROUP BY 1 ORDER BY adc_dist, c2.vec_id LIMIT 10""".stripMargin,
+    // Batch IVF-PQ: l55's coarse routing computed PER PROBE (vec_id <
+    // 5), l56's batch ADC restricted to each probe's candidate pairs.
+    "l64_ivf_pq_batch" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nr
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
+        |ac AS (SELECT v.vec_id AS vid, c.vec_id AS ci,
+        |    CASE WHEN v.n2 = 0 OR c.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) END AS cos
+        |  FROM e v, c),
+        |ranked AS (SELECT vid, ci,
+        |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, ci) AS rnk FROM ac),
+        |buckets AS (SELECT ci AS bucket, vid FROM ranked WHERE rnk = 1),
+        |pb AS (SELECT vid AS qid, ci AS bucket FROM ranked WHERE vid < 5 AND rnk <= 4),
+        |cand AS (SELECT pb.qid, b.vid AS vec_id FROM buckets b JOIN pb ON pb.bucket = b.bucket),
+        |idx AS (SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.sub, cid, embedding[sub*16+1 : sub*16+16] AS cvec
+        |       FROM idx, UNNEST(generate_series(0, 3)) t(sub)),
+        |sv AS (SELECT vec_id, t.sub, embedding[sub*16+1 : sub*16+16] AS svec
+        |       FROM embeddings, UNNEST(generate_series(0, 3)) t(sub)),
+        |scored AS (SELECT sv.vec_id, sv.sub, cb.cid,
+        |    round(list_sum(list_transform(list_zip(sv.svec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dist
+        |  FROM sv JOIN cb ON cb.sub = sv.sub),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, cid AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |qs AS (SELECT vec_id AS qid, t.sub, embedding[sub*16+1 : sub*16+16] AS qvec
+        |       FROM embeddings, UNNEST(generate_series(0, 3)) t(sub)
+        |       WHERE vec_id < 5),
+        |dtab AS (SELECT qs.qid, cb.sub, cb.cid AS code,
+        |    round(list_sum(list_transform(list_zip(qs.qvec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6) AS dsub
+        |  FROM cb JOIN qs ON qs.sub = cb.sub),
+        |adc AS (SELECT d.qid, c2.vec_id,
+        |    CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
+        |  FROM codes c2
+        |  JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code
+        |  JOIN cand ON cand.qid = d.qid AND cand.vec_id = c2.vec_id
+        |  WHERE c2.vec_id <> d.qid
+        |  GROUP BY 1, 2)
+        |SELECT qid, vec_id, rk, adc_dist FROM (
+        |  SELECT qid, vec_id, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+        |  FROM adc) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "l56_pq_adc_batch" ->
       """WITH idx AS (SELECT vec_id, embedding,
         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid

@@ -81,6 +81,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(appended.exists(_._1 >= 6), s"high-id vectors missing from results: $appended")
   }
 
+  test("batch serve with a single probe equals the single-probe serve path") {
+    val dir = Files.createTempDirectory("annix_batch").toString
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    val ix = AnnIndex.load(spark, dir)
+    val probe = emb.filter(col("vec_id") === 0)
+    val single = AnnIndex.serveIvfPq(ix, probe, "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 2, topK = 5)
+      .as[(Long, Double)].collect().toSeq
+    val batch = AnnIndex.serveIvfPqBatch(ix, probe, "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 2, topK = 5, excludeSelf = false)
+      .orderBy(col("rk"))
+      .select(col("vec_id"), col("adc_dist"))
+      .as[(Long, Double)].collect().toSeq
+    assert(batch == single)
+  }
+
   test("the serving plan reads the index and touches the corpus only for the probe") {
     val dir = Files.createTempDirectory("annix_plan").toString
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
