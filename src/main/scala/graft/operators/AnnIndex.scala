@@ -98,6 +98,26 @@ object AnnIndex {
       ix.codebooks, probe, id, vec, dim, m, topK)
   }
 
+  /** Streaming index maintenance — the vector-side twin of
+    * `graft.streaming.IncrementalDedup`: each micro-batch of new
+    * embeddings appends to the persisted index under the
+    * `batch_<batchId>` ingest tag, so the checkpoint's replay of a
+    * crashed batch overwrites exactly its own partitions (idempotent
+    * end to end; the quantizers stay the base build's — retrain per
+    * cycle, not per drop). Serve any time from `load(dir)`. */
+  def runIngest(source: DataFrame, dir: String, id: String, vec: String,
+                dim: Int, m: Int, checkpointDir: String,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        appendVectors(batch.sparkSession, dir, batch, id, vec, dim, m,
+          ingestTag = s"batch_$batchId"))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Batch IVF-PQ serve — the production request shape: a FRAME of
     * probes, each routed to its own `nProbe` lists, ADC restricted to
     * each probe's candidate pairs (a (qid, id) semi-join), top-k per

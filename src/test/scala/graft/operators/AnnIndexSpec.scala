@@ -98,6 +98,56 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("streaming ingest maintains the index across drops; crash replay is idempotent") {
+    val root = Files.createTempDirectory("annix_stream").toString
+    val ixDir = s"$root/ix"; val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    val low = emb.filter(col("vec_id") < 6)
+    val mid = emb.filter(col("vec_id") >= 6 && col("vec_id") < 9)
+    val high = emb.filter(col("vec_id") >= 9)
+
+    // cycle start: base build on the initial corpus
+    AnnIndex.buildIvfPq(low, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = ixDir)
+
+    def runOnce(): Unit =
+      AnnIndex.runIngest(
+        spark.readStream.schema(emb.schema).parquet(src),
+        ixDir, "vec_id", "embedding", dim = 8, m = 2, checkpointDir = ckpt)
+        .awaitTermination()
+    def served(): Seq[(Long, Double)] =
+      AnnIndex.serveIvfPq(AnnIndex.load(spark, ixDir),
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          dim = 8, m = 2, nProbe = 4, topK = 12)
+        .as[(Long, Double)].collect().toSeq
+
+    mid.write.mode("append").parquet(src); runOnce()
+    high.write.mode("append").parquet(src); runOnce()
+
+    // all three generations of vectors are now servable
+    val full = served()
+    assert(full.map(_._1).toSet == (0L until 12L).toSet)
+    // equals a rebuild under the same quantizers (low holds the k
+    // lowest ids, so a full-corpus build trains identically)
+    val rebuilt = Files.createTempDirectory("annix_rebuild").toString
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = rebuilt)
+    val ref = AnnIndex.serveIvfPq(AnnIndex.load(spark, rebuilt),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 4, topK = 12)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == ref)
+
+    // crash replay: drop the last commit marker — the replayed batch
+    // overwrites its own ingest partition, no duplicate codes
+    import java.nio.file.Paths
+    assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.1.crc"))
+    runOnce()
+    assert(served() == full)
+    val codes = spark.read.parquet(s"$ixDir/codes")
+    assert(codes.count() == codes.dropDuplicates("vec_id", "sub").count())
+  }
+
   test("the serving plan reads the index and touches the corpus only for the probe") {
     val dir = Files.createTempDirectory("annix_plan").toString
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding",

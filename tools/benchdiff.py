@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Compare two bench artifacts round-over-round.
+
+Usage: python3 tools/benchdiff.py <old.json> <new.json>
+
+Accepts either this repo's full Bench JSON ({"queries": {...}}) or the
+driver's capture format ({"tail": "..."} — per-query times regexed out
+of the possibly-truncated tail). Prints common-suite totals, the
+regression list (>1.5x AND >+0.3s — the round gate), and the biggest
+movers both ways.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    d = json.load(open(path))
+    if isinstance(d.get("queries"), dict):
+        return {k: float(v) for k, v in d["queries"].items()}
+    tail = d.get("tail") or ""
+    return {k: float(v) for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.-]+)', tail)
+            if float(v) >= 0}
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    common = sorted(set(old) & set(new))
+    t_old, t_new = sum(old[k] for k in common), sum(new[k] for k in common)
+    print(f"common queries: {len(common)}  old {t_old:.1f}s  new {t_new:.1f}s  "
+          f"ratio {t_new / t_old:.2f}x" if common else "no common queries")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"new-only ({len(only_new)}): "
+              + ", ".join(f"{k} {new[k]:.2f}s" for k in only_new))
+    reg = [(k, old[k], new[k]) for k in common
+           if new[k] > 1.5 * old[k] and new[k] - old[k] > 0.3]
+    print(f"regressions (>1.5x and >+0.3s): {len(reg)}")
+    for k, a, b in sorted(reg, key=lambda x: -(x[2] - x[1])):
+        print(f"  {k:30s} {a:6.2f} -> {b:6.2f}")
+    movers = sorted(((k, old[k], new[k]) for k in common),
+                    key=lambda x: -abs(x[2] - x[1]))[:8]
+    print("biggest movers:")
+    for k, a, b in movers:
+        print(f"  {k:30s} {a:6.2f} -> {b:6.2f}  ({b - a:+.2f}s)")
+
+
+if __name__ == "__main__":
+    main()
