@@ -43,6 +43,15 @@ object AnnIndex {
                  dim: Int, m: Int, k: Int, nCentroids: Int, dir: String,
                  kmeansIters: Int = 0): Unit = {
     val spark = emb.sparkSession
+    // a rebuild RETRAINS the quantizers, so every prior ingest's codes
+    // (encoded against the old codebooks) are invalid — clear the
+    // partitioned artifacts wholesale rather than only ingest=base
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("codes", "lists").foreach { artifact =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Quantize.pqCodebooks(emb, id, vec, dim, m, k)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     Similarity.coarseCentroidFrame(emb, id, vec, nCentroids, kmeansIters)
@@ -55,11 +64,36 @@ object AnnIndex {
       .write.mode("overwrite").parquet(ingestDir(dir, "lists", "base"))
   }
 
-  def load(spark: SparkSession, dir: String): IvfPq = IvfPq(
-    codebooks = spark.read.parquet(s"$dir/codebooks"),
-    codes = spark.read.parquet(s"$dir/codes").drop("ingest"),
-    centroids = spark.read.parquet(s"$dir/centroids"),
-    lists = spark.read.parquet(s"$dir/lists").drop("ingest"))
+  /** Ingest tags whose partition carries a parquet _SUCCESS marker for
+    * the given artifact — a crashed append's torn partition is
+    * invisible until its replay commits it. */
+  private def committedTags(spark: SparkSession, dir: String,
+                            artifact: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("ingest=")).toSet
+  }
+
+  def load(spark: SparkSession, dir: String): IvfPq = {
+    // serve only ingests committed in BOTH artifacts: a crash between
+    // the codes and lists writes must not serve half an ingest
+    val tags = committedTags(spark, dir, "codes")
+      .intersect(committedTags(spark, dir, "lists"))
+    require(tags.nonEmpty, s"no committed ingests under $dir")
+    def read(artifact: String) = spark.read
+      .option("basePath", s"$dir/$artifact")
+      .parquet(tags.toSeq.sorted.map(t => s"$dir/$artifact/ingest=$t"): _*)
+      .drop("ingest")
+    IvfPq(
+      codebooks = spark.read.parquet(s"$dir/codebooks"),
+      codes = read("codes"),
+      centroids = spark.read.parquet(s"$dir/centroids"),
+      lists = read("lists"))
+  }
 
   /** Extend a persisted index with NEW vectors, no rebuild: codes are
     * assigned against the PERSISTED codebooks and list membership

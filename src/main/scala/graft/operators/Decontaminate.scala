@@ -108,16 +108,28 @@ object Decontaminate {
     // returned frame recomputable from DISK after executor loss
     // (localCheckpoint blocks are executor-local and unrecoverable).
     val spark = train.sparkSession
-    // cluster runs stage on the shared checkpoint FS; local runs (no
-    // checkpoint dir configured) use a driver-local temp dir
+    // cluster runs stage on the shared checkpoint FS; local-master
+    // runs may use a driver-local temp dir (executors share the
+    // machine). A multi-node run WITHOUT a checkpoint dir must fail
+    // here: a driver-local path would have each executor commit to
+    // its own disk and the read-back would silently lose documents.
     val stageDir = spark.sparkContext.getCheckpointDir
       .map(d => s"$d/graft_decontam_stats_${java.util.UUID.randomUUID().toString.take(12)}")
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_decontam_stats").toString)
+      .getOrElse {
+        require(spark.sparkContext.isLocal,
+          "bloomOverlapStats needs a shared staging FS on a cluster — " +
+            "set spark.sparkContext.setCheckpointDir to a shared path")
+        java.nio.file.Files.createTempDirectory("graft_decontam_stats").toString
+      }
     verified.unionByName(clean)
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_overlap"))
       .write.mode("overwrite").parquet(stageDir)
     marked.unpersist(blocking = false)
+    // reclaim the stage when the JVM exits — the returned frame reads
+    // it lazily, so it must outlive this call but not the process
+    val stagePath = new org.apache.hadoop.fs.Path(stageDir)
+    stagePath.getFileSystem(spark.sessionState.newHadoopConf()).deleteOnExit(stagePath)
     val stats = spark.read.parquet(stageDir)
     val frac = when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
       .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_sh"))

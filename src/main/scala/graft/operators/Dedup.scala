@@ -331,7 +331,6 @@ object Dedup {
     * convergence property is what the tests pin). */
   private[graft] def connectedComponentsStar(pairs: DataFrame, a: String,
                                              b: String): (DataFrame, Int) = {
-    def materialize(df: DataFrame) = materializeRound(df)
     // ONE scan of the (possibly expensive) pairs subtree: canonical
     // rows INCLUDING self rows. Self-pairs carry no connectivity but
     // their nodes must still surface as singleton groups (min-label
@@ -339,7 +338,7 @@ object Dedup {
     // persisted copy, so the pairs pipeline never runs twice. base
     // stays persisted: the RETURNED labels frame reads it lazily
     // (same discipline as the final round's RDD backing the labels).
-    val (base, baseRdd) = materialize(
+    val (base, baseRdd) = materializeRound(
       pairs.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
         .distinct())
     var edges = base.filter(col("x") =!= col("y"))
@@ -366,7 +365,7 @@ object Dedup {
         .select(col("m").as("x"), explode(array(col("v"), col("u"))).as("y"))
         .filter(col("x") =!= col("y"))
         .distinct()
-      val (next, nextRdd) = materialize(round)
+      val (next, nextRdd) = materializeRound(round)
       rounds += 1
       // O(log^2 n) is the proven ceiling — a triple-digit round count
       // means a logic bug, and failing beats looping forever
@@ -402,12 +401,11 @@ object Dedup {
     * anything that might see deep components. */
   private[graft] def connectedComponentsMinLabel(pairs: DataFrame, a: String = "da",
                                                  b: String = "db"): DataFrame = {
-    def materialize(df: DataFrame) = materializeRound(df)
-    val (edges, edgesRdd) = materialize(
+    val (edges, edgesRdd) = materializeRound(
       pairs.select(col(a).as("x"), col(b).as("y"))
         .union(pairs.select(col(b).as("x"), col(a).as("y")))
         .distinct())
-    var (labels, labelsRdd) = materialize(
+    var (labels, labelsRdd) = materializeRound(
       edges.select(col("x").as("id")).distinct()
         .select(col("id"), col("id").as("rep")))
     var converged = false
@@ -425,7 +423,7 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("rep")).as("rep"),
           min(when(col("self"), col("rep"))).as("prev"))
-      val (next, nextRdd) = materialize(round)
+      val (next, nextRdd) = materializeRound(round)
       // first action computes + caches the round; the probe itself scans
       // the cache (and short-circuits at the first changed label)
       converged = next.filter(col("rep") =!= col("prev")).isEmpty

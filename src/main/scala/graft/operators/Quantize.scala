@@ -155,13 +155,18 @@ object Quantize {
     val dtab = codebooks.join(broadcast(probeSub), Seq("sub"))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         sqDist(col("qvec"), col("cvec")).as("dsub"))
-    val all = codes.join(broadcast(dtab), Seq("sub", "code"))
     // IVF-batch restriction: only (probe, vector) pairs whose vector
-    // sits in one of THAT probe's routed lists are scored — the
-    // semi-join keys are (qid, id), so each probe keeps its own
-    // candidate set
-    val joined = candidates.fold(all)(c =>
-      all.join(c.select(col("qid"), col(id)), Seq("qid", id), "left_semi"))
+    // sits in one of THAT probe's routed lists are scored. The
+    // candidate join runs FIRST — codes ⋈ cand on the vector id emits
+    // |cand|·m rows (nProbe/nCentroids of the corpus per probe), and
+    // only those meet the lookup table; restricting after a full
+    // codes ⋈ dtab join would do whole-corpus ADC work per probe.
+    val joined = candidates match {
+      case Some(c) =>
+        codes.join(c.select(col("qid"), col(id)), Seq(id))
+          .join(broadcast(dtab), Seq("qid", "sub", "code"))
+      case None => codes.join(broadcast(dtab), Seq("sub", "code"))
+    }
     val adc = (if (excludeSelf) joined.filter(col(id) =!= col("qid")) else joined)
       .select(col("qid"), col(id),
         round(col("dsub") * 1000000).cast("long").as("du"))

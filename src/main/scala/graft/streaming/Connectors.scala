@@ -227,13 +227,14 @@ object KafkaConnector {
   val ProviderClass = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
 
   /** True when the spark-sql-kafka package is loadable — the live-leg
-    * activation switch. Probes the CONTEXT classloader first: jars
-    * added via --packages/--jars live in Spark's child
-    * MutableURLClassLoader, invisible to this class's own loader when
-    * graft sits in /opt/spark/jars. */
-  def liveAvailable: Boolean = liveAvailable(
-    Option(Thread.currentThread().getContextClassLoader)
-      .getOrElse(getClass.getClassLoader))
+    * activation switch. Probes the CONTEXT classloader (jars added via
+    * --packages/--jars live in Spark's child MutableURLClassLoader,
+    * invisible to this class's own loader when graft sits in
+    * /opt/spark/jars) and falls back to this class's loader (threads
+    * from shared pools may carry the system loader as context). */
+  def liveAvailable: Boolean =
+    Option(Thread.currentThread().getContextClassLoader).exists(liveAvailable) ||
+      liveAvailable(getClass.getClassLoader)
 
   private[streaming] def liveAvailable(cl: ClassLoader): Boolean =
     try { cl.loadClass(ProviderClass); true }

@@ -50,9 +50,17 @@ object IncrementalDedup {
     else {
       // a compaction interrupted between its delete and rename leaves
       // history ONLY in the staged dot-dir — reading past it would
-      // dedup against a hole and write permanently wrong verdicts, so
-      // the read path completes any pending swap first
-      recoverPendingCompaction(fs, bandStoreDir)
+      // dedup against a hole and write permanently wrong verdicts.
+      // The read path FAILS FAST instead of repairing (repair here
+      // would make every reader a writer and race a still-running
+      // compactor over the same renames); re-run compactBandStore to
+      // complete the swap, then restart the ingest.
+      val pending = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
+      require(pending.isEmpty,
+        s"band store $bandStoreDir has an unfinished compaction " +
+          s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
+          "run compactBandStore to complete the swap before ingesting")
       val dirs = fs.listStatus(p).toSeq
         .filter(_.isDirectory)
         .map(_.getPath)
@@ -158,8 +166,12 @@ object IncrementalDedup {
     // (all of tmp's content), never a partial partition
     val tmp = s"$bandStoreDir/$TmpPrefix$target"
     merged.write.mode("overwrite").parquet(tmp)
-    olds.foreach { case (_, d) => fs.delete(d, true) }
-    fs.rename(new Path(tmp), new Path(batchDir(bandStoreDir, target)))
+    olds.foreach { case (_, d) =>
+      require(fs.delete(d, true), s"compaction failed to delete $d")
+    }
+    require(fs.rename(new Path(tmp), new Path(batchDir(bandStoreDir, target))),
+      s"compaction failed to swap $tmp into place — history is staged " +
+        "there; re-run compactBandStore to complete the swap")
     olds.size
   }
 
@@ -179,10 +191,14 @@ object IncrementalDedup {
           fs.listStatus(new Path(bandStoreDir)).toSeq
             .filter(_.isDirectory)
             .foreach(d => d.getPath.getName match {
-              case BatchDirRe(b) if b.toLong <= target => fs.delete(d.getPath, true)
+              case BatchDirRe(b) if b.toLong <= target =>
+                require(fs.delete(d.getPath, true),
+                  s"compaction recovery failed to delete ${d.getPath}")
               case _ => ()
             })
-          fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target)))
-        } else fs.delete(s.getPath, true)
+          require(fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target))),
+            s"compaction recovery failed to swap ${s.getPath} into place")
+        } else require(fs.delete(s.getPath, true),
+          s"failed to discard torn compaction stage ${s.getPath}")
       }
 }

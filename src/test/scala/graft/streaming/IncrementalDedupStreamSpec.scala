@@ -130,16 +130,20 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert((v.getLong(0), v.getLong(1), v.getBoolean(2)) == ((1L, 2L, true)))
 
     // simulate a crash between staging and swap: move the folded
-    // partition back to its staged dot-name — the next compaction call
-    // must complete the swap before doing anything else
+    // partition back to its staged dot-name. INGEST must fail fast —
+    // reading past the staged fold would dedup against a hole — and
+    // the next compaction call completes the swap.
+    drop(30L -> "the quick brown fox jumps over the lazy dog every single day")
     Files.move(Paths.get(s"$bands/ingest_batch=1"),
       Paths.get(s"$bands/.compact_tmp_1"))
-    // the call first completes the interrupted swap (restoring 1),
-    // then folds {1, 2} into 2 as asked
+    val err = intercept[Exception](runOnce())
+    assert(err.getMessage.contains("unfinished compaction") ||
+      Option(err.getCause).exists(_.getMessage.contains("unfinished compaction")))
+    // completes the interrupted swap (restoring 1), then folds {1, 2}
+    // into 2 as asked
     IncrementalDedup.compactBandStore(spark, bands, upToBatch = 3)
     assert(partDirs() == Seq("ingest_batch=2"))
-    drop(30L -> "the quick brown fox jumps over the lazy dog every single day")
-    runOnce()
+    runOnce() // the failed batch replays cleanly against the folded store
     val v30 = IncrementalDedup.results(spark, out)
       .filter(col("doc_id") === 30L)
       .select("first_match", "n_matches", "is_dup").collect().head

@@ -19,8 +19,15 @@ def load(path):
     if isinstance(d.get("queries"), dict):
         return {k: float(v) for k, v in d["queries"].items()}
     tail = d.get("tail") or ""
-    return {k: float(v) for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.-]+)', tail)
-            if float(v) >= 0}
+    out = {}
+    for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.-]+)', tail):
+        try:
+            t = float(v)  # a truncated tail can cut a token mid-number
+        except ValueError:
+            continue
+        if t >= 0:
+            out[k] = t
+    return out
 
 
 def main():
@@ -29,8 +36,9 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     common = sorted(set(old) & set(new))
     t_old, t_new = sum(old[k] for k in common), sum(new[k] for k in common)
+    ratio = f"{t_new / t_old:.2f}x" if t_old > 0 else "n/a"
     print(f"common queries: {len(common)}  old {t_old:.1f}s  new {t_new:.1f}s  "
-          f"ratio {t_new / t_old:.2f}x" if common else "no common queries")
+          f"ratio {ratio}" if common else "no common queries")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print(f"new-only ({len(only_new)}): "
@@ -48,4 +56,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # piped through head — not an error
+        pass
