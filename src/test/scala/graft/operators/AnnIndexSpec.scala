@@ -98,6 +98,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("a torn append (one artifact uncommitted) is invisible until its retry commits it") {
+    val dir = Files.createTempDirectory("annix_torn").toString
+    val low = emb.filter(col("vec_id") < 6)
+    val high = emb.filter(col("vec_id") >= 6)
+    AnnIndex.buildIvfPq(low, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    val probe = emb.filter(col("vec_id") === 0)
+    def servedIds(): Set[Long] =
+      AnnIndex.serveIvfPq(AnnIndex.load(spark, dir), probe, "vec_id", "embedding",
+          dim = 8, m = 2, nProbe = 4, topK = 12)
+        .as[(Long, Double)].collect().map(_._1).toSet
+    val baseOnly = servedIds()
+
+    AnnIndex.appendVectors(spark, dir, high, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop1")
+    // simulate a crash between the codes and lists writes: the lists
+    // partition never committed
+    import java.nio.file.Paths
+    assert(Files.deleteIfExists(Paths.get(s"$dir/lists/ingest=drop1/_SUCCESS")))
+    assert(servedIds() == baseOnly, "half an ingest must not be servable")
+    // the retry overwrites both partitions and the ingest appears
+    AnnIndex.appendVectors(spark, dir, high, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop1")
+    assert(servedIds().exists(_ >= 6))
+  }
+
   test("streaming ingest maintains the index across drops; crash replay is idempotent") {
     val root = Files.createTempDirectory("annix_stream").toString
     val ixDir = s"$root/ix"; val src = s"$root/src"; val ckpt = s"$root/ckpt"
