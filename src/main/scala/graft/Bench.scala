@@ -69,6 +69,12 @@ object Bench {
         // cache to the NEXT timed run — every measurement pays the full
         // compute, or min-of-N would report a cached partial execution
         spark.catalog.clearCache()
+        // clearCache only covers CacheManager frames; operators that
+        // materialize raw RDDs (connectedComponents' rounds) leave
+        // persisted blocks behind that would pressure every later
+        // measurement — release those too
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val results = queries.map { case (name, fn) =>

@@ -29,8 +29,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // queries that persist (l12)
-      // must not leak cache entries across the whole dump run
+      } finally {
+        spark.catalog.clearCache() // queries that persist (l12)
+        // must not leak cache entries across the whole dump run;
+        // raw-RDD materializations (connectedComponents rounds) are
+        // invisible to clearCache and need their own release
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
