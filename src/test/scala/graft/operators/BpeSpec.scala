@@ -56,4 +56,65 @@ class BpeSpec extends AnyFunSuite {
     // pairs (aa,a):2, (a,b):3 -> (a,b) wins with 3
     assert(m(1) == ((2L, "a", "b", 3L)))
   }
+
+  test("materialization cadence never changes the learned sequence") {
+    val words = Bpe.wordFreqs(
+      Seq((1L, "the theme theater then the them")).toDF("doc_id", "text"), "text")
+    val reference = Bpe.trainMerges(words, 8, materializeEvery = 1000)
+    assert(reference.size == 8)
+    for (k <- Seq(1, 3, 7))
+      assert(Bpe.trainMerges(words, 8, materializeEvery = k) == reference,
+        s"materializeEvery=$k diverged")
+  }
+
+  test("120 merges train with bounded expression depth (the 30k-vocab shape)") {
+    // one word of 121 DISTINCT chars: every adjacent pair has freq 1, so
+    // the lexicographic tie-break always extends the prefix — merge k is
+    // (first k chars, char k+1). A single un-rebased chain would be 120
+    // replaces deep; materializeEvery=10 caps Catalyst at depth 10 and
+    // keeps per-iteration work constant (the linear-time contract).
+    val chars = (0x100 until 0x100 + 121).map(_.toChar)
+    val words = Bpe.wordFreqs(Seq((1L, chars.mkString)).toDF("doc_id", "text"), "text")
+      .persist()
+    try {
+      val m = Bpe.trainMerges(words, 120, materializeEvery = 10)
+      assert(m.size == 120)
+      m.zipWithIndex.foreach { case ((step, l, r, s), i) =>
+        assert(step == i + 1 && l == chars.take(i + 1).mkString &&
+          r == chars(i + 1).toString && s == 1L)
+      }
+    } finally words.unpersist()
+  }
+
+  test("a corpus word containing the U+001F sentinel fails fast") {
+    val bad = Bpe.wordFreqs(
+      Seq((1L, "ok bad" + Bpe.Sep + "word")).toDF("doc_id", "text"), "text")
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+  }
+
+  test("encode applies the trained merges per word, in token order") {
+    val docs = Seq((1L, "aaab ab"), (2L, "ab aaab"), (3L, "")).toDF("doc_id", "text")
+    // merges from train("aaab aaab ab", 2): (a,a) then (a,b);
+    // aaab -> [aa, ab] (one-pass: aa then the single a merges with b),
+    // ab -> [ab]
+    val out = Bpe.encode(docs, "doc_id", "text", Seq(("a", "a"), ("a", "b")))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toList))
+    assert(out(0) == ((1L, 3L, List("aa", "ab", "ab"))))
+    assert(out(1) == ((2L, 3L, List("ab", "aa", "ab"))))
+    assert(out(2) == ((3L, 0L, Nil))) // token-free doc surfaces, empty
+  }
+
+  test("encode is invariant to the materialization cadence") {
+    val docs = Seq((1L, "the theme then"), (2L, "theater them the")).toDF("doc_id", "text")
+    val words = Bpe.wordFreqs(docs, "text")
+    val merges = Bpe.trainMerges(words, 6).map { case (_, l, r, _) => (l, r) }
+    val ref = Bpe.encode(docs, "doc_id", "text", merges, materializeEvery = 1000)
+      .orderBy("doc_id").collect().toSeq
+    val rebased = Bpe.encode(docs, "doc_id", "text", merges, materializeEvery = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(rebased == ref)
+  }
 }
