@@ -64,18 +64,38 @@ object AnnIndex {
       .write.mode("overwrite").parquet(ingestDir(dir, "lists", "base"))
   }
 
+  private val Artifacts = Seq("codes", "lists")
+  private val TmpPrefix = ".compact_tmp_"
+  private val BatchTagRe = "batch_(\\d+)".r
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
   /** Ingest tags whose partition carries a parquet _SUCCESS marker for
     * the given artifact — a crashed append's torn partition is
-    * invisible until its replay commits it. */
+    * invisible until its replay commits it. Fails fast while a staged
+    * compaction dot-dir exists: between a compaction's deletes and its
+    * rename, part of the history lives ONLY in the stage, and serving
+    * past it would silently drop those ingests (same single-writer
+    * discipline as the dedup band store's `seenBands`) — run
+    * `compactIngests` to complete the swap, then retry. */
   private def committedTags(spark: SparkSession, dir: String,
                             artifact: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark, dir)
     if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("ingest=")).toSet
+    else {
+      val ls = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      val pending = ls.filter(_.getPath.getName.startsWith(TmpPrefix))
+      require(pending.isEmpty,
+        s"$dir/$artifact has an unfinished compaction " +
+          s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
+          "run AnnIndex.compactIngests to complete the swap before serving")
+      ls.filter(s => s.getPath.getName.startsWith("ingest=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("ingest=")).toSet
+    }
   }
 
   def load(spark: SparkSession, dir: String): IvfPq = {
@@ -102,16 +122,131 @@ object AnnIndex {
     * ingest). The quantizers stay fixed between ingest cycles (retrain
     * on drift, not per drop), so an append-extended index is
     * bit-identical to a rebuild over the union corpus under the same
-    * quantizers. */
+    * quantizers.
+    *
+    * Duplicate-id discipline: a same-tag retry is protected by the
+    * partition overwrite, but re-ingesting an already-indexed id under
+    * a DIFFERENT tag writes duplicate (id, sub) code rows, which
+    * silently DOUBLE that id's ADC distance sums at serve time.
+    * `skipExisting = true` guards against it by anti-joining the new
+    * ids against the loaded index's code ids — one column-pruned scan
+    * of the codes artifact per append, so it's opt-in for ingest
+    * pipelines whose id discipline isn't already guaranteed upstream. */
   def appendVectors(spark: SparkSession, dir: String, newEmb: DataFrame,
                     id: String, vec: String, dim: Int, m: Int,
-                    ingestTag: String): Unit = {
+                    ingestTag: String, skipExisting: Boolean = false): Unit = {
     require(ingestTag != "base", "'base' is the build's own partition")
     val ix = load(spark, dir)
-    Quantize.pqEncode(newEmb, ix.codebooks, id, vec, dim, m)
+    val fresh =
+      if (skipExisting)
+        newEmb.join(ix.codes.select(col(id)).distinct(), Seq(id), "left_anti")
+      else newEmb
+    Quantize.pqEncode(fresh, ix.codebooks, id, vec, dim, m)
       .write.mode("overwrite").parquet(ingestDir(dir, "codes", ingestTag))
-    Similarity.ivfListsFrom(ix.centroids, newEmb, id, vec)
+    Similarity.ivfListsFrom(ix.centroids, fresh, id, vec)
       .write.mode("overwrite").parquet(ingestDir(dir, "lists", ingestTag))
+  }
+
+  /** Compact the per-ingest partitions: fold every COMMITTED
+    * `ingest=batch_<k>` partition of codes and lists with k <
+    * `upToBatch` into one partition named for the highest folded id.
+    * Thousands of crawl drops otherwise accumulate small files; serve
+    * semantics don't depend on which ingest a code row came from, so
+    * the fold is loss-free — `load` reads the compacted partition
+    * exactly as it read the originals (the spec pins hash-identical
+    * serving). The `base` build partition and non-`batch_*` manual
+    * tags are never folded.
+    *
+    * Call only with `upToBatch` <= the last COMMITTED streaming batch
+    * id, so the one batch a checkpoint can replay stays out of the
+    * fold (its replay overwrites its own partition by tag) — the same
+    * contract as `IncrementalDedup.compactBandStore`.
+    *
+    * Crash discipline (single writer): BOTH artifacts' folds are fully
+    * staged in dot-dirs (invisible to partition discovery and readers
+    * fail fast on them) before any original partition is touched, and
+    * swaps only begin once every stage carries its parquet _SUCCESS.
+    * So a torn stage proves no swap started (recovery discards all
+    * stages), while a committed stage is always safe to complete
+    * (recovery deletes the partitions it covers and renames it in) —
+    * every interleaving recovers to either the old or the new layout,
+    * never to codes and lists folded inconsistently.
+    * Returns the number of partitions folded per artifact (0 = nothing
+    * to do). */
+  def compactIngests(spark: SparkSession, dir: String, upToBatch: Long): Int = {
+    val fs = fsOf(spark, dir)
+    recoverPendingCompaction(fs, dir)
+    val foldable = Artifacts.map { artifact =>
+      committedTags(spark, dir, artifact).flatMap { t =>
+        t match {
+          case BatchTagRe(k) if k.toLong < upToBatch => Some(k.toLong)
+          case _ => None
+        }
+      }
+    }.reduce(_ intersect _).toSeq.sorted
+    if (foldable.size < 2) return 0
+    val target = foldable.max
+    // stage EVERYTHING first: no original is touched until both
+    // artifacts' folds are durably complete
+    Artifacts.foreach { artifact =>
+      spark.read
+        .option("basePath", s"$dir/$artifact")
+        .parquet(foldable.map(k => ingestDir(dir, artifact, s"batch_$k")): _*)
+        .drop("ingest")
+        .write.mode("overwrite").parquet(s"$dir/$artifact/$TmpPrefix$target")
+    }
+    Artifacts.foreach { artifact =>
+      foldable.foreach { k =>
+        val d = new org.apache.hadoop.fs.Path(ingestDir(dir, artifact, s"batch_$k"))
+        require(fs.delete(d, true), s"compaction failed to delete $d")
+      }
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$artifact/$TmpPrefix$target")
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(
+        ingestDir(dir, artifact, s"batch_$target"))),
+        s"compaction failed to swap $tmp into place — history is staged " +
+          "there; re-run compactIngests to complete the swap")
+    }
+    foldable.size
+  }
+
+  /** Finish or discard an interrupted compaction. Swaps begin only
+    * after every artifact's stage is _SUCCESS-committed, so: any torn
+    * stage → the crash happened while staging and no original was
+    * touched — discard ALL stages; all stages committed → complete
+    * each artifact's swap (delete the `batch_<k <= target>` partitions
+    * it covers, rename it in; an artifact already swapped simply has
+    * no stage left). */
+  private def recoverPendingCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                       dir: String): Unit = {
+    val stages = Artifacts.flatMap { artifact =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
+        .map(s => (artifact, s.getPath))
+    }
+    if (stages.isEmpty) return
+    val torn = stages.filterNot { case (_, sp) =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$sp/_SUCCESS"))
+    }
+    if (torn.nonEmpty) {
+      stages.foreach { case (_, sp) =>
+        require(fs.delete(sp, true), s"failed to discard torn compaction stage $sp")
+      }
+    } else stages.foreach { case (artifact, sp) =>
+      val target = sp.getName.stripPrefix(TmpPrefix).toLong
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$artifact")).toSeq
+        .filter(_.isDirectory)
+        .foreach(d => d.getPath.getName.stripPrefix("ingest=") match {
+          case BatchTagRe(k) if k.toLong <= target =>
+            require(fs.delete(d.getPath, true),
+              s"compaction recovery failed to delete ${d.getPath}")
+          case _ => ()
+        })
+      require(fs.rename(sp, new org.apache.hadoop.fs.Path(
+        ingestDir(dir, artifact, s"batch_$target"))),
+        s"compaction recovery failed to swap $sp into place")
+    }
   }
 
   /** Whole-corpus ADC top-k from the loaded index (l54's shape, no

@@ -174,6 +174,116 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(codes.count() == codes.dropDuplicates("vec_id", "sub").count())
   }
 
+  // build on ids<6 (the k lowest: quantizers equal a full build's),
+  // then three two-vector ingests under streaming batch tags
+  private def buildWithDrops(dir: String): Unit = {
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") < 6), "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    Seq(0L -> (6L, 8L), 1L -> (8L, 10L), 2L -> (10L, 12L)).foreach {
+      case (b, (lo, hi)) =>
+        AnnIndex.appendVectors(spark, dir,
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          "vec_id", "embedding", dim = 8, m = 2, ingestTag = s"batch_$b")
+    }
+  }
+
+  private def serveAll(dir: String): Seq[(Long, Double)] =
+    AnnIndex.serveIvfPq(AnnIndex.load(spark, dir),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 4, topK = 12)
+      .as[(Long, Double)].collect().toSeq
+
+  private def ingestDirs(dir: String, artifact: String): Set[String] =
+    new java.io.File(s"$dir/$artifact").listFiles().toSeq
+      .filter(_.isDirectory).map(_.getName).toSet
+
+  test("compactIngests folds drop partitions; the compacted index serves hash-identically") {
+    val dir = Files.createTempDirectory("annix_compact").toString
+    buildWithDrops(dir)
+    val before = serveAll(dir)
+    assert(before.map(_._1).toSet == (0L until 12L).toSet)
+
+    // fold batches 0 and 1 (2 is the replayable head — stays out)
+    assert(AnnIndex.compactIngests(spark, dir, upToBatch = 2L) == 2)
+    assert(serveAll(dir) == before)
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(dir, a) == Set("ingest=base", "ingest=batch_1", "ingest=batch_2"),
+        s"unexpected $a layout")
+    }
+    // folded partitions re-fold with later drops on the next cycle
+    assert(AnnIndex.compactIngests(spark, dir, upToBatch = 3L) == 2)
+    assert(serveAll(dir) == before)
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(dir, a) == Set("ingest=base", "ingest=batch_2"))
+    }
+    // nothing left to fold
+    assert(AnnIndex.compactIngests(spark, dir, upToBatch = 3L) == 0)
+  }
+
+  test("a torn compaction stage fails serving fast and is discarded, not served") {
+    val dir = Files.createTempDirectory("annix_compact_torn").toString
+    buildWithDrops(dir)
+    val before = serveAll(dir)
+
+    // crash WHILE STAGING: a stage dir without _SUCCESS (no original
+    // partition was touched yet, by the swap-after-stage discipline)
+    val torn = new java.io.File(s"$dir/codes/.compact_tmp_1")
+    assert(torn.mkdir())
+    java.nio.file.Files.write(torn.toPath.resolve("part-torn.parquet"), Array[Byte](1))
+    val e = intercept[Exception](AnnIndex.load(spark, dir))
+    assert(e.getMessage.contains("unfinished compaction"))
+
+    // re-running the compactor discards the torn stage and folds cleanly
+    assert(AnnIndex.compactIngests(spark, dir, upToBatch = 2L) == 2)
+    assert(serveAll(dir) == before)
+  }
+
+  test("a crash mid-swap (stages committed, one artifact swapped) recovers to the folded layout") {
+    val dir = Files.createTempDirectory("annix_compact_swap").toString
+    buildWithDrops(dir)
+    val before = serveAll(dir)
+
+    // reproduce the compactor's staging step for batches 0 and 1...
+    Seq("codes", "lists").foreach { a =>
+      spark.read.option("basePath", s"$dir/$a")
+        .parquet(s"$dir/$a/ingest=batch_0", s"$dir/$a/ingest=batch_1")
+        .drop("ingest")
+        .write.mode("overwrite").parquet(s"$dir/$a/.compact_tmp_1")
+    }
+    // ...then crash after codes' deletes but before its rename (lists
+    // untouched): history for batches 0/1 of codes lives ONLY in the stage
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$dir/codes/ingest=batch_0"))
+    FileUtils.deleteDirectory(new java.io.File(s"$dir/codes/ingest=batch_1"))
+    intercept[Exception](AnnIndex.load(spark, dir))
+
+    // recovery completes BOTH swaps (committed stages are always safe)
+    AnnIndex.compactIngests(spark, dir, upToBatch = 2L)
+    assert(serveAll(dir) == before)
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(dir, a) == Set("ingest=base", "ingest=batch_1", "ingest=batch_2"))
+    }
+  }
+
+  test("skipExisting drops already-indexed ids instead of double-counting their codes") {
+    val dir = Files.createTempDirectory("annix_skip").toString
+    val low = emb.filter(col("vec_id") < 6)
+    val high = emb.filter(col("vec_id") >= 6)
+    AnnIndex.buildIvfPq(low, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    AnnIndex.appendVectors(spark, dir, high, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop1")
+    val before = serveAll(dir)
+
+    // the same vectors arrive again under a DIFFERENT tag (late retry,
+    // overlapping crawl): with the guard, nothing duplicates
+    AnnIndex.appendVectors(spark, dir, high, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop2", skipExisting = true)
+    assert(serveAll(dir) == before)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == codes.dropDuplicates("vec_id", "sub").count())
+  }
+
   test("the serving plan reads the index and touches the corpus only for the probe") {
     val dir = Files.createTempDirectory("annix_plan").toString
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
