@@ -287,6 +287,56 @@ object AnnIndex {
       .trigger(trigger)
       .start()
 
+  /** The RETRAIN TRIGGER for the fixed-quantizer append cycle: per
+    * ingest, how well do the index's PERSISTED quantizers still fit
+    * the data? Reports, per value of `ingest` in `emb` (the raw
+    * vectors of each ingest — the index stores only codes):
+    *
+    *  - `mean_adc_residual`: mean over vectors of the summed
+    *    per-subspace squared distance to the NEAREST codebook centroid
+    *    — exactly the quantization error PQ encoding commits to, in
+    *    the same integer-micros arithmetic as ADC serving. Rising
+    *    residual on new ingests = the codebooks no longer cover the
+    *    distribution.
+    *  - `buckets_used` / `max_bucket_n` / `occ_skew`: IVF list
+    *    occupancy (skew = max list size ÷ the uniform expectation
+    *    n_vecs/nCentroids). A drifted ingest piles into few lists,
+    *    which destroys the nProbe/nCentroids scan-fraction guarantee
+    *    long before recall visibly decays.
+    *
+    * Plan shape: one broadcast codebook join + two aggregations for
+    * the residual, one broadcast-centroid map pass for the occupancy —
+    * no shuffle wider than |emb| rows, no corpus join. Compare against
+    * the `base` row and retrain (rebuild) when either metric departs. */
+  def driftAudit(ix: IvfPq, emb: DataFrame, ingest: String, id: String,
+                 vec: String, dim: Int, m: Int): DataFrame = {
+    val d = dim / m
+    val sliced = emb.select(col(ingest), col(id),
+        posexplode(sequence(lit(0), lit(m - 1))).as(Seq("_p", "sub")), col(vec))
+      .select(col(ingest), col(id), col("sub").cast("long").as("sub"),
+        expr(s"slice($vec, sub * $d + 1, $d)").as("svec"))
+    val resid = sliced.join(broadcast(ix.codebooks), Seq("sub"))
+      .groupBy(col(ingest), col(id), col("sub"))
+      .agg(min(Quantize.sqDist(col("svec"), col("cvec"))).as("dist"))
+      .select(col(ingest), col(id),
+        round(col("dist") * 1000000).cast("long").as("ru"))
+      .groupBy(col(ingest), col(id)).agg(sum(col("ru")).as("ru"))
+      .groupBy(col(ingest))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("ru")).as("rus"))
+    val nC = ix.centroids.count() // bounded: the broadcast-sized centroid frame
+    val occ = Similarity.ivfListsFromTagged(ix.centroids, emb, ingest, id, vec)
+      .groupBy(col(ingest), col("bucket")).agg(count(lit(1)).as("bn"))
+      .groupBy(col(ingest))
+      .agg(count(lit(1)).as("buckets_used"), max(col("bn")).as("max_bucket_n"))
+    resid.join(occ, Seq(ingest))
+      .select(col(ingest), col("n_vecs"),
+        round(col("rus").cast("double") / 1000000 / col("n_vecs"), 6)
+          .as("mean_adc_residual"),
+        col("buckets_used"), col("max_bucket_n"),
+        round(col("max_bucket_n").cast("double") * nC / col("n_vecs"), 6)
+          .as("occ_skew"))
+  }
+
   /** Batch IVF-PQ serve — the production request shape: a FRAME of
     * probes, each routed to its own `nProbe` lists, ADC restricted to
     * each probe's candidate pairs (a (qid, id) semi-join), top-k per

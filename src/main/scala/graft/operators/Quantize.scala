@@ -78,8 +78,10 @@ object Quantize {
   // ---------------------------------------------------------------------
 
   /** Squared L2 distance between two float vectors, 6-d.p. rounded —
-    * left-to-right fold, matching DuckDB's list_sum order exactly. */
-  private def sqDist(a: Column, b: Column): Column =
+    * left-to-right fold, matching DuckDB's list_sum order exactly.
+    * Shared with AnnIndex.driftAudit (the residual is the same metric
+    * the encoder minimizes). */
+  private[operators] def sqDist(a: Column, b: Column): Column =
     round(aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, z) => acc + z), 6)

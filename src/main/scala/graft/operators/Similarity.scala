@@ -438,6 +438,21 @@ object Similarity extends Serializable {
       .toDF("qid", "bucket")
   }
 
+  /** `ivfListsFrom` with a group label threaded through the typed map —
+    * the audit shape: per-ingest list occupancy without re-joining the
+    * corpus on the id afterwards (at scale that join is a shuffle the
+    * tag column avoids for free). */
+  def ivfListsFromTagged(centroids: DataFrame, df: DataFrame, tag: String,
+                         id: String, vec: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroidArray(centroids))
+    df.select(col(tag), col(id).cast("long"), col(vec))
+      .as[(String, Long, Array[Float])]
+      .map { case (t, i, v) => (t, i, nearestCentroidIds(bc.value, v, 1).head) }
+      .toDF(tag, id, "bucket")
+  }
+
   /** Ingest-time twin of `ivfLists` for index APPENDS: assign vectors
     * to their nearest list against a LOADED centroid frame — identical
     * assignment to a rebuild as long as the centroids are held fixed

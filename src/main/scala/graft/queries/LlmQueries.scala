@@ -874,6 +874,36 @@ object LlmQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Quantizer DRIFT AUDIT — the retrain trigger of the append cycle:
+    // l62 keeps quantizers fixed between rebuilds but nothing measured
+    // WHEN to retrain. A synthetic drifted ingest — every element
+    // shifted +0.25f, a mean shift on the zero-centered corpus (single
+    // IEEE float add; REAL arithmetic is bit-identical on both
+    // engines) — is appended to the persisted index, then both ingests
+    // are audited against the base build's codebooks/centroids: mean
+    // PQ quantization residual (the error ADC serving commits to,
+    // integer-micros arithmetic) and IVF list-occupancy skew (drift
+    // piles into few lists and destroys the nProbe/nCentroids
+    // scan-fraction guarantee).
+    "l65_quantizer_drift" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_annix_d").toString
+      AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
+      val drifted = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
+      AnnIndex.appendVectors(s, root, drifted, "vec_id", "embedding",
+        dim = 64, m = 4, ingestTag = "drift")
+      val ix = AnnIndex.load(s, root)
+      val tagged = emb.select(lit("base").as("ingest"), col("vec_id"), col("embedding"))
+        .unionByName(drifted.select(lit("drift").as("ingest"), col("vec_id"),
+          col("embedding")))
+      AnnIndex.driftAudit(ix, tagged, "ingest", "vec_id", "embedding",
+          dim = 64, m = 4)
+        .orderBy(col("ingest"))
+    }),
+
     // BPE tokenizer TRAINING (l37 computed only the first merge's
     // statistics): 10 actual merges learned iteratively — one
     // pair-count aggregation job per merge over the |vocab|-row
@@ -2136,6 +2166,64 @@ object LlmQueries {
         |  SELECT qid, vec_id, adc_dist,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
         |  FROM adc) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // Mirrors AnnIndex.driftAudit exactly: per-sub MIN of the rounded
+    // squared distance to the base codebooks (l53's scoring), summed as
+    // integer micros per vector (l54's ADC discipline), averaged per
+    // ingest; bucket assignment is l55's cosine rnk=1 routing. The
+    // drifted ingest shifts every element +0.25f (one IEEE float add —
+    // REAL stays single-precision in DuckDB, bit-identical to Spark's
+    // float Add) under offset ids.
+    "l65_quantizer_drift" ->
+      """WITH u AS (
+        |  SELECT 'base' AS ingest, vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 'drift' AS ingest, vec_id + 1000000,
+        |    list_transform(embedding, x -> x + CAST(0.25 AS FLOAT))
+        |  FROM embeddings),
+        |idx AS (SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.sub, cid, embedding[sub*16+1 : sub*16+16] AS cvec
+        |       FROM idx, UNNEST(generate_series(0, 3)) t(sub)),
+        |sv AS (SELECT ingest, vec_id, t.sub, embedding[sub*16+1 : sub*16+16] AS svec
+        |       FROM u, UNNEST(generate_series(0, 3)) t(sub)),
+        |best AS (SELECT sv.ingest, sv.vec_id, sv.sub,
+        |    MIN(round(list_sum(list_transform(list_zip(sv.svec, cb.cvec),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+        |         * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6)) AS dist
+        |  FROM sv JOIN cb ON cb.sub = sv.sub
+        |  GROUP BY 1, 2, 3),
+        |ru AS (SELECT ingest, vec_id,
+        |    SUM(CAST(round(dist * 1000000) AS BIGINT)) AS ru
+        |  FROM best GROUP BY 1, 2),
+        |resid AS (SELECT ingest, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    SUM(ru) AS rus
+        |  FROM ru GROUP BY 1),
+        |e AS (SELECT ingest, vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nr
+        |  FROM u),
+        |c AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nr
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |ac AS (SELECT v.ingest, v.vec_id AS vid, c.vec_id AS ci,
+        |    CASE WHEN v.n2 = 0 OR c.n2 = 0 THEN 0.0
+        |      ELSE round(list_sum(list_transform(list_zip(v.embedding, c.embedding),
+        |        z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))) / (v.nr * c.nr), 6) END AS cos
+        |  FROM e v, c),
+        |buck AS (SELECT ingest, vid, ci AS bucket FROM (
+        |    SELECT ingest, vid, ci,
+        |      ROW_NUMBER() OVER (PARTITION BY ingest, vid ORDER BY cos DESC, ci) AS rnk
+        |    FROM ac) WHERE rnk = 1),
+        |bn AS (SELECT ingest, bucket, COUNT(*) AS bn FROM buck GROUP BY 1, 2),
+        |occ AS (SELECT ingest, CAST(COUNT(*) AS BIGINT) AS buckets_used,
+        |        CAST(MAX(bn) AS BIGINT) AS max_bucket_n FROM bn GROUP BY 1)
+        |SELECT r.ingest, r.n_vecs,
+        |  round(CAST(r.rus AS DOUBLE) / 1000000 / r.n_vecs, 6) AS mean_adc_residual,
+        |  o.buckets_used, o.max_bucket_n,
+        |  round(CAST(o.max_bucket_n AS DOUBLE) * 16 / r.n_vecs, 6) AS occ_skew
+        |FROM resid r JOIN occ o USING (ingest) ORDER BY ingest""".stripMargin,
     "l56_pq_adc_batch" ->
       """WITH idx AS (SELECT vec_id, embedding,
         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
