@@ -918,6 +918,25 @@ object LlmQueries {
       graft.operators.Bpe.trainMerges(words, iters = 10)
         .toDF("step", "l_sym", "r_sym", "pair_freq")
         .orderBy(col("step"))
+    }),
+
+    // Learned-tokenizer ENCODE — l60 trains the merge list; this
+    // applies it to the corpus (the step that turns raw tokens into
+    // learned-vocab pieces for l24/l25's packing/chunking). The merges
+    // replay over the DISTINCT word vocabulary once and join back to
+    // the token stream; per doc the piece sequence is hash-graded in
+    // token order, so the whole train→encode composition is end-to-end
+    // against the oracle's CTE replay.
+    "l67_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = graft.operators.Bpe.wordFreqs(docs, "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = graft.operators.Bpe.trainMerges(words, iters = 10)
+        .map { case (_, l, r, _) => (l, r) }
+      graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_pieces"),
+          md5(concat_ws(graft.operators.Bpe.Sep, col("pieces"))).as("pieces_h"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -970,16 +989,19 @@ object LlmQueries {
     // bit-exactly, so its contract is l55's recompute oracle verbatim
     base +
       ("l62_ann_index_serve" -> base("l55_ivf_pq")) +
-      ("l60_bpe_train" -> bpeOracle(10))
+      ("l60_bpe_train" -> bpeOracle(10)) +
+      ("l67_bpe_encode" -> bpeEncodeOracle(10))
   }
 
-  /** The l60 training replay: an UNROLLED merge chain — step k counts
-    * adjacent symbol pairs of the post-(k-1)-merges reprs, takes the
-    * (freq desc, pair lexicographic) arg-max, and applies it with the
-    * same literal sentinel replace the engine uses. Generated
-    * mechanically so the oracle provably runs Bpe.trainMerges'
-    * recurrence. */
-  private def bpeOracle(iters: Int): String = {
+  /** The shared UNROLLED merge-chain CTEs (w, r0..r{iters} with p_k,
+    * m_k per step): step k counts adjacent symbol pairs of the
+    * post-(k-1)-merges reprs, takes the (freq desc, pair lexicographic)
+    * arg-max, and applies it with the same literal sentinel replace the
+    * engine uses — generated mechanically so the oracles provably run
+    * Bpe.trainMerges' recurrence. `word` rides through every r_k so the
+    * encode oracle can map words to their final reprs; the training
+    * oracle simply ignores it. */
+  private def bpeChainCtes(iters: Int): String = {
     val sep = graft.operators.Bpe.Sep
     val steps = (1 to iters).map { k =>
       s"""p$k AS (SELECT sy[i] AS l, sy[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS s
@@ -988,19 +1010,44 @@ object LlmQueries {
          |       UNNEST(generate_series(1, greatest(len(sy)-1, 0))) g(i)
          |  GROUP BY 1, 2),
          |m$k AS (SELECT $k AS step, l, r, s FROM p$k ORDER BY s DESC, l, r LIMIT 1),
-         |r$k AS (SELECT replace(repr, '$sep' || m.l || '$sep$sep' || m.r || '$sep',
+         |r$k AS (SELECT word, replace(repr, '$sep' || m.l || '$sep$sep' || m.r || '$sep',
          |                       '$sep' || m.l || m.r || '$sep') AS repr, freq
          |        FROM r${k - 1}, m$k m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS word FROM documents)
        |  GROUP BY 1),
-       |r0 AS (SELECT '$sep' || regexp_replace(word, '(.)', '$sep\\1$sep', 'g') || '$sep' AS repr,
+       |r0 AS (SELECT word,
+       |         '$sep' || regexp_replace(word, '(.)', '$sep\\1$sep', 'g') || '$sep' AS repr,
        |         freq FROM w),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  /** The l60 training replay: the merge chain's arg-max rows. */
+  private def bpeOracle(iters: Int): String =
+    s"""WITH ${bpeChainCtes(iters)}
        |SELECT CAST(step AS BIGINT) AS step, l AS l_sym, r AS r_sym, s AS pair_freq
        |FROM (${(1 to iters).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin
+
+  /** The l67 encode replay: the chain's FINAL reprs split into symbol
+    * arrays per word, joined back to every token occurrence and
+    * reassembled per document in token order — mechanically the same
+    * vocabulary-then-join plan Bpe.encode runs. */
+  private def bpeEncodeOracle(iters: Int): String = {
+    val sep = graft.operators.Bpe.Sep
+    s"""WITH ${bpeChainCtes(iters)},
+       |enc AS (SELECT word, x[2:len(x)-1] AS sy
+       |        FROM (SELECT word, string_split(repr, '$sep$sep') AS x FROM r$iters)),
+       |tok AS (SELECT doc_id, g.i AS pos, ws[g.i] AS word
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       |             UNNEST(generate_series(1, len(ws))) g(i)),
+       |flat AS (SELECT t.doc_id, flatten(list(e.sy ORDER BY t.pos)) AS pieces
+       |         FROM tok t JOIN enc e USING (word) GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(len(f.pieces), 0) AS BIGINT) AS n_pieces,
+       |  md5(COALESCE(array_to_string(f.pieces, '$sep'), '')) AS pieces_h
+       |FROM documents d LEFT JOIN flat f USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
