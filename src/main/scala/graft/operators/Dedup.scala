@@ -248,14 +248,39 @@ object Dedup {
                        shingleN: Int, numHashes: Int, rowsPerBand: Int,
                        threshold: Double): DataFrame = {
     val sh = shingleSet(docs, id, text, shingleN)
-    val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     // the SAME shingle frame feeds candidates, counts and intersections
     // — one tokenize→explode→distinct subtree in the plan, its shuffle
     // output reused by every consumer (ReuseExchange/AQE)
     val cand = minhashLshPairsFromShingles(sh, id, numHashes, rowsPerBand)
-    // intersection sizes for candidate pairs only: fan candidates out to
-    // the left side's shingles, then equi-join the right side on
-    // (doc, shingle) — work bounded by candidate docs' shingles
+    exactVerifyPairs(sh, cand, id, threshold)
+  }
+
+  /** Exact Jaccard verification of an EXTERNALLY-SUPPLIED candidate
+    * pair frame (da, db) — the serve path when candidates come from a
+    * persisted band store (the streaming ingest loop) instead of an
+    * in-plan self-join: only documents that appear in some candidate
+    * pair are re-shingled (a semi-join prune; dup-involved docs are a
+    * small corpus fraction at crawl scale), then the same
+    * candidate-confined intersection/Jaccard as lshVerifiedPairs.
+    * Counts use each pruned doc's FULL shingle set, so verdicts equal
+    * the unpruned computation exactly. */
+  def verifyCandidatePairs(docs: DataFrame, cand: DataFrame, id: String,
+                           text: String, shingleN: Int,
+                           threshold: Double): DataFrame = {
+    val ids = cand.select(col("da").as(id))
+      .union(cand.select(col("db").as(id))).distinct()
+    val sh = shingleSet(docs.join(ids, Seq(id), "left_semi"), id, text, shingleN)
+    exactVerifyPairs(sh, cand, id, threshold)
+  }
+
+  /** The verification tail shared by the self-join and stored-candidate
+    * paths: intersection sizes for candidate pairs only — fan
+    * candidates out to the left side's shingles, then equi-join the
+    * right side on (doc, shingle) — work bounded by candidate docs'
+    * shingles. */
+  private def exactVerifyPairs(sh: DataFrame, cand: DataFrame, id: String,
+                               threshold: Double): DataFrame = {
+    val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col(id).as("da"), col("s")), "da")
       .join(sh.select(col(id).as("db"), col("s")), Seq("db", "s"))

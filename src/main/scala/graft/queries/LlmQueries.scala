@@ -801,10 +801,50 @@ object LlmQueries {
           s.readStream.schema(docs.schema).parquet(s"$root/src"),
           cfg, s"$root/bands", s"$root/out", s"$root/ckpt")
           .awaitTermination()
+        // the oracle's drop assignment rides on "drop k == micro-batch
+        // k" (run()'s documented trigger contract: no
+        // maxFilesPerTrigger, so AvailableNow drains one batch per
+        // drop) — pin it executably so a future trigger-config drift
+        // fails HERE, not as a silent oracle desync
+        val parts = new java.io.File(s"$root/out").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+        require(parts == k + 1,
+          s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
       }
       IncrementalDedup.results(s, s"$root/out")
         .select(col("doc_id"), col("ingest_batch").cast("long").as("ingest_batch"),
           col("first_match"), col("n_matches"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The COMPOSITION the ingest loop exists for: after l61's 4-drop
+    // run, cross-batch transitive dup GROUPS and retention over the
+    // union corpus. Candidates come from a (band, bsig) self-join over
+    // the PERSISTED band store (including same-batch pairs the
+    // per-batch verdicts never probe), exact verification re-shingles
+    // ONLY candidate docs, then star-CC + keep-best. Because the
+    // accumulated store IS the full corpus band frame, the result must
+    // equal l44's batch recompute bit-for-bit — graded against l44's
+    // oracle verbatim.
+    "l66_stream_dup_groups" -> ((s, dir) => {
+      import graft.streaming.IncrementalDedup
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_incr_g").toString
+      val cfg = IncrementalDedup.Config("doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      (0 until 4).foreach { k =>
+        docs.filter(col("doc_id") % 4 === k)
+          .write.mode("append").parquet(s"$root/src")
+        IncrementalDedup.run(
+          s.readStream.schema(docs.schema).parquet(s"$root/src"),
+          cfg, s"$root/bands", s"$root/out", s"$root/ckpt")
+          .awaitTermination()
+      }
+      val cand = IncrementalDedup.storedCandidatePairs(s, s"$root/bands", "doc_id")
+      val pairs = Dedup.verifyCandidatePairs(docs, cand, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      Dedup.keepBestPerGroup(docs, pairs, "doc_id",
+          TextFunctions.qualityScore(col("text")))
         .orderBy(col("doc_id"))
     }),
 
@@ -989,6 +1029,11 @@ object LlmQueries {
     // bit-exactly, so its contract is l55's recompute oracle verbatim
     base +
       ("l62_ann_index_serve" -> base("l55_ivf_pq")) +
+      // l66 chains the streaming loop's persisted band store into
+      // groups + retention; the store accumulated over all drops is
+      // exactly the corpus band frame, so the contract is l44's batch
+      // recompute oracle verbatim
+      ("l66_stream_dup_groups" -> base("l44_dedup_keep_best")) +
       ("l60_bpe_train" -> bpeOracle(10)) +
       ("l67_bpe_encode" -> bpeEncodeOracle(10))
   }

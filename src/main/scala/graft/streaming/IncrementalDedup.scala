@@ -48,6 +48,9 @@ object IncrementalDedup {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
+      // ONE listing serves both checks — object-store listings at
+      // scale are not free, and the two views never need to disagree
+      val ls = fs.listStatus(p).toSeq.filter(_.isDirectory)
       // a compaction interrupted between its delete and rename leaves
       // history ONLY in the staged dot-dir — reading past it would
       // dedup against a hole and write permanently wrong verdicts.
@@ -55,15 +58,12 @@ object IncrementalDedup {
       // would make every reader a writer and race a still-running
       // compactor over the same renames); re-run compactBandStore to
       // complete the swap, then restart the ingest.
-      val pending = fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
+      val pending = ls.filter(_.getPath.getName.startsWith(TmpPrefix))
       require(pending.isEmpty,
         s"band store $bandStoreDir has an unfinished compaction " +
           s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
           "run compactBandStore to complete the swap before ingesting")
-      val dirs = fs.listStatus(p).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
+      val dirs = ls.map(_.getPath)
         .filter(d => d.getName match {
           case BatchDirRe(b) => b.toLong < beforeBatch
           case _             => false
@@ -72,6 +72,27 @@ object IncrementalDedup {
       else Some(spark.read.option("basePath", bandStoreDir)
         .parquet(dirs.map(_.toString): _*))
     }
+  }
+
+  /** Candidate duplicate pairs implied by the ENTIRE accumulated band
+    * store — including same-batch pairs the per-batch verdicts never
+    * probed (the loop checks new-vs-seen only). One (band, bsig)
+    * self-join over stored rows: the corpus is never re-shingled, so
+    * this is the batch composition step — cross-batch transitive GROUP
+    * labels — priced at the store, not the corpus. Compose with
+    * `Dedup.verifyCandidatePairs` (exact verification confined to
+    * candidate docs) and `Dedup.keepBestPerGroup` for retention. */
+  def storedCandidatePairs(spark: SparkSession, bandStoreDir: String,
+                           id: String): DataFrame = {
+    val b = seenBands(spark, bandStoreDir, Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no band store partitions under $bandStoreDir"))
+      .drop("ingest_batch")
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"))
+      .distinct()
   }
 
   /** One turn of the ingest loop (the foreachBatch body). Writes
@@ -110,7 +131,16 @@ object IncrementalDedup {
   /** Start the loop over a streaming source of documents. The default
     * AvailableNow trigger is the crawl-drop shape — run when a drop
     * lands, drain everything new, exit; the checkpoint carries batch
-    * ids and source progress across runs. */
+    * ids and source progress across runs.
+    *
+    * Trigger contract: leave the source's `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` UNSET so each AvailableNow run drains its
+    * drop as ONE micro-batch. Dedup semantics stay correct either way
+    * (a split drop's later batches read its earlier batches as seen
+    * corpus — strictly-before still holds), but batch ids then stop
+    * being drop ids, which breaks replay-overwrite granularity
+    * expectations callers may have built on "one drop = one partition"
+    * (and any oracle keyed on drop membership). */
   def run(source: DataFrame, cfg: Config, bandStoreDir: String,
           resultDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -122,9 +152,24 @@ object IncrementalDedup {
       .start()
 
   /** All per-document verdicts written so far, with their
-    * `ingest_batch` partition column. */
-  def results(spark: SparkSession, resultDir: String): DataFrame =
-    spark.read.parquet(resultDir)
+    * `ingest_batch` partition column. Reads only partitions whose
+    * parquet _SUCCESS marker committed: a crashed batch's torn verdict
+    * partition stays invisible until its checkpoint replay overwrites
+    * it — the same guard the band-store read path gets from its strict
+    * batch-id filter. */
+  def results(spark: SparkSession, resultDir: String): DataFrame = {
+    val p = new Path(resultDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no results under $resultDir")
+    val committed = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        BatchDirRe.pattern.matcher(s.getPath.getName).matches() &&
+        fs.exists(new Path(s"${s.getPath}/_SUCCESS")))
+      .map(_.getPath)
+    require(committed.nonEmpty, s"no committed result partitions under $resultDir")
+    spark.read.option("basePath", resultDir)
+      .parquet(committed.map(_.toString): _*)
+  }
 
   /** Compact the band store: fold every partition with id <
     * `upToBatch` into ONE partition dir (named for the highest folded

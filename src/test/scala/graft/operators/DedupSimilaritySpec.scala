@@ -46,6 +46,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("verifyCandidatePairs on external candidates equals the self-join verified path") {
+    // same corpus, same candidates — one path computes them in-plan
+    // (lshVerifiedPairs), the other is handed them as a frame and may
+    // shingle ONLY candidate docs; verdicts must agree exactly
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cand = Dedup.minhashLshPairs(d, "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    val external = Dedup.verifyCandidatePairs(d, cand, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val inPlan = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(external == inPlan && external.nonEmpty)
+  }
+
   test("native simhash expression equals the relational formulation on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val expr = Dedup.simhash32(docs, "doc_id", "text")

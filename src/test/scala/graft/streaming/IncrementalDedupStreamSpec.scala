@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.operators.Dedup
 
 /** The rolling-crawl ingest loop end to end: crawl drops arrive one at
   * a time, each AvailableNow run dedups the drop against the PERSISTED
@@ -148,6 +149,60 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       .filter(col("doc_id") === 30L)
       .select("first_match", "n_matches", "is_dup").collect().head
     assert((v30.getLong(0), v30.getLong(1), v30.getBoolean(2)) == ((1L, 3L, true)))
+  }
+
+  test("stored candidates + verify + groups equal the batch recompute over the union corpus") {
+    val root = Files.createTempDirectory("graft_incr_groups").toString
+    val src = s"$root/src"
+    // two cross-drop dups of doc 1, one same-drop dup pair (5, 6) the
+    // per-batch verdicts never probe, one singleton
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog every single day",
+      2L -> "completely unrelated words describing some other topic entirely here",
+      5L -> "identical twins landing together in one and the same crawl drop",
+      6L -> "identical twins landing together in one and the same crawl drop",
+      10L -> "the quick brown fox jumps over the lazy dog every single day")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq(Seq(1L, 2L), Seq(5L, 6L), Seq(10L)).foreach { ids =>
+      corpus.filter(r => ids.contains(r._1)).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      IncrementalDedup.run(spark.readStream.schema(schema).parquet(src),
+        cfg, s"$root/bands", s"$root/out", s"$root/ckpt").awaitTermination()
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val stored = IncrementalDedup.storedCandidatePairs(spark, s"$root/bands", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // same-batch pair (5,6) surfaces even though no verdict probed it
+    assert(stored.contains((5L, 6L)) && stored.contains((1L, 10L)))
+    val recomputed = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2).as[(Long, Long)].collect().toSet
+    assert(stored == recomputed, "store self-join must equal the corpus band self-join")
+
+    val groups = Dedup.keepBestPerGroup(docs,
+        Dedup.verifyCandidatePairs(docs,
+          IncrementalDedup.storedCandidatePairs(spark, s"$root/bands", "doc_id"),
+          "doc_id", "text", shingleN = 3, threshold = 0.8),
+        "doc_id", graft.functions.TextFunctions.qualityScore(col("text")))
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(groups(5L) == groups(6L) && groups(1L) == groups(10L))
+    assert(groups(2L) == 2L)
+  }
+
+  test("a torn verdict partition is invisible to results() until its replay commits") {
+    val root = Files.createTempDirectory("graft_incr_torn").toString
+    Seq((1L, 0L, Option.empty[Long], 0L, false))
+      .toDF("doc_id", "pad", "first_match", "n_matches", "is_dup").drop("pad")
+      .write.parquet(s"$root/out/ingest_batch=0")
+    Seq((2L, 0L, Option.empty[Long], 0L, false))
+      .toDF("doc_id", "pad", "first_match", "n_matches", "is_dup").drop("pad")
+      .write.parquet(s"$root/out/ingest_batch=1")
+    assert(IncrementalDedup.results(spark, s"$root/out")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // crash mid-write: partition 1 lost its commit marker
+    Files.deleteIfExists(Paths.get(s"$root/out/ingest_batch=1/_SUCCESS"))
+    Files.deleteIfExists(Paths.get(s"$root/out/ingest_batch=1/._SUCCESS.crc"))
+    assert(IncrementalDedup.results(spark, s"$root/out")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
   test("seenBands excludes the replaying batch's own partition and handles a missing store") {
