@@ -19,8 +19,20 @@ def load(path):
     if isinstance(d.get("queries"), dict):
         return {k: float(v) for k, v in d["queries"].items()}
     tail = d.get("tail") or ""
+    # parse only keys inside the "queries" object: the envelope's own
+    # numeric fields ("value":<suite total>, "sf") would otherwise be
+    # counted as queries and inflate common-suite totals
+    m = re.search(r'"queries"\s*:\s*\{', tail)
+    if m:
+        tail = tail[m.end():]
+        end = tail.find("}")  # a truncated tail may never close the object
+        if end >= 0:
+            tail = tail[:end]
+    envelope = {"value", "sf"}
     out = {}
-    for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.-]+)', tail):
+    for k, v in re.findall(r'"([a-z0-9_]+)"\s*:\s*([0-9.-]+)', tail):
+        if k in envelope:
+            continue
         try:
             t = float(v)  # a truncated tail can cut a token mid-number
         except ValueError:
