@@ -98,21 +98,27 @@ object AnnIndex {
     }
   }
 
-  def load(spark: SparkSession, dir: String): IvfPq = {
-    // serve only ingests committed in BOTH artifacts: a crash between
-    // the codes and lists writes must not serve half an ingest
-    val tags = committedTags(spark, dir, "codes")
+  /** Ingests committed in BOTH artifacts: a crash between the codes
+    * and lists writes must not surface half an ingest anywhere. */
+  private def servableTags(spark: SparkSession, dir: String): Set[String] =
+    committedTags(spark, dir, "codes")
       .intersect(committedTags(spark, dir, "lists"))
-    require(tags.nonEmpty, s"no committed ingests under $dir")
-    def read(artifact: String) = spark.read
+
+  private def readArtifact(spark: SparkSession, dir: String, artifact: String,
+                           tags: Set[String]): DataFrame =
+    spark.read
       .option("basePath", s"$dir/$artifact")
       .parquet(tags.toSeq.sorted.map(t => s"$dir/$artifact/ingest=$t"): _*)
       .drop("ingest")
+
+  def load(spark: SparkSession, dir: String): IvfPq = {
+    val tags = servableTags(spark, dir)
+    require(tags.nonEmpty, s"no committed ingests under $dir")
     IvfPq(
       codebooks = spark.read.parquet(s"$dir/codebooks"),
-      codes = read("codes"),
+      codes = readArtifact(spark, dir, "codes", tags),
       centroids = spark.read.parquet(s"$dir/centroids"),
-      lists = read("lists"))
+      lists = readArtifact(spark, dir, "lists", tags))
   }
 
   /** Extend a persisted index with NEW vectors, no rebuild: codes are
@@ -129,18 +135,25 @@ object AnnIndex {
     * a DIFFERENT tag writes duplicate (id, sub) code rows, which
     * silently DOUBLE that id's ADC distance sums at serve time.
     * `skipExisting = true` guards against it by anti-joining the new
-    * ids against the loaded index's code ids — one column-pruned scan
-    * of the codes artifact per append, so it's opt-in for ingest
-    * pipelines whose id discipline isn't already guaranteed upstream. */
+    * ids against the code ids of every OTHER committed ingest — one
+    * column-pruned scan of the codes artifact per append, so it's
+    * opt-in for ingest pipelines whose id discipline isn't already
+    * guaranteed upstream. The current tag's own partition is excluded
+    * from the probe: a retry of a fully-committed append must not read
+    * the partition it is overwriting (Spark forbids it), nor treat its
+    * previous attempt's rows as "already indexed" (the anti-join would
+    * empty the batch and the drop would silently vanish). */
   def appendVectors(spark: SparkSession, dir: String, newEmb: DataFrame,
                     id: String, vec: String, dim: Int, m: Int,
                     ingestTag: String, skipExisting: Boolean = false): Unit = {
     require(ingestTag != "base", "'base' is the build's own partition")
     val ix = load(spark, dir)
     val fresh =
-      if (skipExisting)
-        newEmb.join(ix.codes.select(col(id)).distinct(), Seq(id), "left_anti")
-      else newEmb
+      if (skipExisting) {
+        val priorCodes = readArtifact(spark, dir, "codes",
+          servableTags(spark, dir) - ingestTag)
+        newEmb.join(priorCodes.select(col(id)).distinct(), Seq(id), "left_anti")
+      } else newEmb
     Quantize.pqEncode(fresh, ix.codebooks, id, vec, dim, m)
       .write.mode("overwrite").parquet(ingestDir(dir, "codes", ingestTag))
     Similarity.ivfListsFrom(ix.centroids, fresh, id, vec)

@@ -114,6 +114,13 @@ object Bpe {
           val next = base.select(pending.as("repr"), col("freq"))
           val rdd = next.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           base = spark.createDataFrame(rdd, next.schema)
+          // materialize the new round THROUGH the old round's cached
+          // blocks BEFORE dropping them — unpersisting first would make
+          // every later round recompute the whole chain from the words
+          // frame (quadratic total work, the exact failure this rebase
+          // exists to prevent; same ordering discipline as
+          // connectedComponentsStar's probe-then-unpersist)
+          rdd.count()
           if (baseRdd != null) baseRdd.unpersist(blocking = false)
           baseRdd = rdd
           pending = col("repr")
@@ -131,20 +138,19 @@ object Bpe {
   /** Apply a TRAINED merge list to a distinct-word frame → (word,
     * pieces): each word's learned-subword array, produced by replaying
     * the merges in training order with the same literal sentinel
-    * replace. The expression chain rebases onto a materialized RDD
-    * every `materializeEvery` merges (trainMerges' discipline), so a
-    * production-size merge list encodes in |merges|/K bounded-depth
-    * passes over the |vocab|-row frame — never over the corpus. When a
-    * rebase happened, the RETURNED frame stays backed by the final
-    * persisted round (the connectedComponents convention); with
-    * |merges| <= materializeEvery nothing persists. */
+    * replace. The expression chain rebases onto an RDD-backed frame
+    * every `materializeEvery` merges, so CATALYST never analyzes a plan
+    * more than K replaces deep — trainMerges' depth discipline. Unlike
+    * training (which runs an action per iteration and therefore caches
+    * rounds), this builds ONE lazy frame: the RDD hops pipeline into a
+    * single pass per downstream action, so nothing persists and nothing
+    * leaks into a long-lived session's block manager. */
   def encodeWords(words: DataFrame, merges: Seq[(String, String)],
                   materializeEvery: Int = 25): DataFrame = {
     require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = words.sparkSession
     var base = words.select(guarded(col("word")).as("word"))
       .select(col("word"), initRepr(col("word")).as("repr"))
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var pending: Column = col("repr")
     var depth = 0
     merges.zipWithIndex.foreach { case ((l, r), i) =>
@@ -152,10 +158,7 @@ object Bpe {
       depth += 1
       if (depth >= materializeEvery && i < merges.size - 1) {
         val next = base.select(col("word"), pending.as("repr"))
-        val rdd = next.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        base = spark.createDataFrame(rdd, next.schema)
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        prevRdd = rdd
+        base = spark.createDataFrame(next.rdd, next.schema)
         pending = col("repr")
         depth = 0
       }

@@ -456,16 +456,13 @@ object Similarity extends Serializable {
   /** Ingest-time twin of `ivfLists` for index APPENDS: assign vectors
     * to their nearest list against a LOADED centroid frame — identical
     * assignment to a rebuild as long as the centroids are held fixed
-    * (the per-ingest-cycle contract). */
+    * (the per-ingest-cycle contract). Delegates to the tagged form so
+    * the assignment discipline (cast, tie rules, 6-d.p. cosine) has
+    * exactly one copy. */
   def ivfListsFrom(centroids: DataFrame, df: DataFrame,
-                   id: String, vec: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroidArray(centroids))
-    df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
-      .map { case (i, v) => (i, nearestCentroidIds(bc.value, v, 1).head) }
-      .toDF(id, "bucket")
-  }
+                   id: String, vec: String): DataFrame =
+    ivfListsFromTagged(centroids, df.withColumn("_tag", lit("")), "_tag", id, vec)
+      .drop("_tag")
 
   /** SemDedup (semantic dedup over embeddings): cluster with the coarse
     * quantizer, then inside each cluster drop every vector that has a

@@ -81,12 +81,31 @@ object IncrementalDedup {
     * this is the batch composition step — cross-batch transitive GROUP
     * labels — priced at the store, not the corpus. Compose with
     * `Dedup.verifyCandidatePairs` (exact verification confined to
-    * candidate docs) and `Dedup.keepBestPerGroup` for retention. */
+    * candidate docs) and `Dedup.keepBestPerGroup` for retention.
+    *
+    * Unlike the ingest loop's own reads, this has NO "strictly before
+    * my batch" guard to hide a torn newest partition (a drop that
+    * crashed mid band-write and hasn't replayed yet), so it reads only
+    * _SUCCESS-committed partitions — missing band rows would silently
+    * drop candidate pairs and mislabel groups. */
   def storedCandidatePairs(spark: SparkSession, bandStoreDir: String,
                            id: String): DataFrame = {
-    val b = seenBands(spark, bandStoreDir, Long.MaxValue)
-      .getOrElse(throw new IllegalStateException(
-        s"no band store partitions under $bandStoreDir"))
+    val p = new Path(bandStoreDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no band store under $bandStoreDir")
+    val ls = fs.listStatus(p).toSeq.filter(_.isDirectory)
+    val pending = ls.filter(_.getPath.getName.startsWith(TmpPrefix))
+    require(pending.isEmpty,
+      s"band store $bandStoreDir has an unfinished compaction " +
+        s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
+        "run compactBandStore to complete the swap first")
+    val committed = ls
+      .filter(s => BatchDirRe.pattern.matcher(s.getPath.getName).matches() &&
+        fs.exists(new Path(s"${s.getPath}/_SUCCESS")))
+      .map(_.getPath)
+    require(committed.nonEmpty, s"no committed band partitions under $bandStoreDir")
+    val b = spark.read.option("basePath", bandStoreDir)
+      .parquet(committed.map(_.toString): _*)
       .drop("ingest_batch")
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&

@@ -282,6 +282,16 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(serveAll(dir) == before)
     val codes = spark.read.parquet(s"$dir/codes")
     assert(codes.count() == codes.dropDuplicates("vec_id", "sub").count())
+
+    // a SAME-tag retry of a fully-committed append with the guard on:
+    // the probe must exclude the tag being overwritten — reading it
+    // would both break the overwrite (read-from-write-target) and
+    // anti-join the whole batch away, silently emptying the drop
+    AnnIndex.appendVectors(spark, dir, high, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop1", skipExisting = true)
+    assert(serveAll(dir) == before)
+    assert(serveAll(dir).map(_._1).toSet.exists(_ >= 6),
+      "the retried drop's vectors must still be indexed")
   }
 
   test("the serving plan reads the index and touches the corpus only for the probe") {
