@@ -58,6 +58,24 @@ object TextFunctions {
   def redactEmails(text: Column): Column =
     regexp_replace(text, lit(emailPattern), lit("<EMAIL>"))
 
+  /** Typed-PII passes beyond the email one: IPv4-shaped dotted quads
+    * and phone-shaped digit runs, each to its own placeholder. The
+    * phone class deliberately has NO dot, so an IPv4 octet can never be
+    * half-eaten as a phone — with the fixed email → IP → phone order
+    * the three passes are non-overlapping by construction. Both
+    * patterns are linear (no alternation under a quantifier), so Java's
+    * leftmost-first-greedy and RE2's leftmost-longest pick the same
+    * match — the byte-exact cross-engine requirement. Regex scrubbing
+    * has inherent false positives (any long digit-dash run reads as a
+    * phone, 999.0.0.1 reads as an IP); that is the production
+    * trade-off this models, not a defect to engineer away. */
+  val ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phonePattern = "\\+?[0-9][0-9() -]{5,14}[0-9]"
+  def redactIps(text: Column): Column =
+    regexp_replace(text, lit(ipv4Pattern), lit("<IP>"))
+  def redactPhones(text: Column): Column =
+    regexp_replace(text, lit(phonePattern), lit("<PHONE>"))
+
   /** Whitespace runs collapsed to single spaces, ends trimmed (trim
     * removes spaces only — by then every whitespace run IS a space). */
   def normalizeWhitespace(text: Column): Column =

@@ -193,6 +193,40 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Typed PII scrub (emails → <EMAIL>, IPv4 → <IP>, phones →
+    // <PHONE>) with per-stage counts — the audit a curation pipeline
+    // reports per domain before release. The synthetic corpus carries
+    // no PII at all (verified: zero matches for any pattern), so a
+    // query over raw `text` would grade on all-zeros and prove
+    // nothing; instead both engines deterministically INJECT
+    // doc_id-derived PII into each document and the redaction is
+    // hash-graded on the result — every regex provably fires on every
+    // row. Counts are taken on the text as it ENTERS each stage
+    // (email on dirty, IP after email, phone after IP), i.e. exactly
+    // what that stage redacted.
+    "l68_pii_redact" -> ((s, dir) => {
+      import TextFunctions._
+      val id = col("doc_id").cast("string")
+      val dirty = concat(col("text"),
+        lit(" Contact user"), id, lit("@mail"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com or call +1 (415) 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 13) % 256).cast("string"), lit(" done."))
+      Tables.load(s, dir, "documents")
+        .withColumn("dirty", dirty)
+        .withColumn("no_email", redactEmails(col("dirty")))
+        .withColumn("no_ip", redactIps(col("no_email")))
+        .select(col("doc_id"),
+          regexp_count(col("dirty"), lit(emailPattern)).cast("long").as("n_emails"),
+          regexp_count(col("no_email"), lit(ipv4Pattern)).cast("long").as("n_ips"),
+          regexp_count(col("no_ip"), lit(phonePattern)).cast("long").as("n_phones"),
+          md5(redactPhones(col("no_ip"))).as("redacted_h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition ratio (Gopher-style quality filter): the fraction of
     // 2-gram occurrences that are repeats of an earlier 2-gram in the
     // same doc — boilerplate and degenerate generations score high.
@@ -977,6 +1011,34 @@ object LlmQueries {
         .select(col("doc_id"), col("n_pieces"),
           md5(concat_ws(graft.operators.Bpe.Sep, col("pieces"))).as("pieces_h"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer fertility per language — pieces-per-word of the
+    // LEARNED tokenizer (l60's merges) broken out by detected
+    // language: the standard multilingual-tokenizer health metric (a
+    // language with high fertility is under-served by the vocabulary
+    // and will eat its context window). Composes train → encode →
+    // langid; the sums are exact BIGINTs so the one double division is
+    // bit-deterministic on both engines.
+    "l69_token_fertility" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = graft.operators.Bpe.wordFreqs(docs, "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = graft.operators.Bpe.trainMerges(words, iters = 10)
+        .map { case (_, l, r, _) => (l, r) }
+      val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_pieces"))
+      docs.select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_detected"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_words"))
+        .where(col("n_words") > 0)
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("lang_detected"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .withColumn("fertility", col("n_pieces").cast("double") / col("n_words"))
+        .orderBy(col("lang_detected"))
     })
   )
 
@@ -1035,8 +1097,38 @@ object LlmQueries {
       // recompute oracle verbatim
       ("l66_stream_dup_groups" -> base("l44_dedup_keep_best")) +
       ("l60_bpe_train" -> bpeOracle(10)) +
-      ("l67_bpe_encode" -> bpeEncodeOracle(10))
+      ("l67_bpe_encode" -> bpeEncodeOracle(10)) +
+      ("l69_token_fertility" -> bpeFertilityOracle(10)) +
+      ("l68_pii_redact" -> piiOracle)
   }
+
+  /** The l68 replay: the same doc_id-derived injection, the same three
+    * redaction passes in the same order, counts on each stage's input
+    * text — expression-for-expression with the Spark query (the
+    * patterns live in the Java∩RE2 subset, so the placeholder bytes
+    * and therefore the hash must agree). */
+  private def piiOracle: String =
+    """WITH dirty AS (SELECT doc_id,
+      |    text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+      |    CAST(doc_id % 7 AS VARCHAR) || '.example.com or call +1 (415) 555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+      |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |    CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+      |    CAST((doc_id * 13) % 256 AS VARCHAR) || ' done.' AS t
+      |  FROM documents),
+      |st AS (SELECT doc_id, t,
+      |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |                   '<EMAIL>', 'g') AS t1
+      |  FROM dirty),
+      |st2 AS (SELECT doc_id, t, t1,
+      |    regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+      |  FROM st)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9() -]{5,14}[0-9]')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(t2, '\+?[0-9][0-9() -]{5,14}[0-9]', '<PHONE>', 'g')) AS redacted_h
+      |FROM st2 ORDER BY doc_id""".stripMargin
 
   /** The shared UNROLLED merge-chain CTEs (w, r0..r{iters} with p_k,
     * m_k per step): step k counts adjacent symbol pairs of the
@@ -1075,18 +1167,25 @@ object LlmQueries {
        |FROM (${(1 to iters).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin
 
-  /** The l67 encode replay: the chain's FINAL reprs split into symbol
-    * arrays per word, joined back to every token occurrence and
-    * reassembled per document in token order — mechanically the same
-    * vocabulary-then-join plan Bpe.encode runs. */
-  private def bpeEncodeOracle(iters: Int): String = {
+  /** The encode-side CTEs shared by the l67 and l69 replays: the
+    * chain's FINAL reprs split into symbol arrays per word (`enc`) and
+    * every token occurrence of every document (`tok`) — mechanically
+    * the same vocabulary-then-join plan Bpe.encode runs. */
+  private def bpeEncCtes(iters: Int): String = {
     val sep = graft.operators.Bpe.Sep
-    s"""WITH ${bpeChainCtes(iters)},
+    s"""${bpeChainCtes(iters)},
        |enc AS (SELECT word, x[2:len(x)-1] AS sy
        |        FROM (SELECT word, string_split(repr, '$sep$sep') AS x FROM r$iters)),
        |tok AS (SELECT doc_id, g.i AS pos, ws[g.i] AS word
        |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
-       |             UNNEST(generate_series(1, len(ws))) g(i)),
+       |             UNNEST(generate_series(1, len(ws))) g(i))""".stripMargin
+  }
+
+  /** The l67 encode replay: per doc the pieces reassembled in token
+    * order and hash-graded. */
+  private def bpeEncodeOracle(iters: Int): String = {
+    val sep = graft.operators.Bpe.Sep
+    s"""WITH ${bpeEncCtes(iters)},
        |flat AS (SELECT t.doc_id, flatten(list(e.sy ORDER BY t.pos)) AS pieces
        |         FROM tok t JOIN enc e USING (word) GROUP BY t.doc_id)
        |SELECT d.doc_id, CAST(COALESCE(len(f.pieces), 0) AS BIGINT) AS n_pieces,
@@ -1094,6 +1193,35 @@ object LlmQueries {
        |FROM documents d LEFT JOIN flat f USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** The l69 fertility replay: per-doc piece counts from the encode
+    * CTEs (a COUNT is token-order-invariant, so the flatten step
+    * reduces to a sum of per-word symbol counts), joined to the l2
+    * langid CASE chain per document, aggregated per language. */
+  private def bpeFertilityOracle(iters: Int): String =
+    s"""WITH ${bpeEncCtes(iters)},
+       |pieces AS (SELECT t.doc_id, CAST(SUM(len(e.sy)) AS BIGINT) AS n_pieces
+       |           FROM tok t JOIN enc e USING (word) GROUP BY t.doc_id),
+       |lang AS (SELECT doc_id,
+       |    CASE WHEN en + de + fr + es = 0 THEN 'und'
+       |         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       |         WHEN de >= fr AND de >= es THEN 'de'
+       |         WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_detected,
+       |    n_words
+       |  FROM (SELECT doc_id,
+       |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       |      len(list_filter(regexp_extract_all(text,'\\S+'), x -> list_contains(['the','a','and','of','is'], x))) AS en,
+       |      len(list_filter(regexp_extract_all(text,'\\S+'), x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+       |      len(list_filter(regexp_extract_all(text,'\\S+'), x -> list_contains(['le','la','et','les','est'], x))) AS fr,
+       |      len(list_filter(regexp_extract_all(text,'\\S+'), x -> list_contains(['el','los','y','las','es'], x))) AS es
+       |    FROM documents))
+       |SELECT l.lang_detected, COUNT(*) AS n_docs,
+       |  CAST(SUM(l.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(p.n_pieces) AS DOUBLE) / SUM(l.n_words) AS fertility
+       |FROM lang l JOIN pieces p USING (doc_id)
+       |WHERE l.n_words > 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def oracleSqlBase: Map[String, String] = Map(
     "l58_logreg_quality" -> logRegOracle,

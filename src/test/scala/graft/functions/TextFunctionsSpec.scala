@@ -56,6 +56,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(both.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("typed PII passes: hand-checked redaction, non-overlap by construction") {
+    val raw = Seq(
+      "mail bob@ex.co or call +1 (415) 555-0042 from 10.0.8.255 now",
+      "ranges 12-34-5 and 999.1.2.3 stay regexes, words don't",
+      "clean prose with the year 2024 alone")
+    val got = raw.toDF("t")
+      .select(TextFunctions.redactPhones(TextFunctions.redactIps(
+        TextFunctions.redactEmails(col("t")))).as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      // email then IP then phone, each its own placeholder
+      "mail <EMAIL> or call <PHONE> from <IP> now",
+      // a digit-dash run IS a phone shape and a 999 quad IS an IP
+      // shape — documented false positives of regex scrubbing
+      "ranges <PHONE> and <IP> stay regexes, words don't",
+      // a lone 4-digit year is below the phone minimum length
+      "clean prose with the year 2024 alone"))
+    // order independence of the guarantees that matter: the phone
+    // class has no dot, so an un-redacted IP still can't be half-eaten
+    val ipFirst = Seq("at 10.1.2.3 call +14155550042")
+      .toDF("t").select(TextFunctions.redactPhones(col("t")).as("c"))
+      .as[String].collect()
+    assert(ipFirst.head == "at 10.1.2.3 call <PHONE>")
+  }
+
   test("langId scores by stopword lists with fixed priority") {
     val got = Seq(
       "the cat and the hat",      // en hits
