@@ -290,12 +290,19 @@ object AnnIndex {
   def runIngest(source: DataFrame, dir: String, id: String, vec: String,
                 dim: Int, m: Int, checkpointDir: String,
                 trigger: org.apache.spark.sql.streaming.Trigger =
-                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
-      .foreachBatch((batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendVectors(batch.sparkSession, dir, batch, id, vec, dim, m,
-          ingestTag = s"batch_$batchId"))
+          ingestTag = s"batch_$batchId")
+        // in-loop small-file control, mirroring IncrementalDedup.run:
+        // fold strictly-below-this-batch partitions (the replayable
+        // batch stays out), no-op on replay, sequential with the
+        // appender by foreachBatch's contract
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIngests(batch.sparkSession, dir, upToBatch = batchId): Unit
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
@@ -348,6 +355,44 @@ object AnnIndex {
         col("buckets_used"), col("max_bucket_n"),
         round(col("max_bucket_n").cast("double") * nC / col("n_vecs"), 6)
           .as("occ_skew"))
+  }
+
+  /** ACT on the drift audit — the measure → decide → retrain cycle in
+    * one call. `emb` is the CURRENT raw corpus tagged by an `ingest`
+    * column, with the base build's vectors under tag `base` (the index
+    * stores only codes; raw vectors live with the corpus). Each
+    * non-base ingest's `mean_adc_residual` and `occ_skew` are compared
+    * to the base row's own: strictly exceeding `ratio` × base on
+    * either metric marks the ingest drifted. Any drifted ingest
+    * REBUILDS the whole index over `emb` — retraining the quantizers
+    * invalidates every prior ingest's codes by construction, so the
+    * unit of action is the rebuild, not a patch (buildIvfPq clears the
+    * append partitions for the same reason).
+    *
+    * Returns the drifted tags (empty = audit passed, index untouched).
+    * Driver state is the audit frame — one row per ingest tag, bounded
+    * like every other collect in this path. Idempotent: a retry after
+    * a crashed rebuild re-audits against the old (or half-written —
+    * buildIvfPq overwrites artifact-wholesale) quantizers and simply
+    * rebuilds again. */
+  def retrainIfDrifted(spark: SparkSession, dir: String, emb: DataFrame,
+                       ingest: String, id: String, vec: String,
+                       dim: Int, m: Int, k: Int, nCentroids: Int,
+                       ratio: Double = 2.0, kmeansIters: Int = 0): Seq[String] = {
+    val ix = load(spark, dir)
+    val audit = driftAudit(ix, emb, ingest, id, vec, dim, m)
+      .select(col(ingest), col("mean_adc_residual"), col("occ_skew"))
+      .collect()
+    val base = audit.find(_.getString(0) == "base").getOrElse(
+      throw new IllegalArgumentException(
+        s"emb must carry the base build's vectors under $ingest = 'base'"))
+    val drifted = audit.filter(r => r.getString(0) != "base" &&
+        (r.getDouble(1) > ratio * base.getDouble(1) ||
+          r.getDouble(2) > ratio * base.getDouble(2)))
+      .map(_.getString(0)).toSeq.sorted
+    if (drifted.nonEmpty)
+      buildIvfPq(emb, id, vec, dim, m, k, nCentroids, dir, kmeansIters)
+    drifted
   }
 
   /** Batch IVF-PQ serve — the production request shape: a FRAME of

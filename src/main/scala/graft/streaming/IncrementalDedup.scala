@@ -160,12 +160,26 @@ object IncrementalDedup {
     * being drop ids, which breaks replay-overwrite granularity
     * expectations callers may have built on "one drop = one partition"
     * (and any oracle keyed on drop membership). */
+  /** `compactEvery` > 0 folds the band store in-loop every that many
+    * batches (after the batch's own append), so a long-running crawl
+    * ingest manages its own small-file problem instead of deferring to
+    * an out-of-band job. The fold covers batches strictly BELOW the
+    * current id — the one partition a checkpoint replay can overwrite
+    * stays out of it — and a replayed batch re-runs its compaction as a
+    * no-op (fewer than two foldable partitions remain), so the hook is
+    * idempotent end to end. foreachBatch bodies run sequentially: the
+    * compactor never races the appender it shares the loop with
+    * (the single-writer discipline compactBandStore requires). */
   def run(source: DataFrame, cfg: Config, bandStoreDir: String,
           resultDir: String, checkpointDir: String,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow(),
+          compactEvery: Int = 0): StreamingQuery =
     source.writeStream
-      .foreachBatch((b: DataFrame, id: Long) =>
-        ingestBatch(b, id, cfg, bandStoreDir, resultDir))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestBatch(b, id, cfg, bandStoreDir, resultDir)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactBandStore(b.sparkSession, bandStoreDir, upToBatch = id): Unit
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

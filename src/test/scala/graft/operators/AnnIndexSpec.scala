@@ -294,6 +294,84 @@ class AnnIndexSpec extends AnyFunSuite {
       "the retried drop's vectors must still be indexed")
   }
 
+  test("runIngest with compactEvery folds drops in-loop; serving is unchanged") {
+    val root = Files.createTempDirectory("annix_autoc").toString
+    val ixDir = s"$root/ix"; val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") < 6), "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = ixDir)
+    def runOnce(): Unit =
+      AnnIndex.runIngest(
+        spark.readStream.schema(emb.schema).parquet(src),
+        ixDir, "vec_id", "embedding", dim = 8, m = 2, checkpointDir = ckpt,
+        compactEvery = 2)
+        .awaitTermination()
+    Seq((6L, 8L), (8L, 10L), (10L, 12L)).foreach { case (lo, hi) =>
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .write.mode("append").parquet(src)
+      runOnce()
+    }
+    // batch 2's turn folded {batch_0, batch_1} after its own append
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(ixDir, a) == Set("ingest=base", "ingest=batch_1", "ingest=batch_2"),
+        s"the loop itself must have folded $a's early drops")
+    }
+    // the compacted streamed index serves identically to a full rebuild
+    // (base held the k lowest ids, so quantizers match)
+    val served = serveAll(ixDir)
+    val rebuilt = Files.createTempDirectory("annix_autoc_ref").toString
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = rebuilt)
+    assert(served == serveAll(rebuilt))
+    assert(served.map(_._1).toSet == (0L until 12L).toSet)
+  }
+
+  // the base corpus offset to fresh ids, every coordinate shifted by
+  // `delta` — tiny delta = the base distribution (healthy drop), large
+  // delta = a moved distribution (drifted drop)
+  private def shiftedEmb(delta: Float, idOffset: Long) =
+    emb.select((col("vec_id") + idOffset).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(delta)).cast("float")).as("embedding"))
+
+  test("retrainIfDrifted leaves a healthy index alone and rebuilds when an ingest drifts") {
+    val dir = Files.createTempDirectory("annix_retrain").toString
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    val tag = (t: String, df: org.apache.spark.sql.DataFrame) =>
+      df.select(lit(t).as("ingest"), col("vec_id"), col("embedding"))
+
+    // healthy drop: the base distribution under new ids — audit passes,
+    // nothing is rebuilt (the drop's append partition survives intact)
+    val healthy = shiftedEmb(0.001f, 100L)
+    AnnIndex.appendVectors(spark, dir, healthy, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop1")
+    val before = serveAll(dir)
+    val corpus1 = tag("base", emb).unionByName(tag("drop1", healthy))
+    assert(AnnIndex.retrainIfDrifted(spark, dir, corpus1, "ingest",
+      "vec_id", "embedding", dim = 8, m = 2, k = 4, nCentroids = 4).isEmpty)
+    assert(ingestDirs(dir, "codes").contains("ingest=drop1"),
+      "a passing audit must not touch the index")
+    assert(serveAll(dir) == before)
+
+    // drifted drop: the whole distribution moved — the audit names it
+    // and the index is REBUILT over the current corpus (quantizers
+    // retrained; append partitions cleared by the rebuild)
+    val drifted = shiftedEmb(10.0f, 200L)
+    AnnIndex.appendVectors(spark, dir, drifted, "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "drop2")
+    val corpus2 = corpus1.unionByName(tag("drop2", drifted))
+    assert(AnnIndex.retrainIfDrifted(spark, dir, corpus2, "ingest",
+      "vec_id", "embedding", dim = 8, m = 2, k = 4, nCentroids = 4) == Seq("drop2"))
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(dir, a) == Set("ingest=base"),
+        "a rebuild re-homes every vector under the base partition")
+    }
+    // the retrained index equals a fresh build over the same corpus
+    val fresh = Files.createTempDirectory("annix_retrain_ref").toString
+    AnnIndex.buildIvfPq(corpus2, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = fresh)
+    assert(serveAll(dir) == serveAll(fresh))
+  }
+
   test("the serving plan reads the index and touches the corpus only for the probe") {
     val dir = Files.createTempDirectory("annix_plan").toString
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding",

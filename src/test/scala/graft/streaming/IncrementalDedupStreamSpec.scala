@@ -151,6 +151,51 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert((v30.getLong(0), v30.getLong(1), v30.getBoolean(2)) == ((1L, 3L, true)))
   }
 
+  test("in-loop compaction (compactEvery) folds history inside the stream; verdicts unchanged") {
+    val root = Files.createTempDirectory("graft_incr_autoc").toString
+    val src = s"$root/src"; val bands = s"$root/bands"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit =
+      IncrementalDedup.run(spark.readStream.schema(schema).parquet(src),
+        cfg, bands, out, ckpt, compactEvery = 2).awaitTermination()
+    def partDirs(): Seq[String] =
+      Files.list(Paths.get(bands)).map[String](_.getFileName.toString)
+        .filter(_.startsWith("ingest_batch=")).sorted.toArray.map(_.toString).toSeq
+    val dup = "the quick brown fox jumps over the lazy dog every single day"
+
+    drop(1L -> dup,
+      2L -> "completely unrelated words describing some other topic entirely here")
+    runOnce() // batch 0: id % 2 == 0 but id == 0 — nothing to fold yet
+    drop(10L -> dup); runOnce() // batch 1: off-cadence
+    assert(partDirs() == Seq("ingest_batch=0", "ingest_batch=1"))
+    drop(20L -> dup); runOnce() // batch 2: appends, then folds {0, 1}
+    assert(partDirs() == Seq("ingest_batch=1", "ingest_batch=2"),
+      "the loop itself must have folded batches 0 and 1")
+    val v20 = IncrementalDedup.results(spark, out)
+      .filter(col("doc_id") === 20L)
+      .select("first_match", "n_matches", "is_dup").collect().head
+    assert((v20.getLong(0), v20.getLong(1), v20.getBoolean(2)) == ((1L, 2L, true)))
+
+    // replay of the compacting batch: the fold below id 2 finds one
+    // partition — a no-op — and the batch's own overwrite is the usual
+    // idempotent one; layout and verdicts must not move
+    assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/2")))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.2.crc"))
+    runOnce()
+    assert(partDirs() == Seq("ingest_batch=1", "ingest_batch=2"))
+    assert(IncrementalDedup.results(spark, out).count() == 4) // docs 1, 2, 10, 20 — no dup rows
+
+    // the loop keeps composing on the folded store
+    drop(30L -> dup); runOnce() // batch 3: off-cadence
+    val v30 = IncrementalDedup.results(spark, out)
+      .filter(col("doc_id") === 30L)
+      .select("first_match", "n_matches", "is_dup").collect().head
+    assert((v30.getLong(0), v30.getLong(1), v30.getBoolean(2)) == ((1L, 3L, true)))
+  }
+
   test("stored candidates + verify + groups equal the batch recompute over the union corpus") {
     val root = Files.createTempDirectory("graft_incr_groups").toString
     val src = s"$root/src"
