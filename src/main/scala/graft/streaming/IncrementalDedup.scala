@@ -104,14 +104,11 @@ object IncrementalDedup {
         fs.exists(new Path(s"${s.getPath}/_SUCCESS")))
       .map(_.getPath)
     require(committed.nonEmpty, s"no committed band partitions under $bandStoreDir")
-    val b = spark.read.option("basePath", bandStoreDir)
-      .parquet(committed.map(_.toString): _*)
-      .drop("ingest_batch")
-    b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"))
-      .distinct()
+    Dedup.bandPairJoin(
+      spark.read.option("basePath", bandStoreDir)
+        .parquet(committed.map(_.toString): _*)
+        .drop("ingest_batch"),
+      id)
   }
 
   /** One turn of the ingest loop (the foreachBatch body). Writes
@@ -169,13 +166,26 @@ object IncrementalDedup {
     * no-op (fewer than two foldable partitions remain), so the hook is
     * idempotent end to end. foreachBatch bodies run sequentially: the
     * compactor never races the appender it shares the loop with
-    * (the single-writer discipline compactBandStore requires). */
+    * (the single-writer discipline compactBandStore requires).
+    *
+    * When the loop owns compaction it must also own RECOVERY: a crash
+    * inside a previous turn's fold leaves a stage that every band-store
+    * read fails fast on — including the replayed batch's own
+    * `seenBands` — so each turn first completes or discards any pending
+    * stage (safe: this loop is the single writer). Without that, a
+    * mid-compaction crash would wedge the stream behind exactly the
+    * out-of-band intervention in-loop compaction exists to remove. */
   def run(source: DataFrame, cfg: Config, bandStoreDir: String,
           resultDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.AvailableNow(),
           compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
+        if (compactEvery > 0) {
+          val p = new Path(bandStoreDir)
+          val fs = p.getFileSystem(b.sparkSession.sessionState.newHadoopConf())
+          if (fs.exists(p)) recoverPendingCompaction(fs, bandStoreDir)
+        }
         ingestBatch(b, id, cfg, bandStoreDir, resultDir)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
           compactBandStore(b.sparkSession, bandStoreDir, upToBatch = id): Unit

@@ -243,12 +243,16 @@ class AnnIndexSpec extends AnyFunSuite {
     buildWithDrops(dir)
     val before = serveAll(dir)
 
-    // reproduce the compactor's staging step for batches 0 and 1...
+    // reproduce the compactor's staging step for batches 0 and 1 —
+    // including the _FOLDED manifests whose presence arms the swap...
     Seq("codes", "lists").foreach { a =>
       spark.read.option("basePath", s"$dir/$a")
         .parquet(s"$dir/$a/ingest=batch_0", s"$dir/$a/ingest=batch_1")
         .drop("ingest")
         .write.mode("overwrite").parquet(s"$dir/$a/.compact_tmp_1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$a/.compact_tmp_1/_FOLDED"),
+        "0\n1".getBytes("UTF-8"))
     }
     // ...then crash after codes' deletes but before its rename (lists
     // untouched): history for batches 0/1 of codes lives ONLY in the stage
@@ -263,6 +267,40 @@ class AnnIndexSpec extends AnyFunSuite {
     Seq("codes", "lists").foreach { a =>
       assert(ingestDirs(dir, a) == Set("ingest=base", "ingest=batch_1", "ingest=batch_2"))
     }
+  }
+
+  test("compaction recovery deletes only what the stage covers: a half-committed append survives") {
+    val dir = Files.createTempDirectory("annix_halfc").toString
+    buildWithDrops(dir)
+    val before = serveAll(dir)
+    // batch_1's append crashed between its codes and lists writes:
+    // committed in codes only — excluded from any fold
+    import java.nio.file.Paths
+    assert(Files.deleteIfExists(Paths.get(s"$dir/lists/ingest=batch_1/_SUCCESS")))
+
+    // a fold of the committed-in-both set {0, 2} staged with its
+    // manifests, crashed after codes' deletes but before the renames
+    Seq("codes", "lists").foreach { a =>
+      spark.read.option("basePath", s"$dir/$a")
+        .parquet(s"$dir/$a/ingest=batch_0", s"$dir/$a/ingest=batch_2")
+        .drop("ingest")
+        .write.mode("overwrite").parquet(s"$dir/$a/.compact_tmp_2")
+      java.nio.file.Files.write(Paths.get(s"$dir/$a/.compact_tmp_2/_FOLDED"),
+        "0\n2".getBytes("UTF-8"))
+    }
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$dir/codes/ingest=batch_0"))
+    FileUtils.deleteDirectory(new java.io.File(s"$dir/codes/ingest=batch_2"))
+
+    AnnIndex.compactIngests(spark, dir, upToBatch = 3L) // recovery runs first
+    // the half-committed tag's surviving artifact was NOT deleted
+    // (k=1 <= target=2, but it's absent from the manifest)
+    assert(ingestDirs(dir, "codes") == Set("ingest=base", "ingest=batch_1", "ingest=batch_2"))
+    // and its same-tag retry completes the ingest — nothing was lost
+    AnnIndex.appendVectors(spark, dir,
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 10),
+      "vec_id", "embedding", dim = 8, m = 2, ingestTag = "batch_1")
+    assert(serveAll(dir) == before)
   }
 
   test("skipExisting drops already-indexed ids instead of double-counting their codes") {
@@ -323,6 +361,23 @@ class AnnIndexSpec extends AnyFunSuite {
       dim = 8, m = 2, k = 4, nCentroids = 4, dir = rebuilt)
     assert(served == serveAll(rebuilt))
     assert(served.map(_._1).toSet == (0L until 12L).toSet)
+
+    // SELF-HEAL: a torn stage from a crashed in-loop fold must be
+    // cleared by the next turn itself (every index read fails fast on
+    // it — including the turn's own appendVectors→load)
+    val stage = java.nio.file.Paths.get(s"$ixDir/codes/.compact_tmp_9")
+    Files.createDirectory(stage)
+    java.nio.file.Files.write(stage.resolve("part-torn.parquet"), Array[Byte](1))
+    emb.filter(col("vec_id") < 2)
+      .select(col("vec_id") + 100, col("embedding")).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    runOnce() // batch 3: recovers, then appends
+    assert(!java.nio.file.Files.exists(stage),
+      "the torn stage must be discarded by the loop")
+    // the new near-duplicate-of-the-probe vectors must be served
+    // (topK=12 of the now-14 vectors cuts only the two farthest)
+    val ids = serveAll(ixDir).map(_._1).toSet
+    assert(ids.contains(100L) && ids.contains(101L), s"post-heal append missing: $ids")
   }
 
   // the base corpus offset to fresh ids, every coordinate shifted by

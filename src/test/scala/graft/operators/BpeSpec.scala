@@ -90,7 +90,12 @@ class BpeSpec extends AnyFunSuite {
     val bad = Bpe.wordFreqs(
       Seq((1L, "ok bad" + Bpe.Sep + "word")).toDF("doc_id", "text"), "text")
     val e = intercept[Exception](bad.collect())
-    assert(e.getMessage != null)
+    // the INTENDED guard must fire, not just any failure: Spark wraps
+    // raise_error's message, so search the cause chain for it
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("BPE sentinel U+001F")),
+      s"expected the sentinel fail-fast, got: ${messages(e).mkString(" | ")}")
   }
 
   test("encode applies the trained merges per word, in token order") {

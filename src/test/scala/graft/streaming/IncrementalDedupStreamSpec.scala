@@ -194,6 +194,19 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       .filter(col("doc_id") === 30L)
       .select("first_match", "n_matches", "is_dup").collect().head
     assert((v30.getLong(0), v30.getLong(1), v30.getBoolean(2)) == ((1L, 3L, true)))
+
+    // SELF-HEAL: a crash while a previous turn staged a fold leaves a
+    // torn stage every read fails fast on — the next turn must clear
+    // it itself and proceed, not wedge behind an out-of-band repair
+    val stage = Paths.get(s"$bands/.compact_tmp_9")
+    Files.createDirectory(stage)
+    Files.write(stage.resolve("part-torn.parquet"), Array[Byte](1))
+    drop(40L -> dup); runOnce() // batch 4: recovers, then ingests
+    assert(!Files.exists(stage), "the torn stage must be discarded by the loop")
+    val v40 = IncrementalDedup.results(spark, out)
+      .filter(col("doc_id") === 40L)
+      .select("first_match", "n_matches", "is_dup").collect().head
+    assert((v40.getLong(0), v40.getLong(1), v40.getBoolean(2)) == ((1L, 4L, true)))
   }
 
   test("stored candidates + verify + groups equal the batch recompute over the union corpus") {
