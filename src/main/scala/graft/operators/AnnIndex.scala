@@ -246,18 +246,29 @@ object AnnIndex {
                             tags: Seq[Long]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(sp, "._folded_tmp")
     val out = fs.create(tmp, true)
-    try out.write(tags.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    try {
+      out.write(tags.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the manifest ARMS the swap: its bytes must be durable before
+      // the rename publishes it, or a power loss could leave a
+      // present-but-empty manifest (recovery treats that as torn, but
+      // only the durable write makes the committed branch trustworthy)
+      try out.hsync() catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
     require(fs.rename(tmp, manifestPath(sp)),
       s"failed to commit fold manifest under $sp")
   }
 
+  /** Empty → None: an empty or unreadable-as-ids manifest means the
+    * arming write never became durable — the stage must be treated as
+    * torn, never completed against an unknown coverage set. */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           sp: org.apache.hadoop.fs.Path): Set[Long] = {
+                           sp: org.apache.hadoop.fs.Path): Option[Set[Long]] = {
     val in = fs.open(manifestPath(sp))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(_.toLong).toSet
-    finally in.close()
+    val tags =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    if (tags.isEmpty) None else Some(tags)
   }
 
   /** Finish or discard an interrupted compaction. Swaps begin only
@@ -282,15 +293,38 @@ object AnnIndex {
     if (stages.isEmpty) return
     val torn = stages.filterNot { case (_, sp) =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$sp/_SUCCESS")) &&
-        fs.exists(manifestPath(sp))
+        fs.exists(manifestPath(sp)) && readManifest(fs, sp).nonEmpty
     }
     if (torn.nonEmpty) {
+      // discard is only provably safe if no original was deleted, and
+      // a manifest-less stage can't say what it covers. Deletes always
+      // leave an artifact ASYMMETRY (the swap processes one artifact at
+      // a time and a half-committed append differs between artifacts
+      // too), so matching committed batch sets at-or-below the stage
+      // target prove no swap started; on asymmetry, fail fast for a
+      // human rather than destroy what may be the only copy — the one
+      // state this code cannot reach on its own (e.g. stage dirs
+      // written by a pre-manifest version of this protocol).
+      val target = stages.map(_._2.getName.stripPrefix(TmpPrefix).toLong).max
+      val committedBelow = Artifacts.map { artifact =>
+        artifact -> committedTagsNoGuard(fs, dir, artifact).flatMap {
+          case BatchTagRe(k) if k.toLong <= target => Some(k.toLong)
+          case _ => None
+        }
+      }
+      require(committedBelow.map(_._2).distinct.size == 1,
+        s"cannot discard manifest-less compaction stages under $dir: the " +
+          s"artifacts' committed batch partitions at-or-below $target differ " +
+          s"(${committedBelow.map { case (a, s) => s"$a: ${s.toSeq.sorted.mkString(",")}" }.mkString("; ")}) " +
+          "— a pre-manifest swap may have deleted originals whose only copy " +
+          "is a stage; resolve manually (complete the old swap or restore the " +
+          "missing partitions) before retrying")
       stages.foreach { case (_, sp) =>
         require(fs.delete(sp, true), s"failed to discard torn compaction stage $sp")
       }
     } else stages.foreach { case (artifact, sp) =>
       val target = sp.getName.stripPrefix(TmpPrefix).toLong
-      val covered = readManifest(fs, sp)
+      val covered = readManifest(fs, sp).get
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$artifact")).toSeq
         .filter(_.isDirectory)
         .foreach(d => d.getPath.getName.stripPrefix("ingest=") match {
@@ -303,6 +337,19 @@ object AnnIndex {
         ingestDir(dir, artifact, s"batch_$target"))),
         s"compaction recovery failed to swap $sp into place")
     }
+  }
+
+  /** `committedTags` minus the pending-stage fail-fast — for use INSIDE
+    * recovery, which is the one reader allowed to look at the layout
+    * while stages exist. */
+  private def committedTagsNoGuard(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: String, artifact: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("ingest=")).toSet
   }
 
   /** Whole-corpus ADC top-k from the loaded index (l54's shape, no

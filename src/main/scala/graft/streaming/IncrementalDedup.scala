@@ -181,11 +181,11 @@ object IncrementalDedup {
           compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        if (compactEvery > 0) {
-          val p = new Path(bandStoreDir)
-          val fs = p.getFileSystem(b.sparkSession.sessionState.newHadoopConf())
-          if (fs.exists(p)) recoverPendingCompaction(fs, bandStoreDir)
-        }
+        if (compactEvery > 0)
+          recoverPendingCompaction(
+            new Path(bandStoreDir)
+              .getFileSystem(b.sparkSession.sessionState.newHadoopConf()),
+            bandStoreDir)
         ingestBatch(b, id, cfg, bandStoreDir, resultDir)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
           compactBandStore(b.sparkSession, bandStoreDir, upToBatch = id): Unit
@@ -271,7 +271,8 @@ object IncrementalDedup {
     * into place is always safe. An unmarked (torn) stage is discarded. */
   private def recoverPendingCompaction(fs: org.apache.hadoop.fs.FileSystem,
                                        bandStoreDir: String): Unit =
-    fs.listStatus(new Path(bandStoreDir)).toSeq
+    if (!fs.exists(new Path(bandStoreDir))) () // first-ever batch: nothing to heal
+    else fs.listStatus(new Path(bandStoreDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
       .foreach { s =>
         val target = s.getPath.getName.stripPrefix(TmpPrefix).toLong

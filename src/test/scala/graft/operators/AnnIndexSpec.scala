@@ -378,6 +378,36 @@ class AnnIndexSpec extends AnyFunSuite {
     // (topK=12 of the now-14 vectors cuts only the two farthest)
     val ids = serveAll(ixDir).map(_._1).toSet
     assert(ids.contains(100L) && ids.contains(101L), s"post-heal append missing: $ids")
+
+    // ...and a COMMITTED stage (manifests armed, codes originals
+    // already deleted — a crash mid-swap) must be COMPLETED by the
+    // next turn through the same in-loop wiring, not just by an
+    // out-of-band compactIngests call
+    Seq("codes", "lists").foreach { a =>
+      spark.read.option("basePath", s"$ixDir/$a")
+        .parquet(s"$ixDir/$a/ingest=batch_1", s"$ixDir/$a/ingest=batch_2")
+        .drop("ingest")
+        .write.mode("overwrite").parquet(s"$ixDir/$a/.compact_tmp_2")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ixDir/$a/.compact_tmp_2/_FOLDED"),
+        "1\n2".getBytes("UTF-8"))
+    }
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$ixDir/codes/ingest=batch_1"))
+    FileUtils.deleteDirectory(new java.io.File(s"$ixDir/codes/ingest=batch_2"))
+    emb.filter(col("vec_id") >= 2 && col("vec_id") < 4)
+      .select(col("vec_id") + 200, col("embedding")).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    runOnce() // batch 4: completes the swap, appends, then (on-cadence)
+              // folds the recovered {2} with {3} into batch_3
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(ixDir, a) == Set("ingest=base", "ingest=batch_3", "ingest=batch_4"),
+        s"$a: ${ingestDirs(ixDir, a)}")
+    }
+    // nothing lost, nothing dropped: every generation is in the index
+    val allCodes = spark.read.parquet(s"$ixDir/codes")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(allCodes == ((0L until 12L) ++ Seq(100L, 101L, 202L, 203L)).toSet)
   }
 
   // the base corpus offset to fresh ids, every coordinate shifted by

@@ -207,6 +207,25 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       .filter(col("doc_id") === 40L)
       .select("first_match", "n_matches", "is_dup").collect().head
     assert((v40.getLong(0), v40.getLong(1), v40.getBoolean(2)) == ((1L, 4L, true)))
+
+    // a COMMITTED stage with its originals already deleted (crash
+    // after compactBandStore's deletes, before its rename) must be
+    // completed — not discarded — by the next turn's in-loop recovery
+    // (batch 4's own fold left the store at {3, 4})
+    spark.read.option("basePath", bands)
+      .parquet(s"$bands/ingest_batch=3", s"$bands/ingest_batch=4")
+      .drop("ingest_batch")
+      .write.mode("overwrite").parquet(s"$bands/.compact_tmp_4")
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=3"))
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=4"))
+    drop(50L -> dup); runOnce() // batch 5: completes the swap, then ingests
+    assert(partDirs() == Seq("ingest_batch=4", "ingest_batch=5"),
+      s"swap must be completed in-loop: ${partDirs()}")
+    val v50 = IncrementalDedup.results(spark, out)
+      .filter(col("doc_id") === 50L)
+      .select("first_match", "n_matches", "is_dup").collect().head
+    assert((v50.getLong(0), v50.getLong(1), v50.getBoolean(2)) == ((1L, 5L, true)))
   }
 
   test("stored candidates + verify + groups equal the batch recompute over the union corpus") {
