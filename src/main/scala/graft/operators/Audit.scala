@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-audit operators: the reports a training-data pipeline runs
@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   * computes, and the audit itself is one groupBy over them.
   */
 object Audit {
+
+  /** Exact quartiles of an integer metric per group, by rank position
+    * (k_p = ceil(p·n), the lower/discontinuous quantile) — deliberately
+    * NOT percentile_approx: sketch interpolation is engine-specific
+    * (un-gradeable cross-engine) and pointless when the output is one
+    * row per group anyway. Determinism: ties order by (value, id).
+    *
+    * Scale shape: one window sort PARTITIONED BY the group (each
+    * group sorts independently across the cluster — no global sort)
+    * plus one conditional aggregation. For corpus-card style audits
+    * the group is coarse (source, lang), so this is the per-ingest
+    * datasheet query, not a hot-path operator. */
+  def groupQuartiles(docs: DataFrame, group: String, id: String,
+                     value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = docs.select(col(group), col(id), value.cast("long").as("v"))
+    val w = Window.partitionBy(col(group)).orderBy(col("v"), col(id))
+    val ranked = v.withColumn("rk", row_number().over(w))
+    val n = v.groupBy(col(group)).agg(count(lit(1)).as("n_docs"))
+    ranked.join(n, Seq(group))
+      .groupBy(col(group), col("n_docs"))
+      .agg(
+        max(when(col("rk") === ceil(col("n_docs") * 0.25), col("v"))).as("p25"),
+        max(when(col("rk") === ceil(col("n_docs") * 0.5), col("v"))).as("p50"),
+        max(when(col("rk") === ceil(col("n_docs") * 0.75), col("v"))).as("p75"))
+      .select(col(group), col("n_docs"), col("p25"), col("p50"), col("p75"))
+  }
 
   /** Near-dup leakage matrix across data splits: for every unordered
     * split pair, how many verified near-dup pairs straddle it. A

@@ -26,6 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's
+    * DISTINCT n-shingles that occur in no other document — the inverse
+    * boilerplate/memorization signal (template pages and syndicated
+    * text score near 0, original prose near 1), a standard curation
+    * feature next to the quality ratios.
+    *
+    * Scale shape: the same (doc, shingle) shuffle the dedup family
+    * pays, one doc-frequency aggregation over the distinct shingle
+    * frame, one equi-join back — no pairwise work anywhere, so cost is
+    * O(corpus shingles), not O(pairs). Exact integer counts, one final
+    * double division. Shingle-free documents (< n tokens) surface with
+    * zero shingles and novelty 0, not dropped rows. */
+  def ngramNovelty(docs: DataFrame, id: String, text: String,
+                   n: Int): DataFrame = {
+    val sh = Dedup.shingleSet(docs, id, text, n)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val agg = sh.join(df, Seq("s"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col(id))
+      .join(agg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_unique").cast("double") / col("n_shingles")))
+  }
+
   /** Per-(doc, term) TF-IDF scores for `terms`, with
     * idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive).
     * Returns (id, term, tf, df, tfidf). */

@@ -1039,6 +1039,26 @@ object LlmQueries {
           sum(col("n_pieces")).as("n_pieces"))
         .withColumn("fertility", col("n_pieces").cast("double") / col("n_words"))
         .orderBy(col("lang_detected"))
+    }),
+
+    // N-gram novelty — fraction of each document's distinct 3-shingles
+    // occurring in no other document (boilerplate/syndication scores
+    // near 0, original prose near 1). One doc-frequency aggregation
+    // over the shared shingle frame; no pairwise work.
+    "l70_ngram_novelty" -> ((s, dir) => {
+      graft.operators.Ranking.ngramNovelty(
+          Tables.load(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source token-length quartiles — the corpus-card distribution
+    // stat, as exact rank-position quantiles (ceil(p*n), ties by id)
+    // rather than an engine-specific percentile sketch.
+    "l71_source_len_quartiles" -> ((s, dir) => {
+      graft.operators.Audit.groupQuartiles(
+          Tables.load(s, dir, "documents"), "source", "doc_id",
+          TextFunctions.tokenCount(col("text")))
+        .orderBy(col("source"))
     })
   )
 
@@ -1099,7 +1119,36 @@ object LlmQueries {
       ("l60_bpe_train" -> bpeOracle(10)) +
       ("l67_bpe_encode" -> bpeEncodeOracle(10)) +
       ("l69_token_fertility" -> bpeFertilityOracle(10)) +
-      ("l68_pii_redact" -> piiOracle)
+      ("l68_pii_redact" -> piiOracle) +
+      ("l70_ngram_novelty" ->
+        """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+          |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+          |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+          |       WHERE len(ws) >= 3),
+          |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+          |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          |          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+          |        FROM sh JOIN df USING (s) GROUP BY 1)
+          |SELECT d2.doc_id,
+          |  COALESCE(a.n_shingles, 0) AS n_shingles,
+          |  COALESCE(a.n_unique, 0) AS n_unique,
+          |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN 0.0
+          |       ELSE CAST(a.n_unique AS DOUBLE) / a.n_shingles END AS novelty
+          |FROM documents d2 LEFT JOIN agg a USING (doc_id)
+          |ORDER BY d2.doc_id""".stripMargin) +
+      ("l71_source_len_quartiles" ->
+        """WITH v AS (SELECT source, doc_id,
+          |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+          |  FROM documents),
+          |r AS (SELECT source, v,
+          |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rk,
+          |        COUNT(*) OVER (PARTITION BY source) AS n_docs
+          |      FROM v)
+          |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+          |  MAX(CASE WHEN rk = ceil(n_docs * 0.25) THEN v END) AS p25,
+          |  MAX(CASE WHEN rk = ceil(n_docs * 0.5) THEN v END) AS p50,
+          |  MAX(CASE WHEN rk = ceil(n_docs * 0.75) THEN v END) AS p75
+          |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin)
   }
 
   /** The l68 replay: the same doc_id-derived injection, the same three

@@ -43,4 +43,22 @@ class AuditSpec extends AnyFunSuite {
     assert(web._8 == 1L)
     assert(math.abs(web._4 - (14 + 14 + 1) / 3.0) < 1e-9) // avg tokens
   }
+
+  test("groupQuartiles: exact rank-position quantiles, singleton and tied groups") {
+    val docs = Seq(
+      // group a: values 10,20,30,40 → positions ceil(1,2,3) = 10,20,30
+      (1L, "a", 40L), (2L, "a", 10L), (3L, "a", 30L), (4L, "a", 20L),
+      // group b: a single row — all three quartiles are that value
+      (5L, "b", 7L),
+      // group c: all ties — quartiles equal the tied value regardless of id order
+      (6L, "c", 5L), (7L, "c", 5L), (8L, "c", 5L)
+    ).toDF("doc_id", "g", "v")
+    val out = Audit.groupQuartiles(docs, "g", "doc_id", col("v"))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 4L, 10L, 20L, 30L),
+      ("b", 1L, 7L, 7L, 7L),
+      ("c", 3L, 5L, 5L, 5L)))
+  }
 }

@@ -68,4 +68,24 @@ class RankingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("ngramNovelty: shared shingles score 0, unique prose scores 1, short docs surface") {
+    val docs = Seq(
+      // 1 and 2 are identical: every shingle is shared → novelty 0
+      (1L, "one two three four"),
+      (2L, "one two three four"),
+      // 3 shares nothing → novelty 1 (two distinct shingles)
+      (3L, "five six seven eight"),
+      // 4 is below the shingle size → zero shingles, novelty 0
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Ranking.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 0L, 0.0),
+      (2L, 2L, 0L, 0.0),
+      (3L, 2L, 2L, 1.0),
+      (4L, 0L, 0L, 0.0)))
+  }
 }
