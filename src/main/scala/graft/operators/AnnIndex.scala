@@ -86,17 +86,24 @@ object AnnIndex {
     val fs = fsOf(spark, dir)
     if (!fs.exists(p)) Set.empty
     else {
+      // ONE listing serves the fail-fast and the tag filter
       val ls = fs.listStatus(p).toSeq.filter(_.isDirectory)
       val pending = ls.filter(_.getPath.getName.startsWith(TmpPrefix))
       require(pending.isEmpty,
         s"$dir/$artifact has an unfinished compaction " +
           s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
           "run AnnIndex.compactIngests to complete the swap before serving")
-      ls.filter(s => s.getPath.getName.startsWith("ingest=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
-        .map(_.getPath.getName.stripPrefix("ingest=")).toSet
+      committedFrom(fs, ls)
     }
   }
+
+  /** THE "committed ingest partition" definition — the one copy both
+    * the serving reads and recovery share. */
+  private def committedFrom(fs: org.apache.hadoop.fs.FileSystem,
+                            ls: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
+    ls.filter(s => s.getPath.getName.startsWith("ingest=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("ingest=")).toSet
 
   /** Ingests committed in BOTH artifacts: a crash between the codes
     * and lists writes must not surface half an ingest anywhere. */
@@ -241,35 +248,43 @@ object AnnIndex {
   private def manifestPath(sp: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(sp, "_FOLDED")
 
+  /** Manifest wire format: `<count>` then one id per line then `END`.
+    * The count + terminator make TRUNCATION detectable — a partially
+    * persisted manifest whose surviving prefix still parses as ids
+    * would otherwise make recovery delete partitions the stage does
+    * not cover. hsync is asked for (best-effort: on the local
+    * ChecksumFileSystem it silently degrades to a flush), but the
+    * format check, not the sync, is what the committed branch trusts. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             sp: org.apache.hadoop.fs.Path,
                             tags: Seq[Long]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(sp, "._folded_tmp")
     val out = fs.create(tmp, true)
     try {
-      out.write(tags.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // the manifest ARMS the swap: its bytes must be durable before
-      // the rename publishes it, or a power loss could leave a
-      // present-but-empty manifest (recovery treats that as torn, but
-      // only the durable write makes the committed branch trustworthy)
+      val body = (tags.size.toString +: tags.map(_.toString)) :+ "END"
+      out.write(body.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try out.hsync() catch { case _: UnsupportedOperationException => out.hflush() }
     } finally out.close()
     require(fs.rename(tmp, manifestPath(sp)),
       s"failed to commit fold manifest under $sp")
   }
 
-  /** Empty → None: an empty or unreadable-as-ids manifest means the
-    * arming write never became durable — the stage must be treated as
-    * torn, never completed against an unknown coverage set. */
+  /** None on ANY malformed content — missing terminator, count
+    * mismatch, non-numeric bytes, empty coverage: all mean the arming
+    * write never became fully durable, and the stage must be treated
+    * as torn, never completed against a guessed coverage set. */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           sp: org.apache.hadoop.fs.Path): Option[Set[Long]] = {
-    val in = fs.open(manifestPath(sp))
-    val tags =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
-      finally in.close()
-    if (tags.isEmpty) None else Some(tags)
-  }
+                           sp: org.apache.hadoop.fs.Path): Option[Set[Long]] =
+    scala.util.Try {
+      val in = fs.open(manifestPath(sp))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      require(lines.length >= 3 && lines.last == "END")
+      val ids = lines.slice(1, lines.length - 1).map(_.toLong).toSet
+      require(ids.size == lines.head.toInt && ids.nonEmpty)
+      ids
+    }.toOption
 
   /** Finish or discard an interrupted compaction. Swaps begin only
     * after every artifact's stage carries both _SUCCESS and its
@@ -291,40 +306,58 @@ object AnnIndex {
         .map(s => (artifact, s.getPath))
     }
     if (stages.isEmpty) return
-    val torn = stages.filterNot { case (_, sp) =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$sp/_SUCCESS")) &&
-        fs.exists(manifestPath(sp)) && readManifest(fs, sp).nonEmpty
-    }
+    // one manifest read per stage, shared by the torn filter and the
+    // committed branch (object-store opens are not free, and the two
+    // decisions must see the same bytes)
+    val manifests: Map[org.apache.hadoop.fs.Path, Option[Set[Long]]] =
+      stages.map { case (_, sp) =>
+        sp -> (if (fs.exists(new org.apache.hadoop.fs.Path(s"$sp/_SUCCESS")) &&
+            fs.exists(manifestPath(sp))) readManifest(fs, sp)
+          else None)
+      }.toMap
+    val torn = stages.filterNot { case (_, sp) => manifests(sp).nonEmpty }
     if (torn.nonEmpty) {
       // discard is only provably safe if no original was deleted, and
-      // a manifest-less stage can't say what it covers. Deletes always
-      // leave an artifact ASYMMETRY (the swap processes one artifact at
-      // a time and a half-committed append differs between artifacts
-      // too), so matching committed batch sets at-or-below the stage
-      // target prove no swap started; on asymmetry, fail fast for a
-      // human rather than destroy what may be the only copy — the one
-      // state this code cannot reach on its own (e.g. stage dirs
-      // written by a pre-manifest version of this protocol).
+      // a manifest-less stage can't say what it covers. A swap's
+      // deletes remove partition DIRECTORIES outright, so a tag whose
+      // directory is entirely ABSENT from one artifact while another
+      // artifact has it committed is evidence history may live only in
+      // a stage — fail fast for a human rather than destroy what may
+      // be the only copy (reachable via stage dirs written by a
+      // pre-manifest version of this protocol, or an append whose
+      // second artifact write never started). A tag PRESENT but
+      // uncommitted in one artifact is just a torn append awaiting its
+      // same-tag retry — that must not block the discard.
       val target = stages.map(_._2.getName.stripPrefix(TmpPrefix).toLong).max
-      val committedBelow = Artifacts.map { artifact =>
-        artifact -> committedTagsNoGuard(fs, dir, artifact).flatMap {
-          case BatchTagRe(k) if k.toLong <= target => Some(k.toLong)
-          case _ => None
-        }
+      val layout = Artifacts.map { artifact =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+        val dirs =
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName.stripPrefix("ingest="))
+            .flatMap { case BatchTagRe(k) if k.toLong <= target => Some(k.toLong)
+                       case _ => None }
+        val committed = committedTagsNoGuard(fs, dir, artifact)
+          .flatMap { case BatchTagRe(k) if k.toLong <= target => Some(k.toLong)
+                     case _ => None }
+        (artifact, dirs.toSet, committed)
       }
-      require(committedBelow.map(_._2).distinct.size == 1,
-        s"cannot discard manifest-less compaction stages under $dir: the " +
-          s"artifacts' committed batch partitions at-or-below $target differ " +
-          s"(${committedBelow.map { case (a, s) => s"$a: ${s.toSeq.sorted.mkString(",")}" }.mkString("; ")}) " +
-          "— a pre-manifest swap may have deleted originals whose only copy " +
-          "is a stage; resolve manually (complete the old swap or restore the " +
-          "missing partitions) before retrying")
+      val missing = for {
+        (a, present, _) <- layout
+        (b, _, committedB) <- layout if b != a
+        k <- committedB -- present
+      } yield s"$a lacks batch_$k that $b has committed"
+      require(missing.isEmpty,
+        s"cannot discard manifest-less compaction stages under $dir: " +
+          s"${missing.mkString("; ")} — a swap without a manifest may have " +
+          "deleted originals whose only copy is a stage; resolve manually " +
+          "(complete the old swap or restore the missing partitions) before retrying")
       stages.foreach { case (_, sp) =>
         require(fs.delete(sp, true), s"failed to discard torn compaction stage $sp")
       }
     } else stages.foreach { case (artifact, sp) =>
       val target = sp.getName.stripPrefix(TmpPrefix).toLong
-      val covered = readManifest(fs, sp).get
+      val covered = manifests(sp).get
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$artifact")).toSeq
         .filter(_.isDirectory)
         .foreach(d => d.getPath.getName.stripPrefix("ingest=") match {
@@ -341,15 +374,13 @@ object AnnIndex {
 
   /** `committedTags` minus the pending-stage fail-fast — for use INSIDE
     * recovery, which is the one reader allowed to look at the layout
-    * while stages exist. */
+    * while stages exist. `committedTags` delegates here so the
+    * "committed ingest partition" definition has exactly one copy. */
   private def committedTagsNoGuard(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: String, artifact: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
     if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("ingest=")).toSet
+    else committedFrom(fs, fs.listStatus(p).toSeq.filter(_.isDirectory))
   }
 
   /** Whole-corpus ADC top-k from the loaded index (l54's shape, no

@@ -29,9 +29,13 @@ object Audit {
     import org.apache.spark.sql.expressions.Window
     val v = docs.select(col(group), col(id), value.cast("long").as("v"))
     val w = Window.partitionBy(col(group)).orderBy(col("v"), col(id))
-    val ranked = v.withColumn("rk", row_number().over(w))
-    val n = v.groupBy(col(group)).agg(count(lit(1)).as("n_docs"))
-    ranked.join(n, Seq(group))
+    // group size rides the SAME partition exchange as the rank (an
+    // unordered window = full-partition count) — no second aggregation,
+    // no join back; exactly the oracle's COUNT(*) OVER shape
+    val ranked = v
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col(group))))
+    ranked
       .groupBy(col(group), col("n_docs"))
       .agg(
         max(when(col("rk") === ceil(col("n_docs") * 0.25), col("v"))).as("p25"),

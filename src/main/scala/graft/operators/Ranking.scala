@@ -32,17 +32,20 @@ object Ranking {
     * text score near 0, original prose near 1), a standard curation
     * feature next to the quality ratios.
     *
-    * Scale shape: the same (doc, shingle) shuffle the dedup family
-    * pays, one doc-frequency aggregation over the distinct shingle
-    * frame, one equi-join back — no pairwise work anywhere, so cost is
-    * O(corpus shingles), not O(pairs). Exact integer counts, one final
-    * double division. Shingle-free documents (< n tokens) surface with
-    * zero shingles and novelty 0, not dropped rows. */
+    * Scale shape: doc frequency rides an unordered window over the ONE
+    * shingle shuffle (partition by shingle, full-partition count) —
+    * the expensive tokenize→explode→distinct pass runs once, no
+    * self-join, no pairwise work; cost is O(corpus shingles), not
+    * O(pairs). Exact integer counts, one final double division.
+    * Shingle-free documents (< n tokens) surface with zero shingles
+    * and novelty 0, not dropped rows. */
   def ngramNovelty(docs: DataFrame, id: String, text: String,
                    n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = Dedup.shingleSet(docs, id, text, n)
-    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val agg = sh.join(df, Seq("s"))
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("s"))))
+    val agg = withDf
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

@@ -252,7 +252,7 @@ class AnnIndexSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$dir/$a/.compact_tmp_1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/$a/.compact_tmp_1/_FOLDED"),
-        "0\n1".getBytes("UTF-8"))
+        "2\n0\n1\nEND".getBytes("UTF-8"))
     }
     // ...then crash after codes' deletes but before its rename (lists
     // untouched): history for batches 0/1 of codes lives ONLY in the stage
@@ -286,7 +286,7 @@ class AnnIndexSpec extends AnyFunSuite {
         .drop("ingest")
         .write.mode("overwrite").parquet(s"$dir/$a/.compact_tmp_2")
       java.nio.file.Files.write(Paths.get(s"$dir/$a/.compact_tmp_2/_FOLDED"),
-        "0\n2".getBytes("UTF-8"))
+        "2\n0\n2\nEND".getBytes("UTF-8"))
     }
     import org.apache.commons.io.FileUtils
     FileUtils.deleteDirectory(new java.io.File(s"$dir/codes/ingest=batch_0"))
@@ -390,7 +390,7 @@ class AnnIndexSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$ixDir/$a/.compact_tmp_2")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$ixDir/$a/.compact_tmp_2/_FOLDED"),
-        "1\n2".getBytes("UTF-8"))
+        "2\n1\n2\nEND".getBytes("UTF-8"))
     }
     import org.apache.commons.io.FileUtils
     FileUtils.deleteDirectory(new java.io.File(s"$ixDir/codes/ingest=batch_1"))
