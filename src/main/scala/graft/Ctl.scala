@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> state       <checkpointDir> [limit]
   *   Ctl <root> lag         <topic> <checkpointDir>   (graftlog topics)
   *   Ctl <root> trim        <topic> <checkpointDir>   (graftlog retention)
+  *   Ctl <root> index-ingests <indexDir>              (ANN index: servable ingest tags)
+  *   Ctl <root> index-compact <indexDir> <upToBatch>  (fold committed batch ingests)
+  *   Ctl <root> bands-compact <bandStoreDir> <upToBatch> (fold dedup band store)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -38,7 +41,9 @@ object Ctl {
   private val usage =
     """usage: Ctl <root> <inspect|dlq-inspect|dlq-count|dlq-purge|replay> <topic> [args]
       |       Ctl <root> state <checkpointDir> [limit]
-      |       Ctl <root> <lag|trim> <topic> <checkpointDir>""".stripMargin
+      |       Ctl <root> <lag|trim> <topic> <checkpointDir>
+      |       Ctl <root> index-ingests <indexDir>
+      |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -96,6 +101,19 @@ object Ctl {
     case ("trim", topic :: ckpt :: Nil) =>
       // retention: drop everything the checkpoint's consumer committed
       attempt { graft.sources.GraftLog.trimToCommitted(s"$root/$topic", ckpt); "trimmed" }
+    // ANN-index / band-store lifecycle (the compaction an operator runs
+    // out-of-band when the ingest loop doesn't own it via compactEvery;
+    // both verbs also COMPLETE an interrupted swap — the manual
+    // resolution every fail-fast reader error message points at)
+    case ("index-ingests", dir :: Nil) =>
+      attempt(graft.operators.AnnIndex.servableIngests(spark, s"$root/$dir")
+        .mkString("\n"))
+    case ("index-compact", dir :: upTo :: Nil) =>
+      parseBatch(upTo).flatMap(b => attempt(
+        s"folded=${graft.operators.AnnIndex.compactIngests(spark, s"$root/$dir", b)}"))
+    case ("bands-compact", dir :: upTo :: Nil) =>
+      parseBatch(upTo).flatMap(b => attempt(
+        s"folded=${graft.streaming.IncrementalDedup.compactBandStore(spark, s"$root/$dir", b)}"))
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
   }
@@ -106,6 +124,10 @@ object Ctl {
     case l :: _ => l.toIntOption.filter(_ >= 0)
       .toRight(s"limit must be a non-negative integer, got '$l'")
   }
+
+  private def parseBatch(s: String): Either[String, Long] =
+    s.toLongOption.filter(_ >= 0)
+      .toRight(s"upToBatch must be a non-negative integer, got '$s'")
 
   private def showRows(df: org.apache.spark.sql.DataFrame): String = {
     val rows = df.collect()

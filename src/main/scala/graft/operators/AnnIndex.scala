@@ -118,6 +118,12 @@ object AnnIndex {
       .parquet(tags.toSeq.sorted.map(t => s"$dir/$artifact/ingest=$t"): _*)
       .drop("ingest")
 
+  /** The ingest tags `load` would serve right now — the ops-CLI view
+    * of index health (a tag missing here is torn or half-committed and
+    * awaiting its same-tag retry). */
+  def servableIngests(spark: SparkSession, dir: String): Seq[String] =
+    servableTags(spark, dir).toSeq.sorted
+
   def load(spark: SparkSession, dir: String): IvfPq = {
     val tags = servableTags(spark, dir)
     require(tags.nonEmpty, s"no committed ingests under $dir")

@@ -97,4 +97,43 @@ class OpsSpec extends AnyFunSuite {
     assert(main.as[String].collect().sorted.toSeq == Seq("e1", "e1", "e2"))
     assert(graft.Ctl.run(spark, root, "bogus", Array.empty).isLeft)
   }
+
+  test("Ctl drives the index/band-store lifecycle verbs") {
+    val root = Files.createTempDirectory("graft_ctl_ix").toString
+    // a tiny persisted ANN index with two appended drops
+    val emb = (0L until 8L).map(i =>
+      (i, Array.tabulate(8)(d => (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + 0.01f * (i + d)))))
+      .toDF("vec_id", "embedding")
+    graft.operators.AnnIndex.buildIvfPq(emb.filter($"vec_id" < 4),
+      "vec_id", "embedding", dim = 8, m = 2, k = 2, nCentroids = 2, dir = s"$root/ix")
+    Seq(0L, 1L).foreach { b =>
+      graft.operators.AnnIndex.appendVectors(spark, s"$root/ix",
+        emb.filter($"vec_id" >= 4 + 2 * b && $"vec_id" < 6 + 2 * b),
+        "vec_id", "embedding", dim = 8, m = 2, ingestTag = s"batch_$b")
+    }
+    assert(graft.Ctl.run(spark, root, "index-ingests", Array("ix")) ==
+      Right("base\nbatch_0\nbatch_1"))
+    assert(graft.Ctl.run(spark, root, "index-compact", Array("ix", "2")) ==
+      Right("folded=2"))
+    assert(graft.Ctl.run(spark, root, "index-ingests", Array("ix")) ==
+      Right("base\nbatch_1"))
+    assert(graft.Ctl.run(spark, root, "index-compact", Array("ix", "nope")).isLeft)
+
+    // band store: two drops through the streaming loop, folded via ctl
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog every day"),
+      (2L, "completely unrelated words about some other topic entirely here"))
+      .toDF("doc_id", "text")
+    docs.write.mode("append").parquet(s"$root/src")
+    val cfg = graft.streaming.IncrementalDedup.Config("doc_id", "text", 3, 8, 2)
+    graft.streaming.IncrementalDedup.run(
+      spark.readStream.schema(docs.schema).parquet(s"$root/src"),
+      cfg, s"$root/bands", s"$root/out", s"$root/ckpt").awaitTermination()
+    Seq((3L, "the quick brown fox jumps over the lazy dog every day"))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$root/src")
+    graft.streaming.IncrementalDedup.run(
+      spark.readStream.schema(docs.schema).parquet(s"$root/src"),
+      cfg, s"$root/bands", s"$root/out", s"$root/ckpt").awaitTermination()
+    assert(graft.Ctl.run(spark, root, "bands-compact", Array("bands", "2")) ==
+      Right("folded=2"))
+  }
 }
