@@ -32,23 +32,41 @@ object Ranking {
     * text score near 0, original prose near 1), a standard curation
     * feature next to the quality ratios.
     *
-    * Scale shape: doc frequency rides an unordered window over the ONE
-    * shingle shuffle (partition by shingle, full-partition count) —
-    * the expensive tokenize→explode→distinct pass runs once, no
-    * self-join, no pairwise work; cost is O(corpus shingles), not
-    * O(pairs). Exact integer counts, one final double division.
-    * Shingle-free documents (< n tokens) surface with zero shingles
-    * and novelty 0, not dropped rows. */
+    * Scale shape — built for the skew this metric is ABOUT: hot
+    * boilerplate shingles (the thing novelty detects) would pile onto
+    * one reducer under any partition-by-shingle window, so nothing
+    * here windows or joins on the raw shingle. Only df == 1 matters,
+    * and both sides of that are skew-robust: per-shingle doc counts
+    * are a groupBy with map-side combine (a billion-doc shingle
+    * arrives at its reducer as a handful of partial counts), and the
+    * df == 1 survivors are UNIQUE by construction — at most one row
+    * per document — so the count-per-doc over them is skew-free too.
+    * The shingle frame feeds BOTH aggregations: stage it via the
+    * `FromShingles` form (persist, or reuse the dedup pipeline's
+    * frame) so the explode+distinct pass runs once. No pairwise work;
+    * exact integer counts; one final double division. Shingle-free
+    * documents (< n tokens) surface with zero shingles and novelty 0,
+    * not dropped rows. */
   def ngramNovelty(docs: DataFrame, id: String, text: String,
-                   n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = Dedup.shingleSet(docs, id, text, n)
-    val withDf = sh.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("s"))))
-    val agg = withDf
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+                   n: Int): DataFrame =
+    ngramNoveltyFromShingles(docs, Dedup.shingleSet(docs, id, text, n), id)
+
+  /** `ngramNovelty` over an ALREADY-PREPARED distinct shingle frame
+    * (id, s) — the form callers use to stage the tokenize→explode→
+    * distinct pass ONCE (persist it, or reuse the dedup pipeline's
+    * existing shingle frame) instead of recomputing it under each of
+    * the two aggregations; same contract as
+    * `Dedup.minhashLshPairsFromShingles`. */
+  def ngramNoveltyFromShingles(docs: DataFrame, sh: DataFrame,
+                               id: String): DataFrame = {
+    val totals = sh.groupBy(col(id)).agg(count(lit(1)).as("n_shingles"))
+    val uniq = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), min(col(id)).as(id))
+      .filter(col("df") === 1)
+      .groupBy(col(id)).agg(count(lit(1)).as("n_unique"))
+    val agg = totals.join(uniq, Seq(id), "left")
+      .select(col(id), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
     docs.select(col(id))
       .join(agg, Seq(id), "left")
       .select(col(id),

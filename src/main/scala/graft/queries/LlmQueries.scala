@@ -1046,8 +1046,13 @@ object LlmQueries {
     // near 0, original prose near 1). One doc-frequency aggregation
     // over the shared shingle frame; no pairwise work.
     "l70_ngram_novelty" -> ((s, dir) => {
-      graft.operators.Ranking.ngramNovelty(
-          Tables.load(s, dir, "documents"), "doc_id", "text", n = 3)
+      val docs = Tables.load(s, dir, "documents")
+      // stage the one expensive pass (tokenize→explode→distinct) and
+      // share it across the two aggregations — the l60/l67 persist
+      // discipline; Verify/Bench release leaked persists between runs
+      val sh = graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Ranking.ngramNoveltyFromShingles(docs, sh, "doc_id")
         .orderBy(col("doc_id"))
     }),
 
