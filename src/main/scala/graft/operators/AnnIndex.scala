@@ -120,9 +120,20 @@ object AnnIndex {
 
   /** The ingest tags `load` would serve right now — the ops-CLI view
     * of index health (a tag missing here is torn or half-committed and
-    * awaiting its same-tag retry). */
-  def servableIngests(spark: SparkSession, dir: String): Seq[String] =
-    servableTags(spark, dir).toSeq.sorted
+    * awaiting its same-tag retry). Fails on a missing index dir so a
+    * typo'd path is an error, not an empty-but-healthy report; batch
+    * tags sort by their numeric id (batch_2 before batch_10), manual
+    * tags lexicographically before them. */
+  def servableIngests(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    require(Artifacts.exists(a =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$a"))),
+      s"no index artifacts under $dir")
+    servableTags(spark, dir).toSeq.sortBy {
+      case BatchTagRe(k) => (1, k.toLong, "")
+      case t => (0, 0L, t)
+    }
+  }
 
   def load(spark: SparkSession, dir: String): IvfPq = {
     val tags = servableTags(spark, dir)

@@ -39,8 +39,10 @@ object Ranking {
     * and both sides of that are skew-robust: per-shingle doc counts
     * are a groupBy with map-side combine (a billion-doc shingle
     * arrives at its reducer as a handful of partial counts), and the
-    * df == 1 survivors are UNIQUE by construction — at most one row
-    * per document — so the count-per-doc over them is skew-free too.
+    * df == 1 survivors carry each shingle's single owning doc id, so
+    * the per-doc count over them is another map-side-combined
+    * aggregate whose reducer load is bounded by a document's own
+    * unique-shingle count (its length), never by corpus-wide fan-in.
     * The shingle frame feeds BOTH aggregations: stage it via the
     * `FromShingles` form (persist, or reuse the dedup pipeline's
     * frame) so the explode+distinct pass runs once. No pairwise work;
@@ -64,9 +66,9 @@ object Ranking {
       .agg(count(lit(1)).as("df"), min(col(id)).as(id))
       .filter(col("df") === 1)
       .groupBy(col(id)).agg(count(lit(1)).as("n_unique"))
+    // both left-join null paths (no unique shingles; no shingles at
+    // all) resolve in the ONE outer coalesce below
     val agg = totals.join(uniq, Seq(id), "left")
-      .select(col(id), col("n_shingles"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
     docs.select(col(id))
       .join(agg, Seq(id), "left")
       .select(col(id),

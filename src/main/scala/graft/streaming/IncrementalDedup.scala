@@ -222,9 +222,13 @@ object IncrementalDedup {
     * loss-free — batch N (and any replay of it, N >= upToBatch) reads
     * the compacted partition exactly as it read the originals.
     *
-    * Call only with `upToBatch` <= the last COMMITTED batch id: the
-    * one batch the checkpoint can replay must stay out of the fold
-    * (its replay overwrites its own partition by id).
+    * Only _SUCCESS-committed partitions below `upToBatch` are folded:
+    * a torn partition (a batch that crashed mid band-write and will be
+    * replayed) is excluded automatically, so its replay overwrites its
+    * own dir and can never clobber folded history — which makes ANY
+    * `upToBatch` safe, from the in-loop hook (current batch id: its
+    * own just-written partition is excluded by the strict <) or
+    * out-of-band with no knowledge of the checkpoint's commit state.
     * Returns the number of partitions folded (0 = nothing to do). */
   def compactBandStore(spark: SparkSession, bandStoreDir: String,
                        upToBatch: Long): Int = {
@@ -236,7 +240,8 @@ object IncrementalDedup {
       .filter(_.isDirectory)
       .map(_.getPath)
       .flatMap(d => d.getName match {
-        case BatchDirRe(b) if b.toLong < upToBatch => Some((b.toLong, d))
+        case BatchDirRe(b) if b.toLong < upToBatch &&
+          fs.exists(new Path(s"$d/_SUCCESS")) => Some((b.toLong, d))
         case _ => None
       })
       .sortBy(_._1)

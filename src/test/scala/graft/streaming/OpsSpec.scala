@@ -118,6 +118,8 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.Ctl.run(spark, root, "index-ingests", Array("ix")) ==
       Right("base\nbatch_1"))
     assert(graft.Ctl.run(spark, root, "index-compact", Array("ix", "nope")).isLeft)
+    // a typo'd index path is an ERROR, not an empty-but-healthy report
+    assert(graft.Ctl.run(spark, root, "index-ingests", Array("no_such_ix")).isLeft)
 
     // band store: two drops through the streaming loop, folded via ctl
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog every day"),
