@@ -109,11 +109,12 @@ object Bench {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val t0 = System.nanoTime()
     try {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+      val ckpt = graft.Scratch.dir("graft_bench_ckpt")
       // file streaming source needs a directory; glob down to the table
-      val q = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+      // normalizeTs: absorbs either physical ts encoding (int64-nanos
+      // or µs-NTZ) the generator wrote
+      val q = Tables.normalizeTs(spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
@@ -138,7 +139,7 @@ object Bench {
   private def streamingGraftLog(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft_bench_log").toString
+      val root = graft.Scratch.dir("graft_bench_log")
       val dir = s"$root/topic"
       var i = 0
       while (i < 50000) {

@@ -257,51 +257,18 @@ object AnnIndex {
     foldable.size
   }
 
-  /** The stage's coverage manifest: exactly the batch ids folded into
-    * it, one per line, committed by rename so it appears atomically.
-    * Parquet directory listings skip underscore-prefixed files, so the
-    * manifest rides through the swap into the live partition dir
-    * harmlessly. */
-  private def manifestPath(sp: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(sp, "_FOLDED")
+  // Coverage-manifest protocol shared with the incremental-dedup band
+  // store — format, atomicity, and truncation discipline documented on
+  // graft.operators.FoldManifest.
+  private def manifestPath(sp: org.apache.hadoop.fs.Path) = FoldManifest.path(sp)
 
-  /** Manifest wire format: `<count>` then one id per line then `END`.
-    * The count + terminator make TRUNCATION detectable — a partially
-    * persisted manifest whose surviving prefix still parses as ids
-    * would otherwise make recovery delete partitions the stage does
-    * not cover. hsync is asked for (best-effort: on the local
-    * ChecksumFileSystem it silently degrades to a flush), but the
-    * format check, not the sync, is what the committed branch trusts. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             sp: org.apache.hadoop.fs.Path,
-                            tags: Seq[Long]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(sp, "._folded_tmp")
-    val out = fs.create(tmp, true)
-    try {
-      val body = (tags.size.toString +: tags.map(_.toString)) :+ "END"
-      out.write(body.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try out.hsync() catch { case _: UnsupportedOperationException => out.hflush() }
-    } finally out.close()
-    require(fs.rename(tmp, manifestPath(sp)),
-      s"failed to commit fold manifest under $sp")
-  }
+                            tags: Seq[Long]): Unit = FoldManifest.write(fs, sp, tags)
 
-  /** None on ANY malformed content — missing terminator, count
-    * mismatch, non-numeric bytes, empty coverage: all mean the arming
-    * write never became fully durable, and the stage must be treated
-    * as torn, never completed against a guessed coverage set. */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            sp: org.apache.hadoop.fs.Path): Option[Set[Long]] =
-    scala.util.Try {
-      val in = fs.open(manifestPath(sp))
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      require(lines.length >= 3 && lines.last == "END")
-      val ids = lines.slice(1, lines.length - 1).map(_.toLong).toSet
-      require(ids.size == lines.head.toInt && ids.nonEmpty)
-      ids
-    }.toOption
+    FoldManifest.read(fs, sp)
 
   /** Finish or discard an interrupted compaction. Swaps begin only
     * after every artifact's stage carries both _SUCCESS and its

@@ -119,7 +119,7 @@ object Decontaminate {
         require(spark.sparkContext.isLocal,
           "bloomOverlapStats needs a shared staging FS on a cluster — " +
             "set spark.sparkContext.setCheckpointDir to a shared path")
-        java.nio.file.Files.createTempDirectory("graft_decontam_stats").toString
+        graft.Scratch.dir("graft_decontam_stats")
       }
     verified.unionByName(clean)
       .groupBy(col(id))

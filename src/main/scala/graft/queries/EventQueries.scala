@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *  - w12: idempotent dedup by id (pspf/connectors/base.py:55-70)
   *  - j1: windowed stream-stream equi-join (pspf/topology.py:49-102)
   *
-  * Timestamps: events.ts is ns-precision parquet; Spark truncates to µs.
-  * All outputs floor to whole epoch seconds, and all bucket/gap logic
-  * operates at ≥second granularity, so the truncation cannot flip a
+  * Timestamps: the generator has shipped events.ts as ns-precision
+  * parquet AND as µs TIMESTAMP_NTZ; Tables.normalizeTs absorbs either
+  * into one canonical UTC TimestampType column (µs precision). All
+  * outputs floor to whole epoch seconds, and all bucket/gap logic
+  * operates at ≥second granularity, so ns→µs truncation cannot flip a
   * bucket (floor is invariant under sub-µs truncation).
   */
 object EventQueries {
@@ -37,9 +39,11 @@ object EventQueries {
     * w10): RocksDB provider scoped to the run (restored after), the
     * events table as a file-stream source, ONE AvailableNow execution
     * into a uniquely-named memory sink. The memory view and checkpoint
-    * temp dir live until the session ends — the returned frame reads
-    * the view lazily, so neither can be reclaimed here; Verify/Bench
-    * sessions are short-lived and process exit cleans both up. */
+    * temp dir can't be reclaimed here — the returned frame reads the
+    * view lazily — so both are REGISTERED with graft.Scratch:
+    * short-lived Verify/Bench sessions clean up at JVM exit, and a
+    * long-lived session calls Scratch.purge (Ctl `scratch purge`)
+    * between pipelines. */
   private def runTws(s: SparkSession, dir: String, sinkPrefix: String,
                      outputMode: String)(
       build: DataFrame => DataFrame): DataFrame = {
@@ -52,10 +56,14 @@ object EventQueries {
     try {
       s.conf.set(nanosKey, "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws").toString
+      // normalizeTs: the file-stream source yields whatever physical ts
+      // type the generator wrote (int64-nanos or µs-NTZ); downstream
+      // builders see one canonical TimestampType either way
+      val src = Tables.normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val sink = graft.Scratch.view(
+        sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val ckpt = graft.Scratch.dir("graft_tws")
       val q = build(src).writeStream.outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .format("memory").queryName(sink)
@@ -211,10 +219,9 @@ object EventQueries {
       // handleExpiredTimer — the oracle mirrors that boundary
       // arithmetic literally.
       runTws(s, dir, "tws_sess_", "append") { src =>
-        val typed = src
-          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-          .withWatermark("ets", "0 seconds")
-          .select(col("user_id"), unix_micros(col("ets")).as("us"))
+        val typed = src // ts already normalized to TimestampType by runTws
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
           .as[(Long, Long)]
         graft.streaming.KeyedState
           .sessionizeTws(typed, gap = 6L * 3600 * 1000 * 1000, msPerUnit = 1000)

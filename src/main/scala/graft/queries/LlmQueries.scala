@@ -14,6 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  /** l61/l66's shared 4-drop streaming ingest loop: drop k (doc_id % 4)
+    * lands as new parquet part files, one AvailableNow run drains it as
+    * micro-batch k against the shared checkpoint (history LSH-checked
+    * off the persisted band store, never re-shingled). The oracle's
+    * drop assignment rides on "drop k == micro-batch k" (run()'s
+    * documented trigger contract: no maxFilesPerTrigger, so
+    * AvailableNow drains one batch per drop) — ENFORCED executably
+    * after every drop, so a future trigger-config drift fails here,
+    * not as a silent oracle desync. `compactEvery` passes through to
+    * the loop's in-band compaction hook. */
+  private def runCrawlDrops(s: SparkSession, docs: DataFrame, root: String,
+                            compactEvery: Int = 0): Unit = {
+    import graft.streaming.IncrementalDedup
+    val cfg = IncrementalDedup.Config("doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    (0 until 4).foreach { k =>
+      docs.filter(col("doc_id") % 4 === k)
+        .write.mode("append").parquet(s"$root/src")
+      IncrementalDedup.run(
+        s.readStream.schema(docs.schema).parquet(s"$root/src"),
+        cfg, s"$root/bands", s"$root/out", s"$root/ckpt",
+        compactEvery = compactEvery)
+        .awaitTermination()
+      val parts = new java.io.File(s"$root/out").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      require(parts == k + 1,
+        s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text quality features (all codegen'd built-ins, no UDFs).
     "l1_text_stats" -> ((s, dir) => {
@@ -820,32 +850,10 @@ object LlmQueries {
     // relationally, so the streaming loop's accumulated verdicts are
     // hash-graded end to end.
     "l61_stream_incr_dedup" -> ((s, dir) => {
-      import graft.streaming.IncrementalDedup
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
-      val cfg = IncrementalDedup.Config("doc_id", "text",
-        shingleN = 3, numHashes = 8, rowsPerBand = 2)
-      (0 until 4).foreach { k =>
-        // drop k lands as new parquet part files in the watched dir...
-        docs.filter(col("doc_id") % 4 === k)
-          .write.mode("append").parquet(s"$root/src")
-        // ...and one AvailableNow run drains exactly the new files,
-        // resuming from the shared checkpoint (micro-batch k)
-        IncrementalDedup.run(
-          s.readStream.schema(docs.schema).parquet(s"$root/src"),
-          cfg, s"$root/bands", s"$root/out", s"$root/ckpt")
-          .awaitTermination()
-        // the oracle's drop assignment rides on "drop k == micro-batch
-        // k" (run()'s documented trigger contract: no
-        // maxFilesPerTrigger, so AvailableNow drains one batch per
-        // drop) — pin it executably so a future trigger-config drift
-        // fails HERE, not as a silent oracle desync
-        val parts = new java.io.File(s"$root/out").listFiles()
-          .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
-        require(parts == k + 1,
-          s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
-      }
-      IncrementalDedup.results(s, s"$root/out")
+      val root = graft.Scratch.dir("graft_incr")
+      runCrawlDrops(s, docs, root)
+      graft.streaming.IncrementalDedup.results(s, s"$root/out")
         .select(col("doc_id"), col("ingest_batch").cast("long").as("ingest_batch"),
           col("first_match"), col("n_matches"), col("is_dup"))
         .orderBy(col("doc_id"))
@@ -861,20 +869,16 @@ object LlmQueries {
     // equal l44's batch recompute bit-for-bit — graded against l44's
     // oracle verbatim.
     "l66_stream_dup_groups" -> ((s, dir) => {
-      import graft.streaming.IncrementalDedup
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("graft_incr_g").toString
-      val cfg = IncrementalDedup.Config("doc_id", "text",
-        shingleN = 3, numHashes = 8, rowsPerBand = 2)
-      (0 until 4).foreach { k =>
-        docs.filter(col("doc_id") % 4 === k)
-          .write.mode("append").parquet(s"$root/src")
-        IncrementalDedup.run(
-          s.readStream.schema(docs.schema).parquet(s"$root/src"),
-          cfg, s"$root/bands", s"$root/out", s"$root/ckpt")
-          .awaitTermination()
-      }
-      val cand = IncrementalDedup.storedCandidatePairs(s, s"$root/bands", "doc_id")
+      val root = graft.Scratch.dir("graft_incr_g")
+      // compactEvery = 2: batch 2's turn folds band partitions {0, 1}
+      // in-loop, so the self-managed compaction path (stage → manifest
+      // → swap, plus its recovery) runs INSIDE an oracle-graded query —
+      // the fold is loss-free by contract, so the result must still
+      // equal l44's batch recompute bit-for-bit
+      runCrawlDrops(s, docs, root, compactEvery = 2)
+      val cand = graft.streaming.IncrementalDedup
+        .storedCandidatePairs(s, s"$root/bands", "doc_id")
       val pairs = Dedup.verifyCandidatePairs(docs, cand, "doc_id", "text",
         shingleN = 3, threshold = 0.8)
       Dedup.keepBestPerGroup(docs, pairs, "doc_id",
@@ -892,7 +896,7 @@ object LlmQueries {
     "l62_ann_index_serve" -> ((s, dir) => {
       import graft.operators.AnnIndex
       val emb = Tables.load(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_annix").toString
+      val root = graft.Scratch.dir("graft_annix")
       AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
         dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
       val ix = AnnIndex.load(s, root)
@@ -938,7 +942,7 @@ object LlmQueries {
     "l64_ivf_pq_batch" -> ((s, dir) => {
       import graft.operators.AnnIndex
       val emb = Tables.load(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_annix_b").toString
+      val root = graft.Scratch.dir("graft_annix_b")
       AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
         dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
       val ix = AnnIndex.load(s, root)
@@ -962,7 +966,7 @@ object LlmQueries {
     "l65_quantizer_drift" -> ((s, dir) => {
       import graft.operators.AnnIndex
       val emb = Tables.load(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_annix_d").toString
+      val root = graft.Scratch.dir("graft_annix_d")
       AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
         dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
       val drifted = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),

@@ -253,12 +253,18 @@ object IncrementalDedup {
       .drop("ingest_batch")
     // crash discipline (single writer): the fold is FULLY staged in a
     // dot-dir (invisible to seenBands' partition regex) before any old
-    // partition is touched; a crash after staging is completed by
-    // recoverPendingCompaction on the next call — every interleaving
-    // leaves either the old layout, or tmp + a prefix of the deletes
-    // (all of tmp's content), never a partial partition
+    // partition is touched, and the swap is armed by a `_FOLDED`
+    // coverage manifest (graft.operators.FoldManifest — the exact
+    // partition ids the stage covers) written LAST. A crash before the
+    // manifest lands proves no original was touched (recovery discards
+    // the stage); a crash after is completed by recovery deleting
+    // exactly the manifest's partitions — so a partition that was torn
+    // at stage time (excluded from the fold) and recommitted by a
+    // checkpoint replay between crash and recovery survives, where a
+    // target-scoped `id <= target` delete would destroy it.
     val tmp = s"$bandStoreDir/$TmpPrefix$target"
     merged.write.mode("overwrite").parquet(tmp)
+    graft.operators.FoldManifest.write(fs, new Path(tmp), olds.map(_._1))
     olds.foreach { case (_, d) =>
       require(fs.delete(d, true), s"compaction failed to delete $d")
     }
@@ -270,10 +276,17 @@ object IncrementalDedup {
 
   private val TmpPrefix = ".compact_tmp_"
 
-  /** Finish a compaction interrupted between staging and swap: the
-    * staged dot-dir holds the COMPLETE fold (a _SUCCESS-marked parquet
-    * write), so deleting every partition it covers and renaming it
-    * into place is always safe. An unmarked (torn) stage is discarded. */
+  /** Finish or discard a compaction interrupted mid-flight, by the
+    * `_FOLDED` manifest discipline (graft.operators.FoldManifest, the
+    * same protocol AnnIndex.recoverPendingCompaction runs): a stage
+    * carrying BOTH its parquet _SUCCESS and a well-formed manifest is a
+    * complete fold whose swap may have started — delete EXACTLY the
+    * manifest's partitions and rename the stage in. A stage missing
+    * either marker proves the crash happened while staging, before any
+    * original was touched — discard it. Deleting by manifest rather
+    * than by `id <= target` keeps a partition that was uncommitted at
+    * stage time and recommitted by a checkpoint replay between the
+    * crash and this recovery. */
   private def recoverPendingCompaction(fs: org.apache.hadoop.fs.FileSystem,
                                        bandStoreDir: String): Unit =
     if (!fs.exists(new Path(bandStoreDir))) () // first-ever batch: nothing to heal
@@ -281,18 +294,24 @@ object IncrementalDedup {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
       .foreach { s =>
         val target = s.getPath.getName.stripPrefix(TmpPrefix).toLong
-        if (fs.exists(new Path(s"${s.getPath}/_SUCCESS"))) {
-          fs.listStatus(new Path(bandStoreDir)).toSeq
-            .filter(_.isDirectory)
-            .foreach(d => d.getPath.getName match {
-              case BatchDirRe(b) if b.toLong <= target =>
-                require(fs.delete(d.getPath, true),
-                  s"compaction recovery failed to delete ${d.getPath}")
-              case _ => ()
-            })
-          require(fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target))),
-            s"compaction recovery failed to swap ${s.getPath} into place")
-        } else require(fs.delete(s.getPath, true),
-          s"failed to discard torn compaction stage ${s.getPath}")
+        val covered =
+          if (fs.exists(new Path(s"${s.getPath}/_SUCCESS")))
+            graft.operators.FoldManifest.read(fs, s.getPath)
+          else None
+        covered match {
+          case Some(ids) =>
+            fs.listStatus(new Path(bandStoreDir)).toSeq
+              .filter(_.isDirectory)
+              .foreach(d => d.getPath.getName match {
+                case BatchDirRe(b) if ids(b.toLong) =>
+                  require(fs.delete(d.getPath, true),
+                    s"compaction recovery failed to delete ${d.getPath}")
+                case _ => ()
+              })
+            require(fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target))),
+              s"compaction recovery failed to swap ${s.getPath} into place")
+          case None => require(fs.delete(s.getPath, true),
+            s"failed to discard torn compaction stage ${s.getPath}")
+        }
       }
 }

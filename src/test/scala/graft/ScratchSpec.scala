@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scratch-state lifecycle: the graded queries register their temp
+  * dirs and memory-sink views here; purge must reclaim both so a
+  * long-lived session doesn't accumulate /tmp state (VERDICT r7 §wrong
+  * item 5). */
+class ScratchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("purge deletes registered dirs and drops registered views; unregistered state untouched") {
+    import spark.implicits._
+    val d = Scratch.dir("graft_scratch_spec")
+    Files.write(Paths.get(d, "f.txt"), "x".getBytes)
+    val keep = Files.createTempDirectory("graft_scratch_keep")
+    Seq(1).toDF("n").createOrReplaceTempView("scratch_spec_view")
+    Scratch.view("scratch_spec_view")
+    Scratch.view("scratch_spec_gone_already") // dropped views must not fail purge
+
+    val (dirs, views) = Scratch.purge(spark)
+    assert(dirs >= 1 && views >= 2)
+    assert(!Files.exists(Paths.get(d)))
+    assert(!spark.catalog.tableExists("scratch_spec_view"))
+    assert(Files.exists(keep), "unregistered dirs are not Scratch's to delete")
+
+    // idempotent: a second purge finds nothing new
+    assert(Scratch.purge(spark) == ((0, 0)))
+    Files.delete(keep)
+  }
+
+  test("Ctl scratch-purge verb reports counts") {
+    val d = Scratch.dir("graft_scratch_ctl")
+    val out = Ctl.run(spark, "/tmp", "scratch-purge", Array.empty)
+    assert(out.isRight && out.toOption.get.matches("dirs=\\d+ views=\\d+"))
+    assert(!Files.exists(Paths.get(d)))
+  }
+}

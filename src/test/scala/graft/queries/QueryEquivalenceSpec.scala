@@ -29,8 +29,9 @@ class QueryEquivalenceSpec extends AnyFunSuite {
   }
 
   test("j3: union-tag window as-of equals the join+row_number formulation") {
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Tables.load routes through normalizeTs — ts is canonical
+    // TimestampType whichever physical encoding the generator wrote
+    val e = graft.Tables.load(spark, dir, "events")
     val c = e.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
     val p = e.filter(col("event_type") === "purchase")

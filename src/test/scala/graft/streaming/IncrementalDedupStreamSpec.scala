@@ -208,14 +208,18 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       .select("first_match", "n_matches", "is_dup").collect().head
     assert((v40.getLong(0), v40.getLong(1), v40.getBoolean(2)) == ((1L, 4L, true)))
 
-    // a COMMITTED stage with its originals already deleted (crash
-    // after compactBandStore's deletes, before its rename) must be
-    // completed — not discarded — by the next turn's in-loop recovery
-    // (batch 4's own fold left the store at {3, 4})
+    // a COMMITTED stage — parquet _SUCCESS plus its `_FOLDED` coverage
+    // manifest, the marker pair that arms the swap — with its originals
+    // already deleted (crash after compactBandStore's deletes, before
+    // its rename) must be completed — not discarded — by the next
+    // turn's in-loop recovery (batch 4's own fold left the store at
+    // {3, 4})
     spark.read.option("basePath", bands)
       .parquet(s"$bands/ingest_batch=3", s"$bands/ingest_batch=4")
       .drop("ingest_batch")
       .write.mode("overwrite").parquet(s"$bands/.compact_tmp_4")
+    Files.write(Paths.get(s"$bands/.compact_tmp_4/_FOLDED"),
+      "2\n3\n4\nEND".getBytes("UTF-8"))
     import org.apache.commons.io.FileUtils
     FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=3"))
     FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=4"))
@@ -226,6 +230,64 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       .filter(col("doc_id") === 50L)
       .select("first_match", "n_matches", "is_dup").collect().head
     assert((v50.getLong(0), v50.getLong(1), v50.getBoolean(2)) == ((1L, 5L, true)))
+  }
+
+  test("compaction recovery deletes only what the manifest covers; a replay-recommitted partition survives; torn manifests discard") {
+    val root = Files.createTempDirectory("graft_incr_manifest").toString
+    val bands = s"$root/bands"
+    def part(b: Int, rows: (Long, Int, String)*): Unit =
+      rows.toDF("doc_id", "band", "bsig").write.mode("overwrite")
+        .parquet(s"$bands/ingest_batch=$b")
+    def partDirs(): Set[String] =
+      Files.list(Paths.get(bands)).map[String](_.getFileName.toString)
+        .filter(_.startsWith("ingest_batch=")).toArray.map(_.toString).toSet
+    def storedIds(): Set[Long] =
+      IncrementalDedup.seenBands(spark, bands, Long.MaxValue).get
+        .select("doc_id").as[Long].collect().toSet
+
+    part(0, (1L, 0, "a")); part(1, (2L, 0, "b")); part(2, (3L, 0, "c"))
+    // batch 1 was torn at stage time (no commit marker) — the fold
+    // below therefore covers only {0, 2}
+    Files.deleteIfExists(Paths.get(s"$bands/ingest_batch=1/_SUCCESS"))
+    Files.deleteIfExists(Paths.get(s"$bands/ingest_batch=1/._SUCCESS.crc"))
+
+    // the fold of {0, 2} staged with its manifest, crashed after its
+    // deletes but before the rename
+    spark.read.option("basePath", bands)
+      .parquet(s"$bands/ingest_batch=0", s"$bands/ingest_batch=2")
+      .drop("ingest_batch")
+      .write.mode("overwrite").parquet(s"$bands/.compact_tmp_2")
+    Files.write(Paths.get(s"$bands/.compact_tmp_2/_FOLDED"),
+      "2\n0\n2\nEND".getBytes("UTF-8"))
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=0"))
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=2"))
+
+    // batch 1's checkpoint replay recommits it BETWEEN the crash and
+    // recovery — the loss window the manifest protocol closes
+    part(1, (2L, 0, "b"))
+
+    // upToBatch=0 makes the fold step a no-op, so this call is exactly
+    // the recovery: it must complete the swap by deleting ONLY the
+    // manifest's partitions — a target-scoped `id <= 2` delete would
+    // have destroyed the recommitted batch 1 unrecoverably
+    assert(IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0) == 0)
+    assert(partDirs() == Set("ingest_batch=1", "ingest_batch=2"),
+      s"recommitted partition must survive recovery: ${partDirs()}")
+    assert(storedIds() == Set(1L, 2L, 3L), "no band row may be lost")
+
+    // a TRUNCATED manifest (missing terminator — the arming write never
+    // became durable) proves no original was touched: discard the stage
+    spark.read.option("basePath", bands)
+      .parquet(s"$bands/ingest_batch=1", s"$bands/ingest_batch=2")
+      .drop("ingest_batch")
+      .write.mode("overwrite").parquet(s"$bands/.compact_tmp_5")
+    Files.write(Paths.get(s"$bands/.compact_tmp_5/_FOLDED"),
+      "2\n1\n2".getBytes("UTF-8"))
+    assert(IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0) == 0)
+    assert(!Files.exists(Paths.get(s"$bands/.compact_tmp_5")))
+    assert(partDirs() == Set("ingest_batch=1", "ingest_batch=2") &&
+      storedIds() == Set(1L, 2L, 3L))
   }
 
   test("stored candidates + verify + groups equal the batch recompute over the union corpus") {

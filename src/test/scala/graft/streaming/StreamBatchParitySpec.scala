@@ -25,13 +25,13 @@ class StreamBatchParitySpec extends AnyFunSuite {
 
     // the RAW parquet read below bypasses Tables.load, so it needs the
     // ns-timestamp conf itself (Tables.load set it above, but this read
-    // must not depend on that call order)
+    // must not depend on that call order); normalizeTs absorbs whichever
+    // physical ts encoding the generator wrote
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file streaming source needs a directory; glob-filter to the table
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = aggregate(stream)
       .writeStream.outputMode("complete").format("memory").queryName("parity_out").start()
     try {

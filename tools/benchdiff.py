@@ -17,7 +17,10 @@ import sys
 def load(path):
     d = json.load(open(path))
     if isinstance(d.get("queries"), dict):
-        return {k: float(v) for k, v in d["queries"].items()}
+        # drop the -1 failed sentinel here too — tail mode already does,
+        # and a failed query counted as negative seconds would deflate
+        # the common-suite total and mask regressions
+        return {k: float(v) for k, v in d["queries"].items() if float(v) >= 0}
     tail = d.get("tail") or ""
     # parse only keys inside the "queries" object: the envelope's own
     # numeric fields ("value":<suite total>, "sf") would otherwise be
