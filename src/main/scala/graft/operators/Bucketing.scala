@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table co-location: the shuffle-elimination leg of the
+  * engine's partitioning toolkit (broadcast for small dims, salting for
+  * skew — this one is for BIG-big equi-joins that repeat).
+  *
+  * A fact table joined repeatedly on the same key (documents↔verdicts,
+  * events↔sessions, codes↔lists) pays a full shuffle of both sides per
+  * run when stored as plain parquet. Persisting both sides bucketed by
+  * the join key with the same bucket count makes every later equi-join
+  * on that key exchange-free: each task reads matching bucket files
+  * from both sides, so at 100 TB the nightly joins cost scan + merge,
+  * not scan + cluster-wide shuffle + merge. `sortBy` within buckets
+  * additionally lets the sort-merge join skip its per-task sort.
+  *
+  * Spark-first: this is just `DataFrameWriter.bucketBy.sortBy
+  * .saveAsTable` — the catalog carries the bucket spec and Catalyst
+  * drops the Exchange when output partitioning already satisfies the
+  * join's distribution requirement. BucketingSpec pins the physical
+  * plan (zero ShuffleExchange under a forced sort-merge join) AND
+  * result-equality with the plain-parquet join.
+  */
+object Bucketing {
+
+  /** Persist `df` as a managed parquet table bucketed (and sorted)
+    * by `key` into `nBuckets` buckets. Both sides of a co-located join
+    * must use the SAME key and bucket count. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two bucketed tables on their shared bucket key. When
+    * both were written by `writeBucketed` with equal bucket counts the
+    * plan is exchange-free; otherwise it degrades to a normal shuffled
+    * join (still correct). */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, key: String,
+                   joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Count the ShuffleExchange operators in a frame's executed plan —
+    * the spec's assertion surface, exposed for plan audits (Ctl/REPL
+    * callers checking a production join really is co-located). */
+  def shuffleExchangeCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE hides materialized stages behind QueryStageExec (childless —
+    // the wrapped exchange hangs off `plan`, not `children`), so a
+    // naive children-walk undercounts to a vacuous zero
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(walk).sum
+      case _ => p.children.map(walk).sum
+    }
+    // materialize AQE's final plan first — the initial plan may still
+    // carry exchanges AQE later elides (or vice versa)
+    df.write.format("noop").mode("overwrite").save()
+    walk(df.queryExecution.executedPlan)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed co-location must actually eliminate the exchange — the
+  * point of paying the bucketed write — and must not change results.
+  * Asserted on the executed physical plan, not on folklore. */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("equi-join of two same-bucketed tables is exchange-free and result-identical") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+
+    Bucketing.writeBucketed(orders, "bkt_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(lineitem, "bkt_lineitem", "o_orderkey", 8)
+    try {
+      // force the sort-merge path: a broadcast join has no exchange to
+      // eliminate and would vacuously pass
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val bucketed = Bucketing.bucketedJoin(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+        // the join itself must run WITHOUT a shuffle on either side;
+        // the groupBy on the same key rides the same distribution, so
+        // the whole plan is exchange-free
+        assert(Bucketing.shuffleExchangeCount(bucketed) == 0,
+          s"bucketed join plan still shuffles:\n${bucketed.queryExecution.executedPlan}")
+
+        val plain = orders.join(lineitem, Seq("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+        assert(Bucketing.shuffleExchangeCount(plain) > 0,
+          "control: the plain-parquet join should shuffle")
+        assert(bucketed.collect().map(_.toSeq).toSet ==
+          plain.collect().map(_.toSeq).toSet)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+
+  test("mismatched bucket counts degrade to a correct shuffled join") {
+    val dir = "/root/testdata/sf0.001"
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val supplier = Tables.load(spark, dir, "supplier")
+      .select(col("s_nationkey").as("n_nationkey"), col("s_acctbal"))
+    Bucketing.writeBucketed(nation, "bkt_nation", "n_nationkey", 4)
+    Bucketing.writeBucketed(supplier, "bkt_supplier", "n_nationkey", 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = Bucketing.bucketedJoin(spark, "bkt_nation", "bkt_supplier", "n_nationkey")
+        val expected = nation.join(supplier, Seq("n_nationkey"))
+        assert(j.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_nation")
+      spark.sql("DROP TABLE IF EXISTS bkt_supplier")
+    }
+  }
+}
