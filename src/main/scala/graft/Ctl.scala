@@ -20,7 +20,6 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> index-ingests <indexDir>              (ANN index: servable ingest tags)
   *   Ctl <root> index-compact <indexDir> <upToBatch>  (fold committed batch ingests)
   *   Ctl <root> bands-compact <bandStoreDir> <upToBatch> (fold dedup band store)
-  *   Ctl <root> scratch-purge                         (reclaim registered scratch dirs/views)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -44,8 +43,7 @@ object Ctl {
       |       Ctl <root> state <checkpointDir> [limit]
       |       Ctl <root> <lag|trim> <topic> <checkpointDir>
       |       Ctl <root> index-ingests <indexDir>
-      |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>
-      |       Ctl <root> scratch-purge""".stripMargin
+      |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -116,11 +114,6 @@ object Ctl {
     case ("bands-compact", dir :: upTo :: Nil) =>
       parseBatch(upTo).flatMap(b => attempt(
         s"folded=${graft.streaming.IncrementalDedup.compactBandStore(spark, s"$root/$dir", b)}"))
-    // scratch lifecycle: reclaim the temp dirs and memory-sink views
-    // the self-contained graded queries register (long-lived sessions;
-    // JVM exit covers the short-lived ones)
-    case ("scratch-purge", Nil) =>
-      attempt { val (d, v) = Scratch.purge(spark); s"dirs=$d views=$v" }
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
   }

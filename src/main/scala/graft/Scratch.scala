@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * runTws parks streaming output in a memory-sink view the returned
   * frame reads lazily — neither can be reclaimed at create time.
   * Short-lived Verify/Bench sessions get cleanup for free from the JVM
-  * shutdown hook; a long-lived session calls `purge` (Ctl verb
-  * `scratch purge`) once it is done with the returned frames, so /tmp
-  * and the temp-view catalog don't accumulate across pipelines. */
+  * shutdown hook; a long-lived session calls `Scratch.purge(spark)`
+  * IN-PROCESS once it is done with the returned frames, so /tmp and
+  * the temp-view catalog don't accumulate across pipelines. (The
+  * registry is JVM-local by nature — an external CLI process could
+  * never see this session's registrations, which is why there is
+  * deliberately no Ctl verb for it.) */
 object Scratch {
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
   private val views = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -32,7 +35,10 @@ object Scratch {
   /** Drop every registered memory-sink view and delete every registered
     * dir; returns (dirs deleted, views dropped). Only for callers that
     * know no returned frame still reads them — a purged query's frame
-    * must be re-run, exactly like any other freed resource. */
+    * must be re-run, exactly like any other freed resource. A dir whose
+    * delete fails (e.g. a file handle still pinned) STAYS REGISTERED
+    * and is not counted, so a later purge or the exit hook retries it
+    * instead of leaking it forever behind a success count. */
   def purge(spark: SparkSession): (Int, Int) = {
     var nv = 0
     var v = views.poll()
@@ -46,13 +52,22 @@ object Scratch {
 
   private def deleteDirs(): Int = {
     var n = 0
+    // bounded by the queue size at entry: a failed dir is re-enqueued
+    // for the NEXT purge/exit attempt, not retried in this loop
+    var remaining = dirs.size()
     var d = dirs.poll()
-    while (d != null) {
+    while (d != null && remaining > 0) {
       // best-effort: at JVM exit Spark's own shutdown hooks race this
-      // one over streaming checkpoints — either order's deletes land
-      try delete(d) catch { case _: java.io.IOException => () }
-      n += 1
-      d = dirs.poll()
+      // one over streaming checkpoints — a concurrent delete surfaces
+      // as UncheckedIOException/DirectoryIteratorException from the
+      // directory stream, not just IOException, so catch NonFatal or
+      // the hook thread dies mid-queue and leaks the rest
+      try delete(d) catch { case scala.util.control.NonFatal(_) => () }
+      // gone-on-disk is the success criterion, however it got gone (a
+      // racing Spark hook deleting it out from under us counts)
+      if (!Files.exists(d)) n += 1 else dirs.add(d)
+      remaining -= 1
+      d = if (remaining > 0) dirs.poll() else null
     }
     n
   }

@@ -51,18 +51,21 @@ object Bucketing {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // AQE hides materialized stages behind QueryStageExec (childless —
-    // the wrapped exchange hangs off `plan`, not `children`), so a
-    // naive children-walk undercounts to a vacuous zero
+    // Two traps here. (1) AQE's pre-execution plan is NOT the truth —
+    // `finalPhysicalPlan` drives this frame's OWN AdaptiveSparkPlanExec
+    // to its runtime re-planned result (materializing its query stages,
+    // but collecting nothing); a side-channel execution (e.g. a noop
+    // write) would finalize a DIFFERENT QueryExecution and leave this
+    // one at its initial plan. (2) AQE hides materialized stages behind
+    // childless QueryStageExec wrappers (the exchange hangs off `plan`,
+    // not `children`), so a naive children-walk undercounts to a
+    // vacuous zero.
     def walk(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => walk(a.finalPhysicalPlan)
       case s: QueryStageExec => walk(s.plan)
       case e: ShuffleExchangeLike => 1 + e.children.map(walk).sum
       case _ => p.children.map(walk).sum
     }
-    // materialize AQE's final plan first — the initial plan may still
-    // carry exchanges AQE later elides (or vice versa)
-    df.write.format("noop").mode("overwrite").save()
     walk(df.queryExecution.executedPlan)
   }
 }

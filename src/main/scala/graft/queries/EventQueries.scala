@@ -42,8 +42,8 @@ object EventQueries {
     * temp dir can't be reclaimed here — the returned frame reads the
     * view lazily — so both are REGISTERED with graft.Scratch:
     * short-lived Verify/Bench sessions clean up at JVM exit, and a
-    * long-lived session calls Scratch.purge (Ctl `scratch purge`)
-    * between pipelines. */
+    * long-lived session calls Scratch.purge(spark) in-process between
+    * pipelines. */
   private def runTws(s: SparkSession, dir: String, sinkPrefix: String,
                      outputMode: String)(
       build: DataFrame => DataFrame): DataFrame = {

@@ -281,12 +281,23 @@ object IncrementalDedup {
     * same protocol AnnIndex.recoverPendingCompaction runs): a stage
     * carrying BOTH its parquet _SUCCESS and a well-formed manifest is a
     * complete fold whose swap may have started — delete EXACTLY the
-    * manifest's partitions and rename the stage in. A stage missing
-    * either marker proves the crash happened while staging, before any
-    * original was touched — discard it. Deleting by manifest rather
-    * than by `id <= target` keeps a partition that was uncommitted at
-    * stage time and recommitted by a checkpoint replay between the
-    * crash and this recovery. */
+    * manifest's partitions and rename the stage in. Deleting by
+    * manifest rather than by `id <= target` keeps a partition that was
+    * uncommitted at stage time and recommitted by a checkpoint replay
+    * between the crash and this recovery.
+    *
+    * A stage with NO parquet _SUCCESS proves the crash happened while
+    * staging — under both this protocol and the pre-manifest one,
+    * deletes only ever started after the stage's parquet committed —
+    * so discarding it is always safe. A stage WITH _SUCCESS but
+    * without a readable manifest is AMBIGUOUS: a crash in the narrow
+    * window before the manifest armed the swap (discard would be
+    * safe), or a pre-manifest-protocol crash after its deletes (the
+    * stage is the only copy of the folded history — discard would
+    * destroy it silently). A single-artifact store has no cross-check
+    * to tell these apart (AnnIndex disambiguates via its second
+    * artifact), so recovery FAILS FAST with the resolution choices
+    * rather than guessing destructively. */
   private def recoverPendingCompaction(fs: org.apache.hadoop.fs.FileSystem,
                                        bandStoreDir: String): Unit =
     if (!fs.exists(new Path(bandStoreDir))) () // first-ever batch: nothing to heal
@@ -294,9 +305,9 @@ object IncrementalDedup {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
       .foreach { s =>
         val target = s.getPath.getName.stripPrefix(TmpPrefix).toLong
+        val committed = fs.exists(new Path(s"${s.getPath}/_SUCCESS"))
         val covered =
-          if (fs.exists(new Path(s"${s.getPath}/_SUCCESS")))
-            graft.operators.FoldManifest.read(fs, s.getPath)
+          if (committed) graft.operators.FoldManifest.read(fs, s.getPath)
           else None
         covered match {
           case Some(ids) =>
@@ -310,6 +321,16 @@ object IncrementalDedup {
               })
             require(fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target))),
               s"compaction recovery failed to swap ${s.getPath} into place")
+          case None if committed =>
+            throw new IllegalStateException(
+              s"compaction stage ${s.getPath} is parquet-committed but has no " +
+                "readable _FOLDED coverage manifest — cannot tell a pre-arm crash " +
+                "(safe to discard) from a pre-manifest-protocol crash whose deletes " +
+                "already ran (the stage may be the only copy of the folded history). " +
+                "Resolve manually: if every original partition the fold covered is " +
+                "still present, delete the stage dir to discard it; otherwise " +
+                "complete the swap by hand (remove the covered partitions, rename " +
+                s"the stage to ${batchDir(bandStoreDir, target)})")
           case None => require(fs.delete(s.getPath, true),
             s"failed to discard torn compaction stage ${s.getPath}")
         }

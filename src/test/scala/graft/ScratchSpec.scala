@@ -31,10 +31,14 @@ class ScratchSpec extends AnyFunSuite {
     Files.delete(keep)
   }
 
-  test("Ctl scratch-purge verb reports counts") {
-    val d = Scratch.dir("graft_scratch_ctl")
-    val out = Ctl.run(spark, "/tmp", "scratch-purge", Array.empty)
-    assert(out.isRight && out.toOption.get.matches("dirs=\\d+ views=\\d+"))
-    assert(!Files.exists(Paths.get(d)))
+  test("a dir deleted out from under the registry still counts as reclaimed") {
+    val d = Scratch.dir("graft_scratch_raced")
+    // simulate Spark's own shutdown hook (or any external cleaner)
+    // getting there first — purge must count it and deregister, not
+    // re-enqueue a ghost forever
+    Files.delete(Paths.get(d))
+    val (dirs, _) = Scratch.purge(spark)
+    assert(dirs >= 1)
+    assert(Scratch.purge(spark) == ((0, 0)))
   }
 }

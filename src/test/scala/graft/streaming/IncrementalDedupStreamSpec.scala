@@ -232,7 +232,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert((v50.getLong(0), v50.getLong(1), v50.getBoolean(2)) == ((1L, 5L, true)))
   }
 
-  test("compaction recovery deletes only what the manifest covers; a replay-recommitted partition survives; torn manifests discard") {
+  test("compaction recovery deletes only what the manifest covers; a replay-recommitted partition survives; an invalid manifest fails fast") {
     val root = Files.createTempDirectory("graft_incr_manifest").toString
     val bands = s"$root/bands"
     def part(b: Int, rows: (Long, Int, String)*): Unit =
@@ -276,18 +276,30 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       s"recommitted partition must survive recovery: ${partDirs()}")
     assert(storedIds() == Set(1L, 2L, 3L), "no band row may be lost")
 
-    // a TRUNCATED manifest (missing terminator — the arming write never
-    // became durable) proves no original was touched: discard the stage
+    // a parquet-committed stage WITHOUT a valid manifest is ambiguous
+    // (pre-arm crash vs pre-manifest-protocol crash whose deletes
+    // already ran): recovery must FAIL FAST, never guess destructively
+    // — a truncated manifest counts as invalid (FoldManifest commits
+    // by atomic rename, so truncation is outside-protocol evidence)
     spark.read.option("basePath", bands)
       .parquet(s"$bands/ingest_batch=1", s"$bands/ingest_batch=2")
       .drop("ingest_batch")
       .write.mode("overwrite").parquet(s"$bands/.compact_tmp_5")
     Files.write(Paths.get(s"$bands/.compact_tmp_5/_FOLDED"),
       "2\n1\n2".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException](
+      IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0))
+    assert(err.getMessage.contains("no readable _FOLDED"))
+    assert(Files.exists(Paths.get(s"$bands/.compact_tmp_5")),
+      "the ambiguous stage must be left for manual resolution")
+    assert(partDirs() == Set("ingest_batch=1", "ingest_batch=2"))
+    // reads fail fast while the stage is pending (seenBands' guard);
+    // manual resolution (originals all present → discard) unblocks
+    intercept[Exception](storedIds())
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/.compact_tmp_5"))
     assert(IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0) == 0)
-    assert(!Files.exists(Paths.get(s"$bands/.compact_tmp_5")))
-    assert(partDirs() == Set("ingest_batch=1", "ingest_batch=2") &&
-      storedIds() == Set(1L, 2L, 3L))
+    assert(storedIds() == Set(1L, 2L, 3L))
   }
 
   test("stored candidates + verify + groups equal the batch recompute over the union corpus") {

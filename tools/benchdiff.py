@@ -15,13 +15,22 @@ import sys
 
 
 def load(path):
+    """Returns (times, failed): -1 sentinels are kept OUT of the times
+    (negative seconds would deflate the common-suite total) but IN the
+    failed set, so a pass->fail transition is reportable instead of the
+    query silently vanishing from every section."""
     d = json.load(open(path))
     if isinstance(d.get("queries"), dict):
-        # drop the -1 failed sentinel here too — tail mode already does,
-        # and a failed query counted as negative seconds would deflate
-        # the common-suite total and mask regressions
-        return {k: float(v) for k, v in d["queries"].items() if float(v) >= 0}
+        times = {}
+        failed = set(d.get("failed") or [])
+        for k, v in d["queries"].items():
+            if float(v) >= 0:
+                times[k] = float(v)
+            else:
+                failed.add(k)
+        return times, failed
     tail = d.get("tail") or ""
+    raw = tail  # pre-slice copy: the "failed" list sits AFTER queries
     # parse only keys inside the "queries" object: the envelope's own
     # numeric fields ("value":<suite total>, "sf") would otherwise be
     # counted as queries and inflate common-suite totals
@@ -32,7 +41,7 @@ def load(path):
         if end >= 0:
             tail = tail[:end]
     envelope = {"value", "sf"}
-    out = {}
+    out, failed = {}, set()
     for k, v in re.findall(r'"([a-z0-9_]+)"\s*:\s*([0-9.-]+)', tail):
         if k in envelope:
             continue
@@ -42,13 +51,29 @@ def load(path):
             continue
         if t >= 0:
             out[k] = t
-    return out
+        else:
+            failed.add(k)
+    # the envelope's own failed list survives most truncations too
+    mf = re.search(r'"failed"\s*:\s*\[([^\]]*)\]', raw)
+    if mf:
+        failed |= set(re.findall(r'"([a-z0-9_]+)"', mf.group(1)))
+    return out, failed
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_failed), (new, new_failed) = load(sys.argv[1]), load(sys.argv[2])
+    # a query that TIMED before and FAILS now is the worst regression a
+    # bench can show — lead with it, never let it vanish from the report
+    broke = sorted((set(old) & new_failed) - set(new))
+    if broke:
+        print(f"NEWLY FAILED ({len(broke)}): " + ", ".join(
+            f"{k} (was {old[k]:.2f}s)" for k in broke))
+    fixed = sorted((old_failed & set(new)) - set(old))
+    if fixed:
+        print(f"newly passing ({len(fixed)}): " + ", ".join(
+            f"{k} {new[k]:.2f}s" for k in fixed))
     common = sorted(set(old) & set(new))
     t_old, t_new = sum(old[k] for k in common), sum(new[k] for k in common)
     ratio = f"{t_new / t_old:.2f}x" if t_old > 0 else "n/a"
