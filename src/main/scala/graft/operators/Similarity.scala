@@ -162,7 +162,13 @@ object Similarity extends Serializable {
     // through Float.toString's SHORTEST representation (0.1f becomes
     // decimal 0.1 exactly — off by ~1.5e-9 relative from the float's
     // true binary value), which no other engine reproduces; the double
-    // hop pins the exact binary value to ~1e-17
+    // hop yields the double's shortest-roundtrip decimal (BigDecimal
+    // .valueOf), which uniquely identifies the binary value. Cross-
+    // engine contract: an oracle must convert through the SAME
+    // shortest-roundtrip string (l39's CAST(double AS VARCHAR) hop) —
+    // a direct double→decimal cast in another engine runs double
+    // arithmetic whose scale-20 tail differs ~1e-18/element, enough to
+    // flip a mean that lands on a float rounding midpoint.
     df.select(col(group).as("grp"), posexplode(col(vec)).as(Seq("d", "x")))
       .groupBy(col("grp"), col("d"))
       .agg(sum(col("x").cast("double").cast(decSum)).as("s"), count(lit(1)).as("n"))

@@ -1943,13 +1943,22 @@ object LlmQueries {
         |  round(sqrt(greatest(sum(x*x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)), 0)), 6) AS std
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     // Decimal per-dimension sums (exact, associative) ÷ count in double,
-    // cast to float — mirrors meanPool's operation order; the float cast
-    // absorbs the sub-1e-16 decimal-tail difference between the engines'
-    // float→decimal conversions.
+    // cast to float — mirrors meanPool's operation order. The double →
+    // decimal hop goes THROUGH VARCHAR: Spark's double→decimal cast
+    // parses the shortest-roundtrip string (BigDecimal.valueOf), while
+    // DuckDB's direct cast runs double arithmetic — their scale-20
+    // tails differ by ~1e-18/element, and a group mean that lands on a
+    // float rounding midpoint then flips (observed: sf0.001 label 7
+    // dim 10, one ulp off). Both engines print doubles shortest-
+    // roundtrip, so the varchar hop makes every element's decimal — and
+    // therefore the exact sums and quotients — identical by
+    // construction.
     "l39_mean_pool" ->
       """WITH x AS (SELECT label, CAST(i - 1 AS INT) AS d, embedding[i] AS x
         |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)),
-        |a AS (SELECT label, d, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,20))) AS s, count(*) AS n
+        |a AS (SELECT label, d,
+        |        sum(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20))) AS s,
+        |        count(*) AS n
         |      FROM x GROUP BY 1, 2)
         |SELECT label, CAST(n AS BIGINT) AS n_vecs, d,
         |  CAST(CAST(s AS DOUBLE) / n AS FLOAT) AS m
