@@ -69,9 +69,17 @@ object LanguageModel {
       count(lit(1)).as("n_tokens"),
       // exact decimal sum (order-free), cast to double BEFORE the
       // division — decimal-division result scales differ across
-      // engines, double division of an exactly-represented sum doesn't
-      round(sum(col("lp").cast("decimal(28,6)")).cast("double") /
-        count(lit(1)), 6).as("xent"))
+      // engines, double division of an exactly-represented sum doesn't.
+      // The quotient is deliberately NOT rounded: the mean of scale-6
+      // decimals over an even count lands EXACTLY on a scale-6 midpoint
+      // for real data (observed: S=210.926201, n=62 → 3.4020355), where
+      // each engine's round() tie-breaks independently — while the
+      // unrounded IEEE quotient of a correctly-rounded sum-double and
+      // an exact count is bit-identical everywhere (both engines'
+      // decimal→double conversions verified correctly-rounded over the
+      // sf0.1 corpus).
+      (sum(col("lp").cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("xent"))
     docs.select(col(id)).join(scored, Seq(id), "left")
       .select(col(id), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("xent"))
   }

@@ -2008,8 +2008,13 @@ object LlmQueries {
         |SELECT doc_id, lang, q_score, rk FROM r WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin,
     // Mirrors LanguageModel.selfCrossEntropy: add-one unigram LM,
-    // per-token round(-ln p, 6), DECIMAL-exact mean over the rounded
-    // values (order-free), token-free docs kept with xent NULL.
+    // per-token round(-ln p, 6), DECIMAL-exact sum over the rounded
+    // values (order-free), token-free docs kept with xent NULL. The
+    // mean is the UNROUNDED double quotient: a mean of scale-6
+    // decimals lands exactly on a scale-6 midpoint for real data
+    // (sf0.1 doc 1498: 210.926201/62 = 3.4020355), where each engine's
+    // round() tie-breaks independently — the raw IEEE quotient of the
+    // correctly-rounded sum-double and the exact count is bit-identical.
     "l42_lm_xentropy" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
         |  FROM documents),
@@ -2019,7 +2024,7 @@ object LlmQueries {
         |    round(-ln(CAST(lm.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)), 6) AS lp
         |  FROM t JOIN lm USING (token) CROSS JOIN tot),
         |s AS (SELECT doc_id, count(*) AS n_tokens,
-        |    round(CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS xent
+        |    CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS xent
         |  FROM lp GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.xent
         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
