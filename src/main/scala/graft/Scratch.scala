@@ -19,6 +19,11 @@ object Scratch {
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
   private val views = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  // The exit hook reclaims DIRS only, deliberately: registered temp
+  // views live in a SparkSession catalog, and at JVM exit that catalog
+  // dies with the process — dropping them here would be a no-op racing
+  // Spark's own shutdown. Views leak only within a LIVE long session,
+  // which is exactly what the in-process `purge` call is for.
   Runtime.getRuntime.addShutdownHook(new Thread(() => { deleteDirs(); () }))
 
   /** A registered scratch directory: reclaimed at JVM exit, or earlier
@@ -43,8 +48,10 @@ object Scratch {
     var nv = 0
     var v = views.poll()
     while (v != null) {
-      if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v)
-      nv += 1
+      // counted only when a drop actually ran — a name registered but
+      // never materialized (or already dropped) is deregistration, not
+      // reclamation, and must not inflate the reported count
+      if (spark.catalog.tableExists(v)) { spark.catalog.dropTempView(v); nv += 1 }
       v = views.poll()
     }
     (deleteDirs(), nv)
@@ -62,10 +69,21 @@ object Scratch {
       // as UncheckedIOException/DirectoryIteratorException from the
       // directory stream, not just IOException, so catch NonFatal or
       // the hook thread dies mid-queue and leaks the rest
-      try delete(d) catch { case scala.util.control.NonFatal(_) => () }
+      val failure = try { delete(d); None }
+        catch { case scala.util.control.NonFatal(e) => Some(e) }
       // gone-on-disk is the success criterion, however it got gone (a
-      // racing Spark hook deleting it out from under us counts)
-      if (!Files.exists(d)) n += 1 else dirs.add(d)
+      // racing Spark hook deleting it out from under us counts) — BUT
+      // Files.exists also answers false on an access error, so a delete
+      // that threw AND "doesn't exist" is ambiguous: count it (nothing
+      // more we can do) yet say so, instead of silently reporting a dir
+      // we may never have reclaimed as a success
+      if (!Files.exists(d)) {
+        failure.foreach(e => System.err.println(
+          s"[scratch] $d: delete threw ${e.getClass.getSimpleName} but the dir " +
+            "no longer answers exists() — counted as reclaimed, verify manually " +
+            "if the path was on flaky storage"))
+        n += 1
+      } else dirs.add(d)
       remaining -= 1
       d = if (remaining > 0) dirs.poll() else null
     }

@@ -38,11 +38,22 @@ object Bucketing {
   /** Equi-join two bucketed tables on their shared bucket key. When
     * both were written by `writeBucketed` with equal bucket counts the
     * plan is exchange-free; otherwise it degrades to a normal shuffled
-    * join (still correct). */
+    * join (still correct).
+    *
+    * `forceSortMerge` pins the SMJ path via a MERGE hint — the
+    * co-location assertion's control knob: a small side AQE converts to
+    * broadcast has no exchange to eliminate, so "0 shuffles" would be
+    * vacuously true of any plan. A hint scopes the choice to THIS join;
+    * mutating `spark.sql.autoBroadcastJoinThreshold` would leak into
+    * whatever else the session plans before the conf is restored. */
   def bucketedJoin(spark: SparkSession, leftTable: String,
                    rightTable: String, key: String,
-                   joinType: String = "inner"): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+                   joinType: String = "inner",
+                   forceSortMerge: Boolean = false): DataFrame = {
+    val left = spark.table(leftTable)
+    (if (forceSortMerge) left.hint("merge") else left)
+      .join(spark.table(rightTable), Seq(key), joinType)
+  }
 
   /** Count the ShuffleExchange operators in a frame's executed plan —
     * the spec's assertion surface, exposed for plan audits (Ctl/REPL
@@ -50,8 +61,8 @@ object Bucketing {
   def shuffleExchangeCount(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // Two traps here. (1) AQE's pre-execution plan is NOT the truth —
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    // Three traps here. (1) AQE's pre-execution plan is NOT the truth —
     // `finalPhysicalPlan` drives this frame's OWN AdaptiveSparkPlanExec
     // to its runtime re-planned result (materializing its query stages,
     // but collecting nothing); a side-channel execution (e.g. a noop
@@ -64,6 +75,13 @@ object Bucketing {
       case a: AdaptiveSparkPlanExec => walk(a.finalPhysicalPlan)
       case s: QueryStageExec => walk(s.plan)
       case e: ShuffleExchangeLike => 1 + e.children.map(walk).sum
+      // (3) exchange REUSE hides a shuffle behind a leaf wrapper: the
+      // reused exchange doesn't re-execute, but the consumer still
+      // depends on shuffled data — a co-location audit asserting 0 must
+      // see it, so walk the wrapped exchange (each plan OCCURRENCE
+      // counts; this metric is "how often is data clustered by a
+      // shuffle here", not "how many shuffles execute")
+      case r: ReusedExchangeExec => walk(r.child)
       case _ => p.children.map(walk).sum
     }
     walk(df.queryExecution.executedPlan)

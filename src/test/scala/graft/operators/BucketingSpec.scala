@@ -10,6 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Multiplicity-preserving result snapshot: joins legitimately emit
+    * duplicate rows, so a Set compare would let a dropped-or-doubled
+    * match regress silently. */
+  private def rowCounts(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.collect().toSeq.map(_.toSeq).groupBy(identity).map { case (r, g) => r -> g.size }
+
   test("equi-join of two same-bucketed tables is exchange-free and result-identical") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables.load(spark, dir, "orders")
@@ -24,7 +30,8 @@ class BucketingSpec extends AnyFunSuite {
       // eliminate and would vacuously pass
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val bucketed = Bucketing.bucketedJoin(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        val bucketed = Bucketing.bucketedJoin(spark, "bkt_orders", "bkt_lineitem", "o_orderkey",
+            forceSortMerge = true)
           .groupBy(col("o_orderkey"))
           .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
         // the join itself must run WITHOUT a shuffle on either side;
@@ -38,13 +45,29 @@ class BucketingSpec extends AnyFunSuite {
           .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
         assert(Bucketing.shuffleExchangeCount(plain) > 0,
           "control: the plain-parquet join should shuffle")
-        assert(bucketed.collect().map(_.toSeq).toSet ==
-          plain.collect().map(_.toSeq).toSet)
+        assert(rowCounts(bucketed) == rowCounts(plain))
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bkt_orders")
       spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
+  }
+
+  test("shuffleExchangeCount sees a shuffle hidden behind exchange reuse") {
+    import spark.implicits._
+    // identical aggregation subplans on both join sides: the planner
+    // computes ONE exchange and wraps the second occurrence in a
+    // ReusedExchangeExec leaf — an audit that misses the wrapper would
+    // report 1 and could certify a reuse-bearing join as co-located
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = (0 until 100).map(i => (i % 10, i.toLong)).toDF("k", "v")
+      val agg = base.groupBy("k").agg(sum("v").as("s"))
+      val self = agg.join(agg.select(col("k"), col("s").as("s2")), Seq("k"))
+      val plan = self.queryExecution.executedPlan
+      assert(Bucketing.shuffleExchangeCount(self) == 2,
+        s"expected both occurrences of the reused exchange counted:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("mismatched bucket counts degrade to a correct shuffled join") {
@@ -60,7 +83,7 @@ class BucketingSpec extends AnyFunSuite {
       try {
         val j = Bucketing.bucketedJoin(spark, "bkt_nation", "bkt_supplier", "n_nationkey")
         val expected = nation.join(supplier, Seq("n_nationkey"))
-        assert(j.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+        assert(rowCounts(j) == rowCounts(expected))
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bkt_nation")

@@ -53,8 +53,10 @@ def load(path):
             out[k] = t
         else:
             failed.add(k)
-    # the envelope's own failed list survives most truncations too
-    mf = re.search(r'"failed"\s*:\s*\[([^\]]*)\]', raw)
+    # the envelope's own failed list survives truncation anywhere: if the
+    # closing ']' was cut off, every fully-quoted name after the marker
+    # still counts (a half-quoted final name is unrecoverable either way)
+    mf = re.search(r'"failed"\s*:\s*\[([^\]]*)(\]|$)', raw, re.S)
     if mf:
         failed |= set(re.findall(r'"([a-z0-9_]+)"', mf.group(1)))
     return out, failed
