@@ -24,15 +24,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a managed parquet table bucketed (and sorted)
-    * by `key` into `nBuckets` buckets. Both sides of a co-located join
-    * must use the SAME key and bucket count. */
+  /** Persist `df` as a parquet table bucketed (and sorted) by `key`
+    * into `nBuckets` buckets. Both sides of a co-located join must use
+    * the SAME key and bucket count. `path` makes it an EXTERNAL table
+    * at that location (a caller-owned dir — e.g. a Scratch dir for a
+    * self-contained graded query, so reruns in fresh JVMs never collide
+    * with a managed-table dir left in the warehouse by a previous
+    * process); default is a managed warehouse table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int): Unit = {
+                    nBuckets: Int, path: Option[String] = None): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    df.write.mode(SaveMode.Overwrite).format("parquet")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
   /** Equi-join two bucketed tables on their shared bucket key. When

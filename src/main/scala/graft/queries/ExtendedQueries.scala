@@ -123,6 +123,79 @@ object ExtendedQueries {
           |ORDER BY returnflag, linestatus""".stripMargin)
     }),
 
+    // Bucketed co-location UNDER GRADING (VERDICT r8 item 1): persist
+    // documents + per-doc dedup verdicts via writeBucketed (external
+    // tables under a Scratch dir), then run the documents↔verdicts join
+    // EXCHANGE-FREE — the repeated big-big join of a 100 TB corpus
+    // priced at scan+merge instead of scan+shuffle+merge. Two executable
+    // claims INSIDE the query, so a regression fails the row rather
+    // than degrading silently: (a) the bucketed join's executed
+    // adaptive plan has ZERO shuffles (forced SMJ — broadcast would be
+    // vacuous); (b) its result multiset equals the plain shuffled
+    // join's. The returned rows are then hash-graded against DuckDB
+    // computing the same join relationally.
+    "x9_bucketed_join" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val docs = Tables.load(s, dir, "documents")
+      val proj = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      // exact-dup verdict: canonical keep_id = min doc_id per content
+      // hash (md5 — the engine-portable hash used across the l-suite)
+      val verdicts = docs.select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("keep_id"))
+      val root = graft.Scratch.dir("graft_bkt")
+      Bucketing.writeBucketed(proj, "x9_docs_bkt", "doc_id", 8,
+        path = Some(s"$root/docs"))
+      Bucketing.writeBucketed(verdicts, "x9_verdicts_bkt", "doc_id", 8,
+        path = Some(s"$root/verdicts"))
+      val joined = Bucketing.bucketedJoin(s, "x9_docs_bkt", "x9_verdicts_bkt",
+          "doc_id", forceSortMerge = true)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("keep_id"))
+      require(Bucketing.shuffleExchangeCount(joined) == 0,
+        "bucketed documents↔verdicts join must be exchange-free")
+      val plain = proj.join(verdicts, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("keep_id"))
+      require(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty,
+        "bucketed join result must equal the shuffled plan's")
+      joined
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("keep_id"),
+          (col("doc_id") =!= col("keep_id")).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Salted two-phase aggregation UNDER GRADING (VERDICT r8 item 4):
+    // ~50% of events collapse onto one synthesized hot key — the
+    // single-reducer straggler shape at 100 TB — and the salted
+    // spread-then-merge result is hash-graded against DuckDB's plain
+    // GROUP BY: salted == unsalted, bit for bit (decimal partials are
+    // associative; the salt phase spreads the hot key over 16 reducers).
+    "x10_salted_agg" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(when(col("user_id") % 10 < 5, lit(0L))
+            .otherwise(col("user_id")).as("hot_key"),
+          dec("value").as("v"))
+      graft.operators.Skew.saltedSumCount(e, Seq("hot_key"), "v", nSalts = 16)
+        .select(col("hot_key"), col("n"),
+          col("sum_v").cast(DoubleType).as("sum_value"))
+        .orderBy(col("hot_key"))
+    }),
+
+    // Salted replicate-join under grading: the hot probe key (~50% of
+    // events remapped to uid=1) joins a replicated dim side so no
+    // single task owns the hot key's matches; inner-join semantics are
+    // unchanged, graded against DuckDB's plain join + GROUP BY.
+    "x11_salted_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(when(col("user_id") % 10 < 5, lit(1L))
+            .otherwise(col("user_id")).as("uid"),
+          dec("value").as("v"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(e, c, "uid", "c_custkey", nSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast(DoubleType).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -186,6 +259,30 @@ object ExtendedQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // x9: DuckDB computes the same documents↔verdicts join relationally
+    // (it has no bucketing concept — the physical-plan claims are
+    // asserted inside the Spark query; the oracle grades the VALUES).
+    "x9_bucketed_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, v.keep_id,
+        |  (d.doc_id <> v.keep_id) AS is_dup
+        |FROM documents d
+        |JOIN (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |      FROM documents) v USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // x10/x11: the oracle IS the unsalted computation — a green hash row
+    // is literally "salted == unsalted".
+    "x10_salted_agg" ->
+      """SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS hot_key,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hot_key""".stripMargin,
+    "x11_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 10 < 5 THEN 1 ELSE user_id END AS uid, value
+        |      FROM events) e
+        |JOIN customer ON e.uid = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
