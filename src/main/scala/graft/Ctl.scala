@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> index-ingests <indexDir>              (ANN index: servable ingest tags)
   *   Ctl <root> index-compact <indexDir> <upToBatch>  (fold committed batch ingests)
   *   Ctl <root> bands-compact <bandStoreDir> <upToBatch> (fold dedup band store)
+  *   Ctl <root> bands-resolve <bandStoreDir> <discard|complete> (ambiguous stage)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -43,7 +44,8 @@ object Ctl {
       |       Ctl <root> state <checkpointDir> [limit]
       |       Ctl <root> <lag|trim> <topic> <checkpointDir>
       |       Ctl <root> index-ingests <indexDir>
-      |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>""".stripMargin
+      |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>
+      |       Ctl <root> bands-resolve <dir> <discard|complete>""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -114,6 +116,17 @@ object Ctl {
     case ("bands-compact", dir :: upTo :: Nil) =>
       parseBatch(upTo).flatMap(b => attempt(
         s"folded=${graft.streaming.IncrementalDedup.compactBandStore(spark, s"$root/$dir", b)}"))
+    // the manual-resolution verb the ambiguous-stage fail-fast points
+    // at: executes the operator's discard/complete decision with
+    // content-verified safety checks (stop the ingest loop first)
+    case ("bands-resolve", dir :: mode :: Nil) =>
+      mode.stripPrefix("--") match {
+        case "discard" => attempt(graft.streaming.IncrementalDedup
+          .resolveAmbiguousStage(spark, s"$root/$dir", complete = false))
+        case "complete" => attempt(graft.streaming.IncrementalDedup
+          .resolveAmbiguousStage(spark, s"$root/$dir", complete = true))
+        case other => Left(s"bands-resolve mode must be discard or complete, got '$other'")
+      }
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
   }

@@ -58,7 +58,7 @@ object IncrementalDedup {
       // would make every reader a writer and race a still-running
       // compactor over the same renames); re-run compactBandStore to
       // complete the swap, then restart the ingest.
-      val pending = ls.filter(_.getPath.getName.startsWith(TmpPrefix))
+      val pending = ls.filter(s => isStageName(s.getPath.getName))
       require(pending.isEmpty,
         s"band store $bandStoreDir has an unfinished compaction " +
           s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
@@ -94,7 +94,7 @@ object IncrementalDedup {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"no band store under $bandStoreDir")
     val ls = fs.listStatus(p).toSeq.filter(_.isDirectory)
-    val pending = ls.filter(_.getPath.getName.startsWith(TmpPrefix))
+    val pending = ls.filter(s => isStageName(s.getPath.getName))
     require(pending.isEmpty,
       s"band store $bandStoreDir has an unfinished compaction " +
         s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
@@ -262,7 +262,7 @@ object IncrementalDedup {
     // at stage time (excluded from the fold) and recommitted by a
     // checkpoint replay between crash and recovery survives, where a
     // target-scoped `id <= target` delete would destroy it.
-    val tmp = s"$bandStoreDir/$TmpPrefix$target"
+    val tmp = s"$bandStoreDir/$TmpPrefixV2$target"
     merged.write.mode("overwrite").parquet(tmp)
     graft.operators.FoldManifest.write(fs, new Path(tmp), olds.map(_._1))
     olds.foreach { case (_, d) =>
@@ -274,7 +274,25 @@ object IncrementalDedup {
     olds.size
   }
 
+  /** Stage-dir name prefixes. The `2` is a PROTOCOL VERSION stamp, not
+    * cosmetics (ADVICE r8): a v2 stage was written by code that commits
+    * the `_FOLDED` manifest BEFORE any original is deleted, so a v2
+    * stage that is parquet-committed but manifestless is PROVABLY
+    * pre-delete (FoldManifest commits by atomic rename — unreadable
+    * means never armed) and recovery may discard it unattended. A
+    * legacy-prefix stage in that state is genuinely ambiguous — its
+    * protocol deleted before any manifest existed — and keeps the
+    * fail-fast, now resolvable via `resolveAmbiguousStage` / the
+    * `Ctl bands-resolve` verb instead of hand-run filesystem surgery. */
+  private val TmpPrefixV2 = ".compact_tmp2_"
   private val TmpPrefix = ".compact_tmp_"
+  // v2 first: unambiguous either way (neither prefixes the other), but
+  // the target parse strips exactly the prefix that matched
+  private val StagePrefixes = Seq(TmpPrefixV2, TmpPrefix)
+  private def isStageName(n: String): Boolean = StagePrefixes.exists(n.startsWith)
+  private def stageTarget(n: String): Long =
+    StagePrefixes.collectFirst { case p if n.startsWith(p) => n.stripPrefix(p).toLong }
+      .getOrElse(throw new IllegalArgumentException(s"not a stage dir name: $n"))
 
   /** Finish or discard a compaction interrupted mid-flight, by the
     * `_FOLDED` manifest discipline (graft.operators.FoldManifest, the
@@ -302,9 +320,10 @@ object IncrementalDedup {
                                        bandStoreDir: String): Unit =
     if (!fs.exists(new Path(bandStoreDir))) () // first-ever batch: nothing to heal
     else fs.listStatus(new Path(bandStoreDir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
+      .filter(s => s.isDirectory && isStageName(s.getPath.getName))
       .foreach { s =>
-        val target = s.getPath.getName.stripPrefix(TmpPrefix).toLong
+        val name = s.getPath.getName
+        val target = stageTarget(name)
         val committed = fs.exists(new Path(s"${s.getPath}/_SUCCESS"))
         val covered =
           if (committed) graft.operators.FoldManifest.read(fs, s.getPath)
@@ -321,18 +340,127 @@ object IncrementalDedup {
               })
             require(fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target))),
               s"compaction recovery failed to swap ${s.getPath} into place")
+          case None if committed && name.startsWith(TmpPrefixV2) =>
+            // committed-but-manifestless under the v2 protocol is a
+            // crash in the window between the stage's parquet commit
+            // and the manifest's atomic-rename arming — deletes only
+            // ever start AFTER arming, so every original is intact and
+            // the stage is redundant: discard, loudly
+            System.err.println(s"[compaction] discarding unarmed v2 stage " +
+              s"${s.getPath} (parquet committed, manifest never armed — " +
+              "originals are intact by protocol)")
+            require(fs.delete(s.getPath, true),
+              s"failed to discard unarmed compaction stage ${s.getPath}")
           case None if committed =>
             throw new IllegalStateException(
               s"compaction stage ${s.getPath} is parquet-committed but has no " +
                 "readable _FOLDED coverage manifest — cannot tell a pre-arm crash " +
                 "(safe to discard) from a pre-manifest-protocol crash whose deletes " +
                 "already ran (the stage may be the only copy of the folded history). " +
-                "Resolve manually: if every original partition the fold covered is " +
-                "still present, delete the stage dir to discard it; otherwise " +
-                "complete the swap by hand (remove the covered partitions, rename " +
-                s"the stage to ${batchDir(bandStoreDir, target)})")
+                "Resolve with `Ctl <root> bands-resolve <dir> discard|complete` " +
+                "(resolveAmbiguousStage): discard verifies every stage row is " +
+                "still present in the live partitions before deleting the stage; " +
+                "complete removes exactly the live partitions the stage subsumes " +
+                s"and renames it to ${batchDir(bandStoreDir, target)}")
           case None => require(fs.delete(s.getPath, true),
             s"failed to discard torn compaction stage ${s.getPath}")
         }
       }
+
+  /** Resolve THE genuinely ambiguous compaction state — a
+    * parquet-committed stage with no readable `_FOLDED` manifest, left
+    * by a legacy (pre-manifest-protocol) crash — by executing the
+    * operator's decision WITH the safety checks the 3 a.m. filesystem
+    * surgery it replaces never had (VERDICT r8 item 3). Run it only
+    * with the ingest loop stopped: resolution is a writer.
+    *
+    *  - `complete = false` (discard): safe only if NO original was
+    *    deleted. Proven by content, not guessed: every stage row must
+    *    still be present (with multiplicity) in the live committed
+    *    partitions at or below the stage's target. If any row is
+    *    missing, the stage is the only copy of part of the folded
+    *    history and the call refuses.
+    *  - `complete = true`: finishes the swap by deleting exactly the
+    *    live partitions the stage SUBSUMES (partition rows fully
+    *    contained in the stage) and renaming the stage in. A partition
+    *    recommitted by a checkpoint replay after the stage was cut is
+    *    not subsumed and survives — the same no-guessing property the
+    *    manifest gives the automated path.
+    *
+    * Returns a human-readable summary of what was executed. */
+  def resolveAmbiguousStage(spark: SparkSession, bandStoreDir: String,
+                            complete: Boolean): String = {
+    val p = new Path(bandStoreDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no band store under $bandStoreDir")
+    val ls = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    val ambiguous = ls.filter(d => isStageName(d.getName) &&
+      fs.exists(new Path(s"$d/_SUCCESS")) &&
+      graft.operators.FoldManifest.read(fs, d).isEmpty)
+    require(ambiguous.nonEmpty,
+      s"no ambiguous compaction stage under $bandStoreDir — every other " +
+        "pending state is handled by compactBandStore's own recovery; run that")
+    require(ambiguous.size == 1,
+      s"multiple ambiguous stages (${ambiguous.map(_.getName).mkString(", ")}) — " +
+        "a single-writer store cannot produce this; inspect by hand")
+    val stage = ambiguous.head
+    val target = stageTarget(stage.getName)
+    val stageRows = spark.read.parquet(stage.toString)
+    val cols = stageRows.columns.toIndexedSeq.map(col)
+    // only committed partitions at/below the target participate: the
+    // crashed fold never covered anything above it
+    val live = ls.flatMap(d => d.getName match {
+      case BatchDirRe(b) if b.toLong <= target &&
+        fs.exists(new Path(s"$d/_SUCCESS")) => Some((b.toLong, d))
+      case _ => None
+    }).sortBy(_._1)
+    // stage rows NOT present (with multiplicity) among the live
+    // partitions: > 0 proves the crashed fold's deletes already ran
+    def missingFromLive(): Long = {
+      val liveRows =
+        if (live.isEmpty) stageRows.limit(0)
+        else spark.read.option("basePath", bandStoreDir)
+          .parquet(live.map(_._2.toString): _*).select(cols: _*)
+      stageRows.exceptAll(liveRows).count()
+    }
+    if (!complete) {
+      val missing = missingFromLive()
+      require(missing == 0,
+        s"$missing stage rows are ABSENT from the live partitions — the " +
+          "crashed fold's deletes already ran and the stage is the only copy " +
+          "of that history; discarding would destroy it. Resolve with complete")
+      require(fs.delete(stage, true), s"failed to discard stage $stage")
+      s"discarded ${stage.getName}: all stage rows verified present in " +
+        s"live partitions [${live.map(_._1).mkString(", ")}]"
+    } else {
+      val subsumed = live.filter { case (_, d) =>
+        spark.read.parquet(d.toString).select(cols: _*)
+          .exceptAll(stageRows).isEmpty
+      }
+      // a fold's covered partitions are each fully contained in it, so
+      // every surviving covered original is subsumed (deleted below); a
+      // live partition that is NOT subsumed was recommitted by a replay
+      // after the stage was cut and must survive. When NOTHING is left
+      // to delete, completion degenerates to the rename — legitimate
+      // only if the crash really did delete covered originals (stage
+      // rows missing from live); otherwise renaming in would DUPLICATE
+      // fully-intact history, and the right resolution is discard.
+      if (subsumed.isEmpty)
+        require(missingFromLive() > 0,
+          "every stage row is still present in the live partitions and none " +
+            "is subsumed — completing would duplicate intact history; " +
+            "resolve with discard")
+      subsumed.foreach { case (_, d) =>
+        require(fs.delete(d, true), s"failed to delete subsumed partition $d")
+      }
+      require(fs.rename(stage, new Path(batchDir(bandStoreDir, target))),
+        s"failed to rename $stage into place — target partition exists and " +
+          "is not subsumed by the stage; inspect by hand")
+      s"completed ${stage.getName}: replaced subsumed partitions " +
+        s"[${subsumed.map(_._1).mkString(", ")}] with ingest_batch=$target" +
+        (if (subsumed.size < live.size)
+          s"; kept unsubsumed [${live.map(_._1).diff(subsumed.map(_._1)).mkString(", ")}]"
+        else "")
+    }
+  }
 }

@@ -302,6 +302,70 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(storedIds() == Set(1L, 2L, 3L))
   }
 
+  test("unarmed v2 stage auto-discards; legacy ambiguous stage resolves via bands-resolve with content-verified safety") {
+    val root = Files.createTempDirectory("graft_incr_resolve").toString
+    val bands = s"$root/bands"
+    def part(b: Int, rows: (Long, Int, String)*): Unit =
+      rows.toDF("doc_id", "band", "bsig").write.mode("overwrite")
+        .parquet(s"$bands/ingest_batch=$b")
+    def partDirs(): Set[String] =
+      Files.list(Paths.get(bands)).map[String](_.getFileName.toString)
+        .filter(_.startsWith("ingest_batch=")).toArray.map(_.toString).toSet
+    def stageOf(prefixed: String, ids: Int*): Unit =
+      spark.read.option("basePath", bands)
+        .parquet(ids.map(b => s"$bands/ingest_batch=$b"): _*)
+        .drop("ingest_batch")
+        .write.mode("overwrite").parquet(s"$bands/$prefixed")
+
+    part(0, (1L, 0, "a")); part(1, (2L, 0, "b")); part(2, (3L, 0, "c"))
+
+    // (a) v2 stage, parquet-committed, manifest never armed: the
+    // version stamp PROVES deletes never started — recovery discards
+    // it unattended instead of wedging the loop behind a human
+    stageOf(".compact_tmp2_1", 0, 1)
+    assert(IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0) == 0)
+    assert(!Files.exists(Paths.get(s"$bands/.compact_tmp2_1")),
+      "unarmed v2 stage must be auto-discarded")
+    assert(partDirs() == Set("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
+
+    // (b) LEGACY ambiguous stage with all originals intact: automated
+    // recovery must still fail fast; the resolve verb verifies every
+    // stage row is present among the live partitions, then discards
+    stageOf(".compact_tmp_1", 0, 1)
+    intercept[IllegalStateException](
+      IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0))
+    assert(graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "discard"))
+      .exists(_.startsWith("discarded")))
+    assert(partDirs() == Set("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
+    assert(IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0) == 0)
+
+    // (c) LEGACY stage whose deletes already RAN (covered originals 0
+    // and 2 gone), plus batch 1 recommitted by a replay after the
+    // stage was cut: discard must REFUSE (the stage is the only copy
+    // of rows 1 and 3); complete keeps the unsubsumed recommitted
+    // partition and renames the stage in — no row lost, none doubled
+    stageOf(".compact_tmp_2", 0, 2)
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=0"))
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=2"))
+    part(1, (2L, 0, "b")) // replay-recommitted between crash and resolution
+    val refused = graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "--discard"))
+    assert(refused.isLeft && refused.swap.exists(_.contains("ABSENT")),
+      s"discard must refuse when stage rows are missing from live partitions: $refused")
+    val done = graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "complete"))
+    assert(done.exists(_.startsWith("completed")), s"$done")
+    assert(partDirs() == Set("ingest_batch=1", "ingest_batch=2"),
+      s"recommitted partition must survive completion: ${partDirs()}")
+    assert(IncrementalDedup.seenBands(spark, bands, Long.MaxValue).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "no band row may be lost through resolution")
+
+    // nothing ambiguous left → the verb says so
+    assert(graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "complete")).isLeft)
+    // bad mode → usage path
+    assert(graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "nuke")).isLeft)
+  }
+
   test("stored candidates + verify + groups equal the batch recompute over the union corpus") {
     val root = Files.createTempDirectory("graft_incr_groups").toString
     val src = s"$root/src"
