@@ -87,4 +87,72 @@ object Layout {
       .groupBy(col("_pid"))
       .agg(exts.head, exts.tail: _*)
   }
+
+  // ------------------------------------------------------------------
+  // File-level data skipping: the read-side half of the layout story.
+  // Parquet's own min/max stats prune ROW GROUPS only after the reader
+  // has already opened the file; at 100 TB the win that matters is not
+  // opening (or listing into the task set) the file at all. Delta/
+  // Iceberg solve this with a stats manifest consulted at planning
+  // time; the same idea here as a `_filestats` parquet sidecar (the
+  // leading underscore keeps it invisible to plain Spark/Hadoop reads,
+  // same convention as `_SUCCESS`). Sidecar size is O(files), i.e.
+  // ~KBs per TB of data — always broadcast-small.
+  // ------------------------------------------------------------------
+
+  private val StatsDir = "_filestats"
+
+  /** Z-order `df` over `cols`, write it to `path`, and commit a
+    * per-file min/max stats sidecar for those columns. The sidecar scan
+    * is one extra read of the fresh files (file-grouped min/max — at
+    * write scale this is the cheapest moment the stats will ever be
+    * computable); sidecar rows are one per data file. */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+                     numPartitions: Int): Unit = {
+    val spark = df.sparkSession
+    zorderBy(df, cols, numPartitions).write.mode("overwrite").parquet(path)
+    val exts = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}_min"),
+      max(col(c).cast("double")).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(exts.head, exts.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** Closed numeric range predicate `column BETWEEN lo AND hi` for the
+    * skipping planner. */
+  final case class ColRange(column: String, lo: Double, hi: Double)
+
+  /** A pruned scan: `df` reads ONLY the files whose stats intersect
+    * every range (callers still apply the exact predicate — skipping is
+    * a superset guarantee, not a filter). `filesTotal`/`filesRead`
+    * expose the pruning ratio so callers can ASSERT the layout works
+    * instead of trusting it. */
+  final case class PrunedScan(df: DataFrame, filesTotal: Int, filesRead: Int)
+
+  /** Plan a read of `path` under `ranges` using the `_filestats`
+    * sidecar: keep a file iff every range intersects its [min, max] on
+    * that column (null extents — an all-null file — are kept: skipping
+    * must never drop a file it cannot prove empty of matches). The
+    * sidecar is O(files) and is read collect-side, exactly like a
+    * catalog manifest at planning time. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 ranges: Seq[ColRange]): PrunedScan = {
+    require(ranges.nonEmpty, "prunedRead with no ranges is a plain read")
+    val stats = spark.read.parquet(s"$path/$StatsDir")
+    val keep = ranges.map { r =>
+      val lo = col(s"${r.column}_min"); val hi = col(s"${r.column}_max")
+      lo.isNull || hi.isNull || (lo <= lit(r.hi) && hi >= lit(r.lo))
+    }.reduce(_ && _)
+    val rows = stats.select(col("file"), keep.as("keep")).collect()
+    val files = rows.filter(_.getBoolean(1)).map(_.getString(0))
+    val schema = spark.read.parquet(path).schema
+    val df =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    PrunedScan(df, rows.length, files.length)
+  }
 }

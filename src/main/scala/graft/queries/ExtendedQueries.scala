@@ -196,6 +196,43 @@ object ExtendedQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Z-order + file-stats skipping UNDER GRADING (Layout was the last
+    // spec-only-never-graded component): lineitem is rewritten into a
+    // 2-D z-ordered clustered copy with a `_filestats` sidecar, then a
+    // 2-D range predicate (≈1/16 of the key plane) is answered reading
+    // ONLY the files whose stats intersect it. Two executable claims
+    // inside the query: (a) the pruned scan reads strictly fewer files
+    // than the store holds — the layout actually skips; (b) the graded
+    // rows come from pruned-scan + residual filter, so a green hash row
+    // proves skipping is loss-free (superset guarantee holds). DuckDB
+    // grades the VALUES by full-scanning the original table with the
+    // same predicate. Bounds are SF-relative (max/4 etc., one bounded
+    // scalar fetch) so the same text grades at every scale factor.
+    "x12_zorder_skip" -> ((s, dir) => {
+      import graft.operators.Layout
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          dec("l_quantity").as("qty"), col("l_returnflag"))
+      val root = graft.Scratch.dir("graft_zorder")
+      Layout.writeClustered(li, s"$root/li",
+        Seq("l_orderkey", "l_partkey"), numPartitions = 16)
+      val b = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+      val okHi = b.getLong(0) / 4
+      val pkLo = b.getLong(1) / 4; val pkHi = b.getLong(1) / 2
+      val scan = Layout.prunedRead(s, s"$root/li", Seq(
+        Layout.ColRange("l_orderkey", 0, okHi.toDouble),
+        Layout.ColRange("l_partkey", pkLo.toDouble, pkHi.toDouble)))
+      require(scan.filesRead < scan.filesTotal,
+        s"z-order skipping must prune files: read ${scan.filesRead} of ${scan.filesTotal}")
+      scan.df
+        .filter(col("l_orderkey") <= okHi &&
+          col("l_partkey").between(pkLo, pkHi))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -283,6 +320,17 @@ object ExtendedQueries {
         |      FROM events) e
         |JOIN customer ON e.uid = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // x12: DuckDB full-scans the original table under the same
+    // SF-relative predicate — a green hash row proves the pruned scan
+    // (stats-selected files + residual filter) lost nothing.
+    "x12_zorder_skip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 4 FROM lineitem)
+        |  AND l_partkey BETWEEN (SELECT MAX(l_partkey) // 4 FROM lineitem)
+        |                    AND (SELECT MAX(l_partkey) // 2 FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -111,4 +111,39 @@ class LayoutSpec extends AnyFunSuite {
     val out = Layout.zorderBy(df, Seq("c", "id"), 4)
     assert(out.count() == 100) // constant column collapses to bucket 0, no crash
   }
+
+  test("writeClustered + prunedRead: loss-free skipping, hidden sidecar, pruning that actually prunes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val grid = spark.range(10000)
+      .select((col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"),
+        col("id").as("payload"))
+      .repartition(32)
+    Layout.writeClustered(grid, s"$root/t", Seq("x", "y"), 16)
+
+    // the `_filestats` sidecar must be invisible to a plain read
+    // (underscore convention): full table, original schema, exact rows
+    val plain = spark.read.parquet(s"$root/t")
+    assert(plain.columns.toSet == Set("x", "y", "payload"))
+    assert(plain.count() == 10000)
+
+    // a 2-D box covering ~6% of the plane: pruned scan must read fewer
+    // files than the store holds, and pruned + residual == full filter
+    val scan = Layout.prunedRead(spark, s"$root/t",
+      Seq(Layout.ColRange("x", 0, 59), Layout.ColRange("y", 10, 19)))
+    assert(scan.filesTotal >= 8, s"expected ~16 files, saw ${scan.filesTotal}")
+    assert(scan.filesRead < scan.filesTotal,
+      s"no pruning: read ${scan.filesRead} of ${scan.filesTotal}")
+    def residual(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("x").between(0, 59) && col("y").between(10, 19))
+    val pruned = residual(scan.df).select("payload").as[Long].collect().sorted
+    val full = residual(plain).select("payload").as[Long].collect().sorted
+    assert(pruned.toSeq == full.toSeq, "skipping lost or duplicated rows")
+    assert(pruned.nonEmpty)
+
+    // a box outside the domain prunes everything and still answers
+    val empty = Layout.prunedRead(spark, s"$root/t",
+      Seq(Layout.ColRange("x", 1000, 2000)))
+    assert(empty.filesRead == 0 && empty.df.count() == 0)
+    assert(empty.df.schema == plain.schema)
+  }
 }
