@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.AnnIndex
+
+/** Scale rehearsal for the VECTOR-side ingest loop — the ANN twin of
+  * IngestScaleRehearsalSpec. `AnnIndex.runIngest` is spec-verified at
+  * 3–4 drops; "the index survives a rolling corpus" is a claim about
+  * the curve, not one point. This runs 16 drops (32 via
+  * GRAFT_REHEARSAL_DROPS=32 for the out-of-band run recorded in
+  * README) through the real loop — AvailableNow + checkpoint +
+  * in-loop `compactEvery = 2` folds — and asserts:
+  *
+  *  (a) BOUNDED LAYOUT: codes/ and lists/ never exceed base +
+  *      compactEvery + 1 ingest partitions after any drop, so index
+  *      open cost (file listing, tag intersection) is O(1) in drops.
+  *  (b) FLAT PER-DROP COST: appending drop 15 costs what drop 3 cost —
+  *      per-batch work is |drop| encoding + one broadcast-centroid
+  *      assignment, never a re-read of the accumulated index.
+  *  (c) LOSS-FREE ACCUMULATION: the streamed-and-folded index serves
+  *      BIT-IDENTICALLY to the same base extended by one bulk append
+  *      of the entire remainder — folds and replays may reorganize
+  *      files, never distances. (Reference quantizers are a byte copy
+  *      of the base build, so equality can only come from the codes.)
+  */
+class AnnIngestScaleRehearsalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+
+  // 8 deterministic cluster centers (±1 by bit pattern) + per-id jitter
+  private def vecOf(id: Long): Array[Float] = {
+    val c = (id % 8).toInt
+    Array.tabulate(dim) { d =>
+      val sign = if (((c >> (d % 3)) & 1) == 0) 1.0f else -1.0f
+      sign * (1.0f + 0.001f * ((id * 7 + d) % 13))
+    }
+  }
+
+  test("16-drop vector ingest: bounded index layout, flat per-drop cost, bulk-append-identical serving") {
+    val nDrops = sys.env.get("GRAFT_REHEARSAL_DROPS").map(_.toInt).getOrElse(16)
+    val vecsPerDrop = 50
+    def dropDf(k: Int) =
+      (0 until vecsPerDrop).map(i => k * 1000L + i)
+        .map(id => (id, vecOf(id))).toDF("vec_id", "embedding")
+
+    val root = Files.createTempDirectory("graft_ann_rehearsal").toString
+    val ixDir = s"$root/ix"; val refDir = s"$root/ref"
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+
+    // cycle start: base build on drop 0, byte-copied to the reference
+    // dir BEFORE any ingest so both paths share identical quantizers
+    AnnIndex.buildIvfPq(dropDf(0), "vec_id", "embedding",
+      dim = dim, m = m, k = 16, nCentroids = 8, dir = ixDir)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ixDir), new java.io.File(refDir))
+
+    def ingestDirs(artifact: String): Int =
+      new java.io.File(s"$ixDir/$artifact").listFiles().toSeq
+        .count(f => f.isDirectory && f.getName.startsWith("ingest="))
+    def dataFiles(): Int = {
+      var n = 0
+      Files.walk(Paths.get(ixDir)).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+
+    val schema = dropDf(0).schema
+    val secs = new Array[Double](nDrops - 1)
+    val dirsAfter = new Array[Int](nDrops - 1)
+    val filesAfter = new Array[Int](nDrops - 1)
+    (1 until nDrops).foreach { k =>
+      dropDf(k).write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      AnnIndex.runIngest(spark.readStream.schema(schema).parquet(src),
+        ixDir, "vec_id", "embedding", dim = dim, m = m,
+        checkpointDir = ckpt, compactEvery = 2).awaitTermination()
+      secs(k - 1) = (System.nanoTime() - t0) / 1e9
+      dirsAfter(k - 1) = math.max(ingestDirs("codes"), ingestDirs("lists"))
+      filesAfter(k - 1) = dataFiles()
+      // (a) bounded layout after EVERY drop: base + compactEvery + 1
+      assert(dirsAfter(k - 1) <= 4,
+        s"drop $k left ${dirsAfter(k - 1)} ingest dirs — folds are not amortizing")
+    }
+    println(f"[ann-rehearsal] drops=$nDrops vecs/drop=$vecsPerDrop dim=$dim m=$m")
+    println("[ann-rehearsal] per-drop seconds: " +
+      secs.map(s => f"$s%.2f").mkString(" "))
+    println("[ann-rehearsal] ingest dirs:      " + dirsAfter.mkString(" "))
+    println("[ann-rehearsal] parquet files:    " + filesAfter.mkString(" "))
+
+    // (b) flat per-drop cost: same median-window bar as the dedup
+    // rehearsal (drops 0–1 of the loop are JIT/stream-init warmup)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(secs.slice(2, 6).toIndexedSeq)
+    val late = median(secs.takeRight(4).toIndexedSeq)
+    assert(late <= 3 * early,
+      f"per-drop cost is creeping: early median $early%.2f s, late median $late%.2f s")
+    assert(filesAfter.last <= 2 * filesAfter(3).max(1),
+      s"file count creeping: ${filesAfter.mkString(" ")}")
+
+    // (c) the streamed index == base + one bulk append, served over
+    // probes drawn from first, middle, and last drops
+    AnnIndex.appendVectors(spark, refDir,
+      (1 until nDrops).map(dropDf).reduce(_ union _),
+      "vec_id", "embedding", dim = dim, m = m, ingestTag = "bulk")
+    val probes = Seq(0L, (nDrops / 2) * 1000L + 7L, (nDrops - 1) * 1000L + 49L)
+      .map(id => (id, vecOf(id))).toDF("vec_id", "embedding")
+    def serve(dir: String): Seq[(Long, Long, Double, Long)] =
+      AnnIndex.serveIvfPqBatch(AnnIndex.load(spark, dir), probes,
+          "vec_id", "embedding", dim = dim, m = m, nProbe = 4, topK = 20,
+          excludeSelf = false)
+        .select(col("qid"), col("vec_id"), col("adc_dist"), col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val streamed = serve(ixDir)
+    assert(streamed == serve(refDir),
+      "streamed+folded index must serve bit-identically to the bulk append")
+    assert(streamed.nonEmpty)
+
+    // nothing lost: every vector of every drop is coded exactly once
+    val codes = spark.read.parquet(s"$ixDir/codes")
+    assert(codes.select("vec_id").distinct().count() == nDrops.toLong * vecsPerDrop)
+    assert(codes.count() == codes.dropDuplicates("vec_id", "sub").count())
+  }
+}
