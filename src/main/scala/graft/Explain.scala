@@ -19,10 +19,16 @@ object Explain {
     val shuffleAudit = sys.env.get("SPARK_GRAFT_SHUFFLES").exists(_.nonEmpty)
     names.foreach { n =>
       if (shuffleAudit) {
+        // EXECUTED distinct exchanges (the cost view — comparable
+        // round-over-round), with exchange reuse reported separately:
+        // reuse reads an already-materialized shuffle, so it is a plan
+        // improvement, not added work
         val c =
-          try graft.operators.Bucketing
-            .shuffleExchangeCount(SparkEntry.queries(n)(spark, sfDir)).toString
-          catch { case scala.util.control.NonFatal(e) => s"err:${e.getMessage.take(60)}" }
+          try {
+            val (distinct, reuse) = graft.operators.Bucketing
+              .executedShuffleCount(SparkEntry.queries(n)(spark, sfDir))
+            if (reuse > 0) s"$distinct reuse=$reuse" else s"$distinct"
+          } catch { case scala.util.control.NonFatal(e) => s"err:${e.getMessage.take(60)}" }
         println(f"$n%-28s shuffles=$c")
       } else {
         println(s"========== $n ==========")

@@ -67,7 +67,23 @@ class BucketingSpec extends AnyFunSuite {
       val plan = self.queryExecution.executedPlan
       assert(Bucketing.shuffleExchangeCount(self) == 2,
         s"expected both occurrences of the reused exchange counted:\n$plan")
+      // the executed-cost view of the same plan: one exchange RUNS, the
+      // second occurrence is a reuse read — occurrence semantics and
+      // cost semantics must agree on their sum
+      val (distinct, reuse) = Bucketing.executedShuffleCount(self)
+      assert(distinct == 1 && reuse == 1,
+        s"expected 1 executed + 1 reused, got ($distinct, $reuse):\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("executedShuffleCount without reuse equals the occurrence count") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => (i % 10, i.toLong)).toDF("k", "v")
+    val agg = base.groupBy("k").agg(sum("v").as("s")).orderBy("k")
+    val (distinct, reuse) = Bucketing.executedShuffleCount(agg)
+    assert(reuse == 0)
+    assert(distinct == Bucketing.shuffleExchangeCount(agg))
+    assert(distinct >= 1)
   }
 
   test("mismatched bucket counts degrade to a correct shuffled join") {
