@@ -132,6 +132,103 @@ object Layout {
     * instead of trusting it. */
   final case class PrunedScan(df: DataFrame, filesTotal: Int, filesRead: Int)
 
+  // ------------------------------------------------------------------
+  // Per-file Bloom sidecar: min/max stats prune RANGE predicates; the
+  // needle-in-haystack read at 100 TB is the POINT lookup ("fetch these
+  // 50 doc_ids for inspection/serving"), where min/max over a clustered
+  // key keeps only ~1 file but over an unclustered or re-used key keeps
+  // everything. A fixed-size Bloom filter per file answers "could this
+  // file contain key k" in O(1) from the planning-time sidecar,
+  // independent of file row count. Default 4096 bits × 3 probes ≈ 0.5%
+  // false positives at ~250 distinct keys/file; size `bits` ≈ 16× the
+  // expected keys-per-file to hold that rate (Parquet's own column
+  // blooms make the same trade — at 100 TB a few hundred KB of sidecar
+  // per multi-GB file). False positives only cost an extra file read —
+  // the residual filter keeps results exact (the same superset
+  // guarantee as `prunedRead`).
+  // ------------------------------------------------------------------
+
+  private val BloomDir = "_filebloom"
+  private val BloomProbes = 3
+
+  /** The probe positions of a key — xxhash64 under `BloomProbes` seeds,
+    * the engine's codegen'd 64-bit hash (sign-safe via pmod). Build and
+    * probe MUST agree on this function AND the bit width; the probe
+    * side derives the width from the sidecar schema (slots × 64), so a
+    * store written at one size can never be probed at another. */
+  private def probePositions(k: Column, bits: Int): Seq[Column] =
+    (1 to BloomProbes).map(seed => pmod(xxhash64(lit(seed), k), lit(bits.toLong)))
+
+  /** Write a per-file Bloom sidecar over `keyCol` for the parquet data
+    * at `path`: one row per data file, `BloomSlots` bit_or-aggregated
+    * longs. One extra scan of the fresh files at write time (the same
+    * moment `writeClustered` prices its stats pass), all codegen'd
+    * built-ins — per-row work is two hashes + two shifted bits. */
+  def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+                        path: String, keyCol: String,
+                        bits: Int = 4096): Unit = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    val slots = bits / 64
+    // hash as LONG regardless of the column's physical integral width:
+    // Spark's xxhash64 hashes int and long DIFFERENTLY for the same
+    // value, and the probe side hashes Long literals
+    val pos = probePositions(col(keyCol).cast("long"), bits)
+    val withPos = spark.read.parquet(path)
+      .select(input_file_name().as("file") +:
+        pos.zipWithIndex.map { case (p, i) => p.as(s"_p$i") }: _*)
+    // per-row contribution to slot j: the probe's bit if the probe
+    // lands in that slot (shift amount is a column, so expr() — the
+    // Scala shiftleft only takes literal shifts)
+    val slotCols = (0 until slots).map { j =>
+      pos.indices.map(i =>
+        expr(s"if(cast(_p$i / 64 as int) = $j, " +
+          s"shiftleft(1L, cast(_p$i % 64 as int)), 0L)"))
+        .reduce((a, b) => a.bitwiseOR(b)).as(s"_c$j")
+    }
+    withPos.select(col("file") +: slotCols: _*)
+      .groupBy(col("file"))
+      .agg(expr("bit_or(_c0)").as("b0"),
+        (1 until slots).map(j => expr(s"bit_or(_c$j)").as(s"b$j")): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$BloomDir")
+  }
+
+  /** Plan a POINT-lookup read of `path` for `keys` (values of the
+    * sidecar's integral key column): keep a file iff its Bloom filter
+    * admits at least one key. Probe positions are computed by the SAME
+    * engine hash the build used (one bounded |keys|-row job — never a
+    * driver-side hash reimplementation that could drift), the sidecar
+    * is collected planning-side exactly like `prunedRead`'s stats.
+    * Superset guarantee: false positives cost an extra file read;
+    * callers apply the exact predicate to the returned frame. */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
+                      path: String, keys: Seq[Long]): PrunedScan = {
+    require(keys.nonEmpty, "bloomPrunedRead with no keys reads nothing")
+    import spark.implicits._
+    val bloomDf = spark.read.parquet(s"$path/$BloomDir")
+    // the filter's width travels with the store: slots are the sidecar's
+    // b* columns, so probe and build can never disagree on geometry
+    val slots = bloomDf.schema.fieldNames.count(_.startsWith("b"))
+    val probes = keys.toDF("k")
+      .select(probePositions(col("k"), slots * 64).zipWithIndex
+        .map { case (p, i) => p.as(s"p$i") }: _*)
+      .collect()
+      .map(r => (0 until BloomProbes).map(r.getLong))
+    val blooms = bloomDf.collect()
+    def bitSet(r: org.apache.spark.sql.Row, p: Long): Boolean = {
+      val slot = r.getLong(r.fieldIndex(s"b${(p / 64).toInt}"))
+      ((slot >>> (p % 64).toInt) & 1L) == 1L
+    }
+    val files = blooms.filter(r => probes.exists(_.forall(bitSet(r, _))))
+      .map(r => r.getString(r.fieldIndex("file")))
+    val schema = spark.read.parquet(path).schema
+    val df =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    PrunedScan(df, blooms.length, files.length)
+  }
+
   /** Plan a read of `path` under `ranges` using the `_filestats`
     * sidecar: keep a file iff every range intersects its [min, max] on
     * that column (null extents — an all-null file — are kept: skipping

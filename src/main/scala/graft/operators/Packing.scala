@@ -97,4 +97,51 @@ object Packing {
       }
       .toDF("doc_id", "bucket", "n_tokens", "seq_id", "seq_pos")
   }
+
+  /** Exact 0-based global rank of every row under `order` — the
+    * building block for rank-dependent layout (shard dealing below)
+    * that a plain `Window.orderBy` CANNOT provide at scale: an
+    * unpartitioned window funnels the whole corpus through ONE task.
+    * Here the order is materialized distributively: one range shuffle
+    * clusters rows by order key across partitions, an intra-partition
+    * sort finishes the total order, and `zipWithIndex` stitches
+    * per-partition offsets (its internal count job is O(partitions)
+    * driver data, never rows). Rank is a pure function of the TOTAL
+    * order, so range-boundary placement (which may vary with input
+    * splits) cannot change the result — but the caller MUST make
+    * `order` total (include a unique tiebreak column), or ranks within
+    * ties are boundary-dependent. */
+  def globalRank(df: DataFrame, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(order.nonEmpty, "globalRank requires an ordering")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deal documents into `nShards` output shards with near-equal total
+    * `weight` per shard — the training-export step between a curated
+    * corpus and N dataloader files, where "hash(id) % N" balances COUNT
+    * but lets token mass skew with the length distribution. Rows are
+    * ranked by (weight desc, id) and dealt SERPENTINE (round r
+    * left-to-right, round r+1 right-to-left), so each full round gives
+    * every shard one heavy-half and one light-half document; per-shard
+    * totals differ by at most one round's spread. Fully deterministic
+    * (exact global rank over a total order, integer arithmetic only)
+    * and reproducible by any engine with a window function at oracle
+    * scale. Output: input columns + `shard`. */
+  def balancedShards(df: DataFrame, id: String, weight: String,
+                     nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    globalRank(df, Seq(col(weight).desc, col(id)))
+      .withColumn("shard",
+        when(expr(s"_rank div $nShards") % 2 === 0,
+          pmod(col("_rank"), lit(nShards.toLong)))
+          .otherwise(lit(nShards.toLong) - 1L - pmod(col("_rank"), lit(nShards.toLong))))
+      .drop("_rank")
+  }
 }

@@ -93,4 +93,43 @@ object Sampling {
     }
     df.filter(unitHash(col(id), salt) < rate)
   }
+
+  /** Quality-weighted Bernoulli sampling: keep each row with
+    * probability `weight / max(weight)` — inclusion odds proportional
+    * to an integral score (token count, quality score), the curation
+    * step between "score the corpus" and "train on the good parts"
+    * that plain uniform sampling can't express.
+    *
+    * EXACT-INTEGER determinism: the float formulation
+    * `unitHash < w/maxW` would hang cross-engine equality on division
+    * rounding; instead the coin compares
+    * `hash_u32 * maxW < w * 2^32` in 64-bit integers — no float
+    * appears anywhere, so any engine that can multiply BIGINTs keeps
+    * bit-identical rows (the same discipline as l23's md5 coin, made
+    * weight-relative). Bounds: hash_u32 < 2^32 and maxW is capped at
+    * 2^30, so both products stay far under 2^63.
+    *
+    * Scale shape: one bounded max-aggregate (1 row, broadcast), then a
+    * codegen'd projection+filter — the corpus is never shuffled. Null
+    * or negative weights fail loudly (a corrupt score silently
+    * sampling at rate 0 is data loss, not curation). */
+  def weightedByScore(df: DataFrame, id: String, weight: String,
+                      salt: String): DataFrame = {
+    val w = col(weight).cast("long")
+    val mx = df.agg(max(
+      when(w.isNull || w < 0,
+        raise_error(concat(lit(s"weightedByScore: null/negative weight in '$weight' for id="),
+          col(id).cast("string"))))
+        .otherwise(w)).as("_maxw"))
+    val uh = conv(substring(md5(concat(lit(salt + "|"),
+        coalesce(col(id).cast("string"), lit("")))), 1, 8), 16, 10)
+      .cast("long")
+    df.crossJoin(broadcast(mx))
+      .filter(
+        when(col("_maxw") > (1L << 30),
+          raise_error(concat(lit("weightedByScore: max weight exceeds 2^30: "),
+            col("_maxw").cast("string"))))
+          .otherwise(uh * col("_maxw") < w * lit(4294967296L)))
+      .drop("_maxw")
+  }
 }

@@ -233,6 +233,59 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Quality-weighted Bernoulli sampling UNDER GRADING: inclusion
+    // probability ∝ n_chars via the EXACT-INTEGER coin
+    // `hash_u32 · maxW < w · 2^32` (Sampling.weightedByScore) — no
+    // float division anywhere, so DuckDB replaying the same integer
+    // arithmetic keeps bit-identical rows at every SF. The curation
+    // step between "score the corpus" and "train on the good parts".
+    "x13_weighted_sample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.operators.Sampling.weightedByScore(d, "doc_id", "n_chars", salt = "wsamp9")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+
+    // Bloom-sidecar POINT lookup: the needle-in-haystack read min/max
+    // stats can't price — fetch 5 specific doc_ids from a clustered
+    // store reading only the files whose per-file Bloom admits a key.
+    // In-query claim: the lookup reads strictly fewer files than the
+    // store holds. A green hash row proves the superset guarantee
+    // (Bloom prune + exact residual filter) is loss-free; DuckDB grades
+    // by full-scanning the original table for the same SF-relative keys.
+    "x14_bloom_lookup" -> ((s, dir) => {
+      import graft.operators.Layout
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val root = graft.Scratch.dir("graft_bloom")
+      Layout.writeClustered(d, s"$root/docs", Seq("doc_id"), numPartitions = 16)
+      Layout.writeBloomSidecar(s, s"$root/docs", "doc_id")
+      val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+      val keys = (1 to 5).map(i => mx / 5 * i)
+      val scan = Layout.bloomPrunedRead(s, s"$root/docs", keys)
+      require(scan.filesRead < scan.filesTotal,
+        s"bloom lookup must prune files: read ${scan.filesRead} of ${scan.filesTotal}")
+      scan.df.filter(col("doc_id").isin(keys: _*))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Balanced training-shard export: serpentine deal over the exact
+    // DISTRIBUTED global rank (range shuffle + per-partition offsets —
+    // never an unpartitioned window's single reducer), so N dataloader
+    // shards carry near-equal token mass, not just near-equal counts.
+    // Deterministic integer arithmetic end to end; DuckDB reproduces
+    // the identical dealing from its own ROW_NUMBER at oracle scale.
+    "x15_balanced_shards" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.operators.Packing.balancedShards(d, "doc_id", "n_chars", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -331,6 +384,36 @@ object ExtendedQueries {
         |  AND l_partkey BETWEEN (SELECT MAX(l_partkey) // 4 FROM lineitem)
         |                    AND (SELECT MAX(l_partkey) // 2 FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // x13: the oracle replays the exact-integer coin — BIGINT multiply
+    // only, no float division, so membership is engine-independent.
+    "x13_weighted_sample" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5('wsamp9|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      * (SELECT MAX(n_chars) FROM documents)
+        |      < n_chars * 4294967296
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // x14: DuckDB full-scans the original table for the same
+    // SF-relative keys — a green hash row proves the Bloom prune +
+    // residual filter lost nothing (and invented nothing).
+    "x14_bloom_lookup" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT (SELECT MAX(doc_id) FROM documents) // 5 * g
+        |  FROM (VALUES (1), (2), (3), (4), (5)) t(g))
+        |ORDER BY doc_id""".stripMargin,
+    // x15: identical serpentine dealing from DuckDB's ROW_NUMBER — the
+    // assignment is a pure integer function of the total order.
+    "x15_balanced_shards" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+        |  FROM documents)
+        |SELECT CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+        |            ELSE 7 - rn % 8 END AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

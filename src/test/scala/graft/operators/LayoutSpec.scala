@@ -146,4 +146,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(empty.filesRead == 0 && empty.df.count() == 0)
     assert(empty.df.schema == plain.schema)
   }
+
+  test("bloom sidecar: point lookups prune files and the superset is loss-free") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_spec").toString
+    val data = spark.range(4096).select(col("id").as("k"), (col("id") * 7).as("payload"))
+    Layout.writeClustered(data, s"$root/t", Seq("k"), numPartitions = 16)
+    Layout.writeBloomSidecar(spark, s"$root/t", "k")
+
+    val keys = Seq(17L, 1000L, 4000L)
+    val scan = Layout.bloomPrunedRead(spark, s"$root/t", keys)
+    // 3 point keys over 16 clustered files: ≥13 files must drop even
+    // with ~2% FP per (key, file) probe
+    assert(scan.filesRead < scan.filesTotal && scan.filesRead <= 5,
+      s"bloom lookup read ${scan.filesRead} of ${scan.filesTotal} files")
+    // superset guarantee: residual filter reproduces the full scan
+    val got = scan.df.filter(col("k").isin(keys: _*))
+      .select("k", "payload").as[(Long, Long)].collect().toSet
+    assert(got == keys.map(k => (k, k * 7)).toSet)
+
+    // an absent key matches no file bits beyond FP noise — still a
+    // correct (empty) answer through the residual
+    val miss = Layout.bloomPrunedRead(spark, s"$root/t", Seq(999999L))
+    assert(miss.filesRead <= 2, s"absent key read ${miss.filesRead} files")
+    assert(miss.df.filter(col("k") === 999999L).count() == 0)
+  }
 }

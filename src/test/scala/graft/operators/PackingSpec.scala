@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class PackingSpec extends AnyFunSuite {
@@ -94,5 +95,42 @@ class PackingSpec extends AnyFunSuite {
         tokenBudget = budget, nBuckets = 8)
       .as[(Long, Int, Long, Long, Int)].collect()
     assert(rows.sortBy(_._1).toSeq == re.sortBy(_._1).toSeq)
+  }
+
+  test("globalRank equals a single-reducer row_number, at any input layout") {
+    // adversarial weights: many ties ACROSS the tiebreak (w = id % 7)
+    val df = spark.range(5000)
+      .select(col("id"), (col("id") % 7).as("w"))
+    val expected = df.orderBy(col("w").desc, col("id"))
+      .select("id").as[Long].collect().toSeq
+    Seq(df, df.repartition(17)).foreach { d =>
+      val got = Packing.globalRank(d, Seq(col("w").desc, col("id")))
+        .orderBy(col("_rank"))
+        .select(col("id"), col("_rank")).as[(Long, Long)].collect()
+      assert(got.map(_._2).toSeq == (0L until 5000L).toSeq, "ranks must be dense 0..n-1")
+      assert(got.map(_._1).toSeq == expected, "rank order must equal the total order")
+    }
+  }
+
+  test("balancedShards: near-equal token mass per shard, deterministic across layouts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val n = 8
+    val sharded = Packing.balancedShards(docs, "doc_id", "n_chars", n)
+    val assign = sharded.select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(assign.values.toSet == (0L until n.toLong).toSet)
+    // serpentine balance: each full round deals every shard one doc from
+    // the heavy half and one from the light half — per-shard totals stay
+    // within a few documents' worth of each other, where hash-dealing
+    // lets token mass drift with the length distribution
+    val totals = sharded.groupBy("shard").agg(sum(col("n_chars")).as("t"))
+      .select("t").as[Long].collect()
+    val maxW = docs.agg(max(col("n_chars"))).as[Long].head()
+    assert(totals.max - totals.min <= 2 * maxW,
+      s"shard totals spread ${totals.max - totals.min} exceeds 2×max doc (${2 * maxW})")
+    assert(totals.min > 0)
+    // identical assignment from a different input layout
+    val re = Packing.balancedShards(docs.repartition(13), "doc_id", "n_chars", n)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(assign == re)
   }
 }

@@ -106,4 +106,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.sample(df, "doc_id", 1.0, "s").count() == 3)
     assert(Sampling.sample(df, "doc_id", 0.0, "s").count() == 0)
   }
+
+  test("weightedByScore: max-weight rows kept EXACTLY (p=1), light rows ∝ weight, layout-invariant") {
+    // 500 light (w=200) + 500 heavy (w=1000): p = 0.2 / 1.0
+    val docs = spark.range(1000)
+      .select(col("id"), when(col("id") < 500, 200L).otherwise(1000L).as("w"))
+    val kept = Sampling.weightedByScore(docs, "id", "w", "ws")
+      .select("id").as[Long].collect().toSet
+    // p=1 is exact, not probabilistic: uh·maxW < maxW·2^32 ⟺ uh < 2^32,
+    // true for every 32-bit hash — no max-weight row can ever be dropped
+    assert((500L until 1000L).forall(kept.contains), "a max-weight row was dropped")
+    val light = kept.count(_ < 500)
+    // binomial(500, 0.2): σ≈8.9 — a 6σ window
+    assert(math.abs(light - 100) < 54, s"kept $light of 500 light rows at p=0.2")
+    // membership is a pure function of (salt, id, weights): layout-invariant
+    val kept13 = Sampling.weightedByScore(docs.repartition(13), "id", "w", "ws")
+      .select("id").as[Long].collect().toSet
+    assert(kept == kept13)
+  }
+
+  test("weightedByScore fails loudly on negative weights instead of silently never sampling them") {
+    val df = Seq((1L, 10L), (2L, -3L)).toDF("id", "w")
+    val e = intercept[Exception](Sampling.weightedByScore(df, "id", "w", "s").count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null/negative weight")))
+  }
 }
