@@ -123,6 +123,20 @@ object Packing {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic per-epoch dataloader order: position = exact global
+    * rank under md5("epoch<e>|" + id) — a fresh pseudo-random
+    * permutation of the corpus for every epoch, reproducible on any
+    * engine/layout/rerun (training runs must be able to replay epoch 7's
+    * exact batch order after a restart; `orderBy(rand())` cannot).
+    * Same distributed-rank machinery as `globalRank` — one range
+    * shuffle, never a single-reducer window. The id is the tiebreak, so
+    * the order is total whenever ids are unique. Output: input columns
+    * + `pos` (dense 0-based). */
+  def epochOrder(df: DataFrame, id: String, epoch: Int): DataFrame = {
+    val h = md5(concat(lit(s"epoch$epoch|"), col(id).cast("string")))
+    globalRank(df, Seq(h, col(id))).withColumnRenamed("_rank", "pos")
+  }
+
   /** Deal documents into `nShards` output shards with near-equal total
     * `weight` per shard — the training-export step between a curated
     * corpus and N dataloader files, where "hash(id) % N" balances COUNT

@@ -113,6 +113,41 @@ object Sampling {
     * codegen'd projection+filter — the corpus is never shuffled. Null
     * or negative weights fail loudly (a corrupt score silently
     * sampling at rate 0 is data loss, not curation). */
+  /** EXACTLY min(k, |stratum|) rows per stratum ("50 eval docs per
+    * language"), deterministically — the k rows with the smallest
+    * md5(salt|id) hash. Bernoulli sampling can't hit an exact count;
+    * a naive `row_number over (partition by stratum order by hash)`
+    * hits exactness but funnels each stratum through ONE task — a
+    * single-language corpus would sort 100 TB on one executor. Two
+    * phases instead: (1) per (stratum × input-partition) top-k via a
+    * window whose partitions are bounded by the scan's split size —
+    * the global per-stratum top-k is provably a subset of the union of
+    * per-partition top-ks (any row it contains is top-k in its own
+    * partition); (2) the exact window over those ≤ k·P survivors per
+    * stratum — bounded rows, not corpus rows, cross the final shuffle.
+    * Selection is a pure function of (salt, id), so any engine
+    * replaying the one-window formulation keeps identical rows. Ids
+    * must be unique (the hash+id tiebreak makes the order total). */
+  def exactKPerStratum(df: DataFrame, stratum: String, id: String,
+                       k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(salt + "|"), coalesce(col(id).cast("string"), lit(""))))
+    // spark_partition_id is projected BEFORE the phase-1 window so its
+    // value is the scan partition, not the post-shuffle one (a window
+    // partition key must also be deterministic at analysis time)
+    val staged = df.withColumn("_h", h).withColumn("_pg", spark_partition_id())
+    val phase1 = staged.withColumn("_r1",
+        row_number().over(Window.partitionBy(col(stratum), col("_pg"))
+          .orderBy(col("_h"), col(id))))
+      .filter(col("_r1") <= k)
+    phase1.withColumn("_r2",
+        row_number().over(Window.partitionBy(col(stratum))
+          .orderBy(col("_h"), col(id))))
+      .filter(col("_r2") <= k)
+      .drop("_h", "_pg", "_r1", "_r2")
+  }
+
   def weightedByScore(df: DataFrame, id: String, weight: String,
                       salt: String): DataFrame = {
     val w = col(weight).cast("long")

@@ -286,6 +286,36 @@ object ExtendedQueries {
         .orderBy(col("shard"))
     }),
 
+    // Per-epoch deterministic dataloader order: epoch 3's permutation,
+    // graded through position-block aggregates (min doc per 50-pos
+    // block pins the permutation itself, not just its histogram).
+    // DuckDB replays the identical md5-keyed ROW_NUMBER — rank is a
+    // pure function of the total order, so the distributed range-
+    // shuffle formulation and the single-window oracle must agree
+    // bit-for-bit.
+    "x16_epoch_order" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.operators.Packing.epochOrder(d, "doc_id", epoch = 3)
+        .groupBy((col("pos") / 50).cast("long").as("pos_block"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("pos_block"))
+    }),
+
+    // Exactly-k-per-stratum selection: 50 eval docs per language via
+    // the two-phase top-k (per-scan-partition prune, then the exact
+    // bounded window — never a whole-stratum single-task sort). DuckDB
+    // grades with the naive one-window formulation; hash equality
+    // proves the pruned plan selects the identical rows.
+    "x17_exact_k" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.operators.Sampling.exactKPerStratum(d, "lang", "doc_id", k = 50, salt = "xk9")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -414,6 +444,25 @@ object ExtendedQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS first_doc
         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    // x16: the same permutation from DuckDB's one-window ROW_NUMBER —
+    // md5 hex compares identically (lowercase ASCII) in both engines.
+    "x16_epoch_order" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY md5('epoch3|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT CAST(pos // 50 AS BIGINT) AS pos_block, COUNT(*) AS n,
+        |  MIN(doc_id) AS first_doc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY pos_block""".stripMargin,
+    // x17: naive single-window formulation — the two-phase prune must
+    // select the identical rows.
+    "x17_exact_k" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('xk9|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

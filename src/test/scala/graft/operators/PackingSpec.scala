@@ -112,6 +112,25 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("epochOrder: dense permutation, distinct per epoch, replayable across layouts") {
+    val docs = spark.range(3000).select(col("id").as("doc_id"))
+    val e3 = Packing.epochOrder(docs, "doc_id", 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // dense 0..n-1: a permutation, not a sparse rank
+    assert(e3.values.toSeq.sorted == (0L until 3000L).toSeq)
+    // a different epoch is a DIFFERENT permutation (the whole point:
+    // fresh batch order per epoch) — identical ones would mean the
+    // epoch salt isn't reaching the hash
+    val e4 = Packing.epochOrder(docs, "doc_id", 4)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(e3 != e4)
+    // replay after a "restart" from a different physical layout: the
+    // exact same permutation
+    val re = Packing.epochOrder(docs.repartition(13), "doc_id", 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(e3 == re)
+  }
+
   test("balancedShards: near-equal token mass per shard, deterministic across layouts") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val n = 8

@@ -125,6 +125,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept == kept13)
   }
 
+  test("exactKPerStratum: exactly min(k, n) rows, identical to the naive one-window selection") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 strata: big (600), exact-k (5), small (2)
+    val docs = spark.range(607).select(col("id"),
+      when(col("id") < 600, "big").when(col("id") < 605, "mid").otherwise("tiny").as("s"))
+    val k = 5
+    val got = Sampling.exactKPerStratum(docs, "s", "id", k, "xk")
+      .select("s", "id").as[(String, Long)].collect()
+    val counts = got.groupBy(_._1).map { case (s, r) => (s, r.length) }
+    assert(counts == Map("big" -> 5, "mid" -> 5, "tiny" -> 2))
+    // the two-phase prune selects the IDENTICAL rows as the naive
+    // single-task window it exists to avoid
+    val h = md5(concat(lit("xk|"), col("id").cast("string")))
+    val naive = docs.withColumn("_rn",
+        row_number().over(Window.partitionBy(col("s")).orderBy(h, col("id"))))
+      .filter(col("_rn") <= k).select("s", "id").as[(String, Long)].collect()
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    // layout-invariant: fewer/more scan partitions change phase-1
+    // pruning groups but never the selection
+    Seq(1, 13).foreach { p =>
+      val re = Sampling.exactKPerStratum(docs.repartition(p), "s", "id", k, "xk")
+        .select("s", "id").as[(String, Long)].collect()
+      assert(re.sorted.toSeq == got.sorted.toSeq, s"selection drifted at $p partitions")
+    }
+  }
+
   test("weightedByScore fails loudly on negative weights instead of silently never sampling them") {
     val df = Seq((1L, 10L), (2L, -3L)).toDF("id", "w")
     val e = intercept[Exception](Sampling.weightedByScore(df, "id", "w", "s").count())
