@@ -123,6 +123,63 @@ object Packing {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Inclusive prefix sum of `weight` under the total order `order` —
+    * the distributed form of `SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)`, which Spark's window would otherwise compute on ONE
+    * task (an unpartitioned ordered frame). Shape: the same range
+    * shuffle as `globalRank` materializes the order; one O(partitions)
+    * job collects per-partition weight totals (P longs on the driver,
+    * never rows); exclusive offsets are handed back and each partition
+    * streams its own running sum. The second pass re-reads the range
+    * shuffle's files (same RDD lineage → Spark skips the exchange), so
+    * the corpus is shuffled once. Weights must be non-negative longs —
+    * a negative weight silently corrupts every later prefix, so it
+    * fails the job instead. Output: input columns + `_cum`. */
+  def cumulativeByRank(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                       weight: String): DataFrame = {
+    require(order.nonEmpty, "cumulativeByRank requires an ordering")
+    val spark = df.sparkSession
+    val sorted = df.withColumn("_w",
+        when(col(weight).isNull || col(weight).cast("long") < 0,
+          raise_error(lit(s"cumulativeByRank: null/negative weight in '$weight'")))
+          .otherwise(col(weight).cast("long")))
+      .repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val wIdx = sorted.schema.fieldIndex("_w")
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields.filterNot(_.name == "_w") :+
+        org.apache.spark.sql.types.StructField(
+          "_cum", org.apache.spark.sql.types.LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        run += r.getLong(wIdx)
+        val vals = r.toSeq.zipWithIndex.collect { case (v, j) if j != wIdx => v }
+        org.apache.spark.sql.Row.fromSeq(vals :+ run)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Greedy budget selection: keep the best-ranked rows while the
+    * running `weight` total stays within `budget` — "take the
+    * highest-quality documents until the 1B-token budget", the
+    * corpus-sizing step between scoring and export. Inclusive prefix
+    * semantics: a row is kept iff the budget covers it ENTIRELY
+    * (cum ≤ budget), matching the windowed-SQL formulation any engine
+    * can replay. One range shuffle + one O(partitions) offset job —
+    * never a single-task ordered window. */
+  def selectByBudget(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                     weight: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    cumulativeByRank(df, order, weight)
+      .filter(col("_cum") <= budget).drop("_cum")
+  }
+
   /** Deterministic per-epoch dataloader order: position = exact global
     * rank under md5("epoch<e>|" + id) — a fresh pseudo-random
     * permutation of the corpus for every epoch, reproducible on any

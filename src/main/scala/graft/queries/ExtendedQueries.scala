@@ -316,6 +316,24 @@ object ExtendedQueries {
         .orderBy(col("lang"))
     }),
 
+    // Token-budget selection: keep the longest documents while the
+    // running char total stays within 40% of the corpus — a
+    // distributed prefix sum (range shuffle + O(partitions) offsets),
+    // never SQL's single-task unpartitioned ordered window. Inclusive
+    // semantics (a doc is kept iff the budget covers it entirely), so
+    // DuckDB's ROWS UNBOUNDED PRECEDING cumsum replays the exact
+    // frontier at every SF.
+    "x18_token_budget" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val budget = d.agg(sum(col("n_chars"))).head().getLong(0) * 2 / 5
+      graft.operators.Packing.selectByBudget(
+          d, Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -463,6 +481,17 @@ object ExtendedQueries {
         |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS first_doc
         |FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+    // x18: the one-window cumsum formulation — the distributed prefix
+    // sum must keep the identical frontier.
+    "x18_token_budget" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM r WHERE cum <= (SELECT SUM(n_chars) * 2 // 5 FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

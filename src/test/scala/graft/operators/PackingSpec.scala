@@ -131,6 +131,40 @@ class PackingSpec extends AnyFunSuite {
     assert(e3 == re)
   }
 
+  test("cumulativeByRank == single-reducer window cumsum; selectByBudget keeps the exact frontier") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(2000).select(col("id"), ((col("id") * 37) % 100 + 1).as("w"))
+    val expected = df.withColumn("cum",
+        sum(col("w")).over(Window.orderBy(col("w").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    Seq(df, df.repartition(17)).foreach { d =>
+      val got = Packing.cumulativeByRank(d, Seq(col("w").desc, col("id")), "w")
+        .select(col("id"), col("_cum")).as[(Long, Long)].collect().toMap
+      assert(got == expected, "distributed prefix sum must equal the one-window cumsum")
+    }
+    // budget frontier: inclusive — the row that lands exactly ON the
+    // budget stays, the next is cut
+    val total = df.agg(sum("w")).as[Long].head()
+    val budget = total / 3
+    val kept = Packing.selectByBudget(df, Seq(col("w").desc, col("id")), "w", budget)
+      .select("id").as[Long].collect().toSet
+    val expectKept = expected.filter(_._2 <= budget).keySet
+    assert(kept == expectKept)
+    // a budget exactly equal to some row's cum keeps that row
+    val boundary = expected.values.toSeq.sorted.apply(42)
+    val keptB = Packing.selectByBudget(df, Seq(col("w").desc, col("id")), "w", boundary)
+      .count()
+    assert(keptB == 43, s"inclusive frontier: expected 43 rows, got $keptB")
+    // negative weights fail loudly rather than corrupting every later prefix
+    val bad = spark.range(5).select(col("id"), (col("id") - 2).as("w"))
+    val e = intercept[Exception](
+      Packing.cumulativeByRank(bad, Seq(col("id")), "w").count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null/negative weight")))
+  }
+
   test("balancedShards: near-equal token mass per shard, deterministic across layouts") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val n = 8
