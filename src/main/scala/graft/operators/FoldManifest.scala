@@ -43,19 +43,53 @@ object FoldManifest {
     require(fs.rename(tmp, path(sp)), s"failed to commit fold manifest under $sp")
   }
 
-  /** None on ANY malformed content — missing terminator, count
-    * mismatch, non-numeric bytes, empty coverage: all mean the arming
-    * write never became fully durable, and the stage must be treated
-    * as torn, never completed against a guessed coverage set. */
-  def read(fs: FileSystem, sp: Path): Option[Set[Long]] =
-    scala.util.Try {
-      val in = fs.open(path(sp))
+  /** The three evidentiary states recovery can act on. The distinction
+    * between Absent and Unreadable is LOAD-BEARING: an absent manifest
+    * proves arming never happened (commit is by atomic rename), so the
+    * covered originals are intact; an existing-but-malformed manifest
+    * means arming DID commit and storage mangled the bytes after — the
+    * deletes may have run, and treating it as "never armed" would
+    * authorize discarding the only copy of folded history. Transient
+    * IO failures (a flaky open/read on remote storage) fit neither
+    * state and PROPAGATE — recovery must retry, not decide on a
+    * misread. */
+  sealed trait State
+  case object Absent extends State
+  case object Unreadable extends State
+  final case class Covered(ids: Set[Long]) extends State
+
+  def state(fs: FileSystem, sp: Path): State = {
+    val mp = path(sp)
+    if (!fs.exists(mp)) Absent // FNF only: other IO errors propagate
+    else {
+      // the read itself may throw (transient storage error) — let it;
+      // only CONTENT problems downgrade to Unreadable
+      val in = fs.open(mp)
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
+      parse(lines).fold[State](Unreadable)(Covered)
+    }
+  }
+
+  /** None on ANY malformed content — missing terminator, count
+    * mismatch, non-numeric bytes, empty coverage: the truncation-
+    * detectable format means a surviving prefix can never pass as a
+    * smaller coverage set. */
+  private def parse(lines: List[String]): Option[Set[Long]] =
+    scala.util.Try {
       require(lines.length >= 3 && lines.last == "END")
       val ids = lines.slice(1, lines.length - 1).map(_.toLong).toSet
       require(ids.size == lines.head.toInt && ids.nonEmpty)
       ids
     }.toOption
+
+  /** Covered ids, or None for Absent OR Unreadable — callers that need
+    * to tell those apart (the band store's unattended auto-discard)
+    * must use `state`. Transient IO errors propagate here too. */
+  def read(fs: FileSystem, sp: Path): Option[Set[Long]] =
+    state(fs, sp) match {
+      case Covered(ids) => Some(ids)
+      case _ => None
+    }
 }

@@ -111,9 +111,17 @@ object Layout {
                      numPartitions: Int): Unit = {
     val spark = df.sparkSession
     zorderBy(df, cols, numPartitions).write.mode("overwrite").parquet(path)
+    // stats keep the column's NATIVE type: casting int64 extents to
+    // double rounds above 2^53 (hash-derived / snowflake ids). With a
+    // Double-typed range the rounded compare happens to stay a superset
+    // (round-to-nearest is monotone, so min <= hi survives rounding),
+    // but that's a proof obligation every reader re-derives; native
+    // stats + prunedRead's exact long-space compare make the superset
+    // guarantee structural, and keep the sidecar faithful for ops
+    // tooling that reads it directly.
     val exts = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"${c}_min"),
-      max(col(c).cast("double")).as(s"${c}_max")))
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max")))
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(exts.head, exts.tail: _*)
@@ -241,7 +249,26 @@ object Layout {
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val keep = ranges.map { r =>
       val lo = col(s"${r.column}_min"); val hi = col(s"${r.column}_max")
-      lo.isNull || hi.isNull || (lo <= lit(r.hi) && hi >= lit(r.lo))
+      val intersects = stats.schema(s"${r.column}_min").dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+          // exact int64 comparison: min <= r.hi ⟺ min <= floor(r.hi)
+          // and max >= r.lo ⟺ max >= ceil(r.lo) — floor/ceil are exact
+          // transformations here, so no operand is ever rounded (a
+          // double compare above 2^53 is superset-safe only via a
+          // monotonicity argument; this needs no argument)
+          val hiL = if (r.hi >= Long.MaxValue.toDouble) Long.MaxValue
+                    else math.floor(r.hi).toLong
+          val loL = if (r.lo <= Long.MinValue.toDouble) Long.MinValue
+                    else math.ceil(r.lo).toLong
+          lo.cast("long") <= lit(hiL) && hi.cast("long") >= lit(loL)
+        case _ =>
+          // fractional stats are exact doubles of double data — the
+          // pre-native-stats sidecar format (double-cast extents) also
+          // lands here, so old stores stay readable
+          lo.cast("double") <= lit(r.hi) && hi.cast("double") >= lit(r.lo)
+      }
+      lo.isNull || hi.isNull || intersects
     }.reduce(_ && _)
     val rows = stats.select(col("file"), keep.as("keep")).collect()
     val files = rows.filter(_.getBoolean(1)).map(_.getString(0))

@@ -94,25 +94,6 @@ object Sampling {
     df.filter(unitHash(col(id), salt) < rate)
   }
 
-  /** Quality-weighted Bernoulli sampling: keep each row with
-    * probability `weight / max(weight)` — inclusion odds proportional
-    * to an integral score (token count, quality score), the curation
-    * step between "score the corpus" and "train on the good parts"
-    * that plain uniform sampling can't express.
-    *
-    * EXACT-INTEGER determinism: the float formulation
-    * `unitHash < w/maxW` would hang cross-engine equality on division
-    * rounding; instead the coin compares
-    * `hash_u32 * maxW < w * 2^32` in 64-bit integers — no float
-    * appears anywhere, so any engine that can multiply BIGINTs keeps
-    * bit-identical rows (the same discipline as l23's md5 coin, made
-    * weight-relative). Bounds: hash_u32 < 2^32 and maxW is capped at
-    * 2^30, so both products stay far under 2^63.
-    *
-    * Scale shape: one bounded max-aggregate (1 row, broadcast), then a
-    * codegen'd projection+filter — the corpus is never shuffled. Null
-    * or negative weights fail loudly (a corrupt score silently
-    * sampling at rate 0 is data loss, not curation). */
   /** EXACTLY min(k, |stratum|) rows per stratum ("50 eval docs per
     * language"), deterministically — the k rows with the smallest
     * md5(salt|id) hash. Bernoulli sampling can't hit an exact count;
@@ -148,6 +129,25 @@ object Sampling {
       .drop("_h", "_pg", "_r1", "_r2")
   }
 
+  /** Quality-weighted Bernoulli sampling: keep each row with
+    * probability `weight / max(weight)` — inclusion odds proportional
+    * to an integral score (token count, quality score), the curation
+    * step between "score the corpus" and "train on the good parts"
+    * that plain uniform sampling can't express.
+    *
+    * EXACT-INTEGER determinism: the float formulation
+    * `unitHash < w/maxW` would hang cross-engine equality on division
+    * rounding; instead the coin compares
+    * `hash_u32 * maxW < w * 2^32` in 64-bit integers — no float
+    * appears anywhere, so any engine that can multiply BIGINTs keeps
+    * bit-identical rows (the same discipline as l23's md5 coin, made
+    * weight-relative). Bounds: hash_u32 < 2^32 and maxW is capped at
+    * 2^30, so both products stay far under 2^63.
+    *
+    * Scale shape: one bounded max-aggregate (1 row, broadcast), then a
+    * codegen'd projection+filter — the corpus is never shuffled. Null
+    * or negative weights fail loudly (a corrupt score silently
+    * sampling at rate 0 is data loss, not curation). */
   def weightedByScore(df: DataFrame, id: String, weight: String,
                       salt: String): DataFrame = {
     val w = col(weight).cast("long")

@@ -268,7 +268,15 @@ object IncrementalDedup {
     olds.foreach { case (_, d) =>
       require(fs.delete(d, true), s"compaction failed to delete $d")
     }
-    require(fs.rename(new Path(tmp), new Path(batchDir(bandStoreDir, target))),
+    // rename into an existing dir would NEST the stage inside it (local
+    // FS/HDFS semantics) — the target is in `olds` so it was deleted
+    // above; assert that invariant rather than trust it
+    val targetPath = new Path(batchDir(bandStoreDir, target))
+    require(!fs.exists(targetPath),
+      s"$targetPath still exists after the fold's deletes; refusing a rename " +
+        "that would nest the stage inside it — history is staged in " +
+        s"$tmp; inspect by hand")
+    require(fs.rename(new Path(tmp), targetPath),
       s"compaction failed to swap $tmp into place — history is staged " +
         "there; re-run compactBandStore to complete the swap")
     olds.size
@@ -325,11 +333,15 @@ object IncrementalDedup {
         val name = s.getPath.getName
         val target = stageTarget(name)
         val committed = fs.exists(new Path(s"${s.getPath}/_SUCCESS"))
-        val covered =
-          if (committed) graft.operators.FoldManifest.read(fs, s.getPath)
-          else None
-        covered match {
-          case Some(ids) =>
+        import graft.operators.FoldManifest
+        // transient IO errors reading the manifest PROPAGATE out of
+        // state() — an armed stage must never be auto-discarded on a
+        // misread (retry the recovery instead)
+        val manifest: FoldManifest.State =
+          if (committed) FoldManifest.state(fs, s.getPath)
+          else FoldManifest.Absent
+        manifest match {
+          case FoldManifest.Covered(ids) if committed =>
             fs.listStatus(new Path(bandStoreDir)).toSeq
               .filter(_.isDirectory)
               .foreach(d => d.getPath.getName match {
@@ -338,31 +350,48 @@ object IncrementalDedup {
                     s"compaction recovery failed to delete ${d.getPath}")
                 case _ => ()
               })
-            require(fs.rename(s.getPath, new Path(batchDir(bandStoreDir, target))),
+            // the fold target is always in its own manifest, so the
+            // target dir was deleted above; assert it before renaming
+            // (a rename into an existing dir would NEST the stage)
+            val tp = new Path(batchDir(bandStoreDir, target))
+            require(!fs.exists(tp),
+              s"$tp survived the manifest's deletes — the manifest does not " +
+                s"cover its own target $target; inspect by hand")
+            require(fs.rename(s.getPath, tp),
               s"compaction recovery failed to swap ${s.getPath} into place")
-          case None if committed && name.startsWith(TmpPrefixV2) =>
-            // committed-but-manifestless under the v2 protocol is a
+          case FoldManifest.Absent if committed && name.startsWith(TmpPrefixV2) =>
+            // committed-but-manifest-ABSENT under the v2 protocol is a
             // crash in the window between the stage's parquet commit
             // and the manifest's atomic-rename arming — deletes only
             // ever start AFTER arming, so every original is intact and
-            // the stage is redundant: discard, loudly
+            // the stage is redundant: discard, loudly. (A manifest
+            // that EXISTS but is malformed is NOT this case — arming
+            // committed and storage mangled it; handled below.)
             System.err.println(s"[compaction] discarding unarmed v2 stage " +
               s"${s.getPath} (parquet committed, manifest never armed — " +
               "originals are intact by protocol)")
             require(fs.delete(s.getPath, true),
               s"failed to discard unarmed compaction stage ${s.getPath}")
-          case None if committed =>
+          case _ if committed =>
+            val why = manifest match {
+              case FoldManifest.Unreadable =>
+                "its _FOLDED manifest exists but is malformed (arming " +
+                  "committed, then storage mangled the bytes — the deletes " +
+                  "may already have run)"
+              case _ =>
+                "it has no _FOLDED manifest and was written by the " +
+                  "pre-manifest protocol, whose deletes ran before any " +
+                  "manifest existed"
+            }
             throw new IllegalStateException(
-              s"compaction stage ${s.getPath} is parquet-committed but has no " +
-                "readable _FOLDED coverage manifest — cannot tell a pre-arm crash " +
-                "(safe to discard) from a pre-manifest-protocol crash whose deletes " +
-                "already ran (the stage may be the only copy of the folded history). " +
+              s"compaction stage ${s.getPath} is parquet-committed but $why " +
+                "— the stage may be the only copy of the folded history. " +
                 "Resolve with `Ctl <root> bands-resolve <dir> discard|complete` " +
                 "(resolveAmbiguousStage): discard verifies every stage row is " +
                 "still present in the live partitions before deleting the stage; " +
                 "complete removes exactly the live partitions the stage subsumes " +
                 s"and renames it to ${batchDir(bandStoreDir, target)}")
-          case None => require(fs.delete(s.getPath, true),
+          case _ => require(fs.delete(s.getPath, true),
             s"failed to discard torn compaction stage ${s.getPath}")
         }
       }
@@ -453,9 +482,26 @@ object IncrementalDedup {
       subsumed.foreach { case (_, d) =>
         require(fs.delete(d, true), s"failed to delete subsumed partition $d")
       }
-      require(fs.rename(stage, new Path(batchDir(bandStoreDir, target))),
-        s"failed to rename $stage into place — target partition exists and " +
-          "is not subsumed by the stage; inspect by hand")
+      // Hadoop rename into an EXISTING directory does not fail — it
+      // moves the stage INSIDE it and returns true (local FS and HDFS
+      // both), which would nest the dot-dir invisibly under the live
+      // partition and silently lose the folded history. The target can
+      // still exist here in two shapes: committed-but-unsubsumed
+      // (recommitted after the stage was cut with rows the stage lacks
+      // — completion must not clobber it, fail to a human) or torn
+      // (never committed, invisible to readers, its writer will replay
+      // — clearing it is safe).
+      val targetPath = new Path(batchDir(bandStoreDir, target))
+      if (fs.exists(targetPath)) {
+        require(!fs.exists(new Path(s"$targetPath/_SUCCESS")),
+          s"live committed partition $targetPath contains rows the stage does " +
+            "not subsume — completing would replace or nest into it; inspect " +
+            "by hand (the stage target was recommitted after the stage was cut)")
+        require(fs.delete(targetPath, true),
+          s"failed to clear torn partition $targetPath before the swap")
+      }
+      require(fs.rename(stage, targetPath),
+        s"failed to rename $stage into place")
       s"completed ${stage.getName}: replaced subsumed partitions " +
         s"[${subsumed.map(_._1).mkString(", ")}] with ingest_batch=$target" +
         (if (subsumed.size < live.size)

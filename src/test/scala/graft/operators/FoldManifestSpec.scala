@@ -36,6 +36,21 @@ class FoldManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("state(): Absent without a file, Unreadable on malformed bytes, Covered on a commit") {
+    val sp = freshStage()
+    // no _FOLDED at all: arming provably never happened
+    assert(FoldManifest.state(fs, sp) == FoldManifest.Absent)
+    FoldManifest.write(fs, sp, Seq(3L, 7L))
+    assert(FoldManifest.state(fs, sp) == FoldManifest.Covered(Set(3L, 7L)))
+    // mangle the committed bytes: the file EXISTS, so this is NOT
+    // "never armed" — recovery must not auto-discard on it
+    Files.write(Paths.get(sp.toString, "_FOLDED"), "2\n3".getBytes)
+    Files.deleteIfExists(Paths.get(sp.toString, "._FOLDED.crc"))
+    assert(FoldManifest.state(fs, sp) == FoldManifest.Unreadable)
+    assert(FoldManifest.read(fs, sp).isEmpty)
+    fs.delete(sp, true)
+  }
+
   test("no truncation of a committed manifest parses as a coverage set") {
     // ids chosen so single-line prefixes still look id-like — the count
     // header + END terminator must catch what shape alone cannot

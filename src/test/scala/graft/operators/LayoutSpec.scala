@@ -147,6 +147,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(empty.df.schema == plain.schema)
   }
 
+  test("file stats stay exact for int64 keys above 2^53 (native-typed sidecar)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bigkey_spec").toString
+    // snowflake-scale ids: doubles near 2^60 are spaced 256 apart, so a
+    // double-cast sidecar could not even REPRESENT these extents
+    val base = 1L << 60
+    val data = spark.range(1024)
+      .select((col("id") * 1000000L + base).as("k"), (col("id") % 7).as("v"))
+    Layout.writeClustered(data, s"$root/t", Seq("k"), numPartitions = 8)
+    // stats must carry the native long type, not a rounded double
+    val statsType = spark.read.parquet(s"$root/t/_filestats").schema("k_min").dataType
+    assert(statsType == org.apache.spark.sql.types.LongType, s"got $statsType")
+    // a narrow range deep in the >2^53 regime: pruned scan + residual
+    // must return exactly the covered keys
+    val lo = base + 500L * 1000000L
+    val hi = base + 503L * 1000000L
+    val scan = Layout.prunedRead(spark, s"$root/t",
+      Seq(Layout.ColRange("k", lo.toDouble, hi.toDouble)))
+    assert(scan.filesRead < scan.filesTotal, s"read ${scan.filesRead} of ${scan.filesTotal}")
+    val got = scan.df.filter(col("k") >= lo && col("k") <= hi)
+      .select("k").as[Long].collect().toSet
+    assert(got == (500L to 503L).map(i => base + i * 1000000L).toSet)
+  }
+
   test("bloom sidecar: point lookups prune files and the superset is loss-free") {
     val root = java.nio.file.Files.createTempDirectory("graft_bloom_spec").toString
     val data = spark.range(4096).select(col("id").as("k"), (col("id") * 7).as("payload"))

@@ -289,7 +289,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       "2\n1\n2".getBytes("UTF-8"))
     val err = intercept[IllegalStateException](
       IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0))
-    assert(err.getMessage.contains("no readable _FOLDED"))
+    assert(err.getMessage.contains("malformed"))
     assert(Files.exists(Paths.get(s"$bands/.compact_tmp_5")),
       "the ambiguous stage must be left for manual resolution")
     assert(partDirs() == Set("ingest_batch=1", "ingest_batch=2"))
@@ -328,6 +328,21 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       "unarmed v2 stage must be auto-discarded")
     assert(partDirs() == Set("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
 
+    // (a') v2 stage whose manifest EXISTS but is malformed: this is NOT
+    // "never armed" — arming committed and storage mangled the bytes,
+    // so the deletes may have run. Auto-discard here would destroy
+    // what may be the only copy; recovery must fail fast instead
+    stageOf(".compact_tmp2_1", 0, 1)
+    Files.write(Paths.get(s"$bands/.compact_tmp2_1/_FOLDED"),
+      "2\n0".getBytes("UTF-8"))
+    val mangled = intercept[IllegalStateException](
+      IncrementalDedup.compactBandStore(spark, bands, upToBatch = 0))
+    assert(mangled.getMessage.contains("malformed"))
+    assert(Files.exists(Paths.get(s"$bands/.compact_tmp2_1")),
+      "a mangled-manifest v2 stage must never be auto-discarded")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$bands/.compact_tmp2_1"))
+
     // (b) LEGACY ambiguous stage with all originals intact: automated
     // recovery must still fail fast; the resolve verb verifies every
     // stage row is present among the live partitions, then discards
@@ -364,6 +379,49 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "complete")).isLeft)
     // bad mode → usage path
     assert(graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "nuke")).isLeft)
+  }
+
+  test("bands-resolve complete never nests the stage into an existing target partition") {
+    val root = Files.createTempDirectory("graft_incr_nest").toString
+    val bands = s"$root/bands"
+    def part(b: Int, rows: (Long, Int, String)*): Unit =
+      rows.toDF("doc_id", "band", "bsig").write.mode("overwrite")
+        .parquet(s"$bands/ingest_batch=$b")
+    def stageOf(prefixed: String, ids: Int*): Unit =
+      spark.read.option("basePath", bands)
+        .parquet(ids.map(b => s"$bands/ingest_batch=$b"): _*)
+        .drop("ingest_batch")
+        .write.mode("overwrite").parquet(s"$bands/$prefixed")
+    import org.apache.commons.io.FileUtils
+
+    // (1) committed-but-UNSUBSUMED target: legacy stage of {1, 2}
+    // crashed post-delete, then batch 2 was recommitted with a row the
+    // stage does not contain. Hadoop rename into the existing dir
+    // returns true and NESTS the stage (silent loss of the fold) —
+    // completion must refuse instead
+    part(1, (1L, 0, "a")); part(2, (2L, 0, "b"))
+    stageOf(".compact_tmp_2", 1, 2)
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=1"))
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=2"))
+    part(2, (2L, 0, "b"), (9L, 0, "z")) // recommit with an extra row
+    val refused = graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "complete"))
+    assert(refused.isLeft && refused.swap.exists(_.contains("inspect by hand")),
+      s"completion must refuse a committed unsubsumed target: $refused")
+    assert(Files.exists(Paths.get(s"$bands/.compact_tmp_2")) &&
+      !Files.exists(Paths.get(s"$bands/ingest_batch=2/.compact_tmp_2")),
+      "the stage must be neither lost nor nested")
+
+    // (2) TORN target (no _SUCCESS): never committed, invisible to
+    // readers, its writer will replay — completion clears it and swaps
+    FileUtils.deleteDirectory(new java.io.File(s"$bands/ingest_batch=2"))
+    part(2, (9L, 9, "torn"))
+    Files.deleteIfExists(Paths.get(s"$bands/ingest_batch=2/_SUCCESS"))
+    Files.deleteIfExists(Paths.get(s"$bands/ingest_batch=2/._SUCCESS.crc"))
+    val done = graft.Ctl.run(spark, root, "bands-resolve", Array("bands", "complete"))
+    assert(done.exists(_.startsWith("completed")), s"$done")
+    assert(IncrementalDedup.seenBands(spark, bands, Long.MaxValue).get
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "the folded history must be live after clearing the torn target")
   }
 
   test("stored candidates + verify + groups equal the batch recompute over the union corpus") {

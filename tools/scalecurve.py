@@ -34,10 +34,13 @@ def main():
         sys.exit("no common queries between the two runs")
     rows = sorted(((big[k] / max(small[k], 1e-9), small[k], big[k], k)
                    for k in common), reverse=True)
-    # sub-second-at-small-SF queries are all fixed overhead — their
-    # ratios measure JVM noise, not work growth; audit them only
-    # against an absolute bar at the big SF
-    bad = [k for r, s, b, k in rows if s >= 0.5 and r > 2 * data_ratio]
+    # sub-half-second-at-small-SF queries are mostly fixed overhead —
+    # their ratios measure JVM noise, not work growth; audit them
+    # against an absolute bar at the big SF instead: treat t(small) as
+    # if it were the 0.5 s floor, so 0.4 s -> 60 s (a 150x blowup)
+    # still trips, while 0.1 s -> 2 s (startup noise) doesn't
+    bad = [k for r, s, b, k in rows
+           if b > 2 * data_ratio * max(s, 0.5)]
     print(f"| query | t(small) s | t(big) s | ratio (data {data_ratio:g}x) |")
     print("|---|---|---|---|")
     for r, s, b, k in rows[:15]:
@@ -48,7 +51,7 @@ def main():
           f"data ({data_ratio:g}x), max ratio {rows[0][0]:.1f}x "
           f"({rows[0][3]}).")
     if bad:
-        print(f"SUPERLINEAR (> {2*data_ratio:g}x with t(small) >= 0.5 s): "
+        print(f"SUPERLINEAR (t(big) > {2*data_ratio:g}x * max(t(small), 0.5 s)): "
               + ", ".join(bad))
         sys.exit(1)
     print("No query grows superlinearly in data size.")
