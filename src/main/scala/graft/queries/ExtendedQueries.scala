@@ -334,6 +334,21 @@ object ExtendedQueries {
         .orderBy(col("lang"))
     }),
 
+    // Temperature mixture resampling at α = 0.5: keep_rate per lang =
+    // sqrt(n_min/n_s) — the mT5-style tail-boosting knob, graded on
+    // the IEEE-exact sqrt path so DuckDB reproduces the rates
+    // bit-for-bit (pow has no cross-libm rounding guarantee; sqrt
+    // does).
+    "x19_temperature_mix" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      graft.operators.Sampling.temperatureMix(d, "lang", "doc_id",
+          alpha = 0.5, salt = "tmix9")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -492,6 +507,19 @@ object ExtendedQueries {
         |  MIN(doc_id) AS first_doc
         |FROM r WHERE cum <= (SELECT SUM(n_chars) * 2 // 5 FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // x19: same rate chain — counts, min, one exact double division,
+    // one correctly-rounded sqrt, the shared md5 coin.
+    "x19_temperature_mix" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(ns) AS nmin FROM n),
+        |rates AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate
+        |          FROM n, m)
+        |SELECT d.lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents d JOIN rates r ON r.lang = d.lang
+        |WHERE CAST('0x' || substr(md5('tmix9|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0 < r.rate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -107,6 +107,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.sample(df, "doc_id", 0.0, "s").count() == 0)
   }
 
+  test("temperatureMix: α=1 is identity, the smallest stratum always survives whole, α tempers the head") {
+    // head 1600 / mid 400 / tail 100
+    val docs = spark.range(2100).select(col("id"),
+      when(col("id") < 1600, "head").when(col("id") < 2000, "mid").otherwise("tail").as("s"))
+    // α = 1: natural mix — every rate is (nmin/ns)^0 = 1, nothing drops
+    assert(Sampling.temperatureMix(docs, "s", "id", 1.0, "tm").count() == 2100)
+    // α = 0.5: the smallest stratum keeps rate 1 EXACTLY (sqrt(1)),
+    // the head keeps sqrt(100/1600) = 1/4 in expectation
+    val kept = Sampling.temperatureMix(docs, "s", "id", 0.5, "tm")
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(kept("tail") == 100, "the smallest stratum must keep every row")
+    // binomial(1600, 0.25): σ≈17.3 — 6σ window
+    assert(math.abs(kept("head") - 400) < 104, s"head kept ${kept("head")}, expected ≈400")
+    // deterministic across layouts
+    val re = Sampling.temperatureMix(docs.repartition(13), "s", "id", 0.5, "tm")
+      .select("id").as[Long].collect().toSet
+    assert(re == Sampling.temperatureMix(docs, "s", "id", 0.5, "tm")
+      .select("id").as[Long].collect().toSet)
+    // α = 0 equalizes expected counts: every stratum's expectation is
+    // n_tail = 100 (binomial noise aside)
+    val eq = Sampling.temperatureMix(docs, "s", "id", 0.0, "tm2")
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(eq("tail") == 100)
+    assert(math.abs(eq("head") - 100) < 60 && math.abs(eq("mid") - 100) < 60, s"$eq")
+  }
+
   test("weightedByScore: max-weight rows kept EXACTLY (p=1), light rows ∝ weight, layout-invariant") {
     // 500 light (w=200) + 500 heavy (w=1000): p = 0.2 / 1.0
     val docs = spark.range(1000)
