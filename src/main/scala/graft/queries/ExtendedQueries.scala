@@ -349,6 +349,29 @@ object ExtendedQueries {
         .orderBy(col("lang"))
     }),
 
+    // The training-export pipeline COMPOSED: temperature-tempered
+    // language mix (α=0.5) → token-budget selection (30% of the
+    // tempered corpus) → balanced shard dealing (4 shards) — each step
+    // graded alone in x19/x18/x15, this row grades their interplay:
+    // the budget frontier runs over the SAMPLED corpus, the shard rank
+    // over the BUDGETED corpus, and one drifted row anywhere upstream
+    // hash-fails the whole chain. DuckDB replays the full chain as
+    // window CTEs.
+    "x20_export_pipeline" -> ((s, dir) => {
+      import graft.operators.{Packing, Sampling}
+      val d = Tables.load(s, dir, "documents")
+      val mixed = Sampling.temperatureMix(d, "lang", "doc_id",
+        alpha = 0.5, salt = "tmix9")
+      val budget = mixed.agg(sum(col("n_chars"))).head().getLong(0) * 3 / 10
+      val kept = Packing.selectByBudget(
+        mixed, Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget)
+      Packing.balancedShards(kept, "doc_id", "n_chars", nShards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -520,6 +543,30 @@ object ExtendedQueries {
         |WHERE CAST('0x' || substr(md5('tmix9|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      / 4294967296.0 < r.rate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x20: the whole export chain as CTEs — tempered mix, inclusive
+    // budget cumsum, serpentine deal over the budgeted rank.
+    "x20_export_pipeline" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(ns) AS nmin FROM n),
+        |rates AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate
+        |          FROM n, m),
+        |mix AS (SELECT d.* FROM documents d JOIN rates r ON r.lang = d.lang
+        |  WHERE CAST('0x' || substr(md5('tmix9|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        / 4294967296.0 < r.rate),
+        |sel AS (SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM mix),
+        |kept AS (SELECT doc_id, n_chars FROM sel
+        |  WHERE cum <= (SELECT SUM(n_chars) * 3 // 10 FROM mix)),
+        |r AS (SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+        |  FROM kept)
+        |SELECT CAST(CASE WHEN (rn // 4) % 2 = 0 THEN rn % 4
+        |            ELSE 3 - rn % 4 END AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
