@@ -102,6 +102,58 @@ object Layout {
 
   private val StatsDir = "_filestats"
 
+  /** Basename of a file path/URI column — sidecars store file
+    * references RELATIVE to the store root (the Delta/Iceberg
+    * convention), so a moved or copied store resolves against the
+    * read-time path instead of a dead (or worse, stale-but-alive)
+    * absolute URI captured at write time. Data files sit directly
+    * under the root (plain parquet write), so the basename IS the
+    * relative path. Absolute URIs from pre-relative sidecars
+    * normalize through the same extraction, keeping old stores
+    * readable — the listing check below still verifies they belong
+    * to THIS root. */
+  private def fileName(c: Column): Column = regexp_extract(c, "[^/]+$", 0)
+
+  /** Planning-time listing of the parquet data files directly under
+    * `path` (underscore/dot names are metadata, not data). O(files),
+    * the same cost class as reading the sidecar itself. */
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Set[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hPath).iterator
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .toSet
+  }
+
+  /** A pruned scan is a SUPERSET guarantee over the store's data — a
+    * guarantee the sidecar can only honor if it covers every data file
+    * actually present. Any file added after the sidecar was written
+    * (append, compaction, out-of-band write) would otherwise be
+    * silently excluded from every pruned scan: silent data loss, the
+    * exact failure class the rest of the engine fails loudly on. So at
+    * plan time the sidecar's file set must EQUAL the store's listing —
+    * drift in either direction aborts the scan with the offending
+    * files named. */
+  private def requireSidecarCovers(actual: Set[String],
+                                   sidecar: Seq[String],
+                                   sidecarDir: String, path: String): Unit = {
+    val inSidecar = sidecar.toSet
+    val uncovered = actual -- inSidecar
+    val stale = inSidecar -- actual
+    require(uncovered.isEmpty && stale.isEmpty,
+      s"$sidecarDir sidecar at '$path' does not match the store's data files — " +
+        (if (uncovered.nonEmpty)
+          s"files NOT covered by the sidecar (written after it?): ${uncovered.toSeq.sorted.mkString(", ")}. "
+        else "") +
+        (if (stale.nonEmpty)
+          s"sidecar entries with no data file (deleted/moved?): ${stale.toSeq.sorted.mkString(", ")}. "
+        else "") +
+        "Rebuild the sidecar (writeClustered/writeBloomSidecar) before pruned reads.")
+  }
+
   /** Z-order `df` over `cols`, write it to `path`, and commit a
     * per-file min/max stats sidecar for those columns. The sidecar scan
     * is one extra read of the fresh files (file-grouped min/max — at
@@ -123,7 +175,7 @@ object Layout {
       min(col(c)).as(s"${c}_min"),
       max(col(c)).as(s"${c}_max")))
     spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+      .groupBy(fileName(input_file_name()).as("file"))
       .agg(exts.head, exts.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
@@ -182,7 +234,7 @@ object Layout {
     // value, and the probe side hashes Long literals
     val pos = probePositions(col(keyCol).cast("long"), bits)
     val withPos = spark.read.parquet(path)
-      .select(input_file_name().as("file") +:
+      .select(fileName(input_file_name()).as("file") +:
         pos.zipWithIndex.map { case (p, i) => p.as(s"_p$i") }: _*)
     // per-row contribution to slot j: the probe's bit if the probe
     // lands in that slot (shift amount is a column, so expr() — the
@@ -214,6 +266,7 @@ object Layout {
     require(keys.nonEmpty, "bloomPrunedRead with no keys reads nothing")
     import spark.implicits._
     val bloomDf = spark.read.parquet(s"$path/$BloomDir")
+      .withColumn("file", fileName(col("file")))
     // the filter's width travels with the store: slots are the sidecar's
     // b* columns, so probe and build can never disagree on geometry
     val slots = bloomDf.schema.fieldNames.count(_.startsWith("b"))
@@ -223,12 +276,15 @@ object Layout {
       .collect()
       .map(r => (0 until BloomProbes).map(r.getLong))
     val blooms = bloomDf.collect()
+    requireSidecarCovers(listDataFiles(spark, path),
+      blooms.toIndexedSeq.map(r => r.getString(r.fieldIndex("file"))),
+      BloomDir, path)
     def bitSet(r: org.apache.spark.sql.Row, p: Long): Boolean = {
       val slot = r.getLong(r.fieldIndex(s"b${(p / 64).toInt}"))
       ((slot >>> (p % 64).toInt) & 1L) == 1L
     }
     val files = blooms.filter(r => probes.exists(_.forall(bitSet(r, _))))
-      .map(r => r.getString(r.fieldIndex("file")))
+      .map(r => s"$path/${r.getString(r.fieldIndex("file"))}")
     val schema = spark.read.parquet(path).schema
     val df =
       if (files.isEmpty) spark.createDataFrame(
@@ -247,6 +303,7 @@ object Layout {
                  ranges: Seq[ColRange]): PrunedScan = {
     require(ranges.nonEmpty, "prunedRead with no ranges is a plain read")
     val stats = spark.read.parquet(s"$path/$StatsDir")
+      .withColumn("file", fileName(col("file")))
     val keep = ranges.map { r =>
       val lo = col(s"${r.column}_min"); val hi = col(s"${r.column}_max")
       val intersects = stats.schema(s"${r.column}_min").dataType match {
@@ -271,7 +328,9 @@ object Layout {
       lo.isNull || hi.isNull || intersects
     }.reduce(_ && _)
     val rows = stats.select(col("file"), keep.as("keep")).collect()
-    val files = rows.filter(_.getBoolean(1)).map(_.getString(0))
+    requireSidecarCovers(listDataFiles(spark, path),
+      rows.toIndexedSeq.map(_.getString(0)), StatsDir, path)
+    val files = rows.filter(_.getBoolean(1)).map(r => s"$path/${r.getString(0)}")
     val schema = spark.read.parquet(path).schema
     val df =
       if (files.isEmpty) spark.createDataFrame(

@@ -31,6 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Internal/output column names must be ABSENT from the input:
+    * `withColumn` silently replaces a caller column of the same name
+    * (and `withColumnRenamed` silently DUPLICATES the target name), so
+    * a collision is either data loss or a downstream ambiguity error
+    * far from its cause. Loud failure at the operator boundary instead
+    * — the same convention the engine uses for corrupt weights and
+    * ambiguous recovery states. */
+  private[operators] def requireAbsent(df: DataFrame, op: String,
+                                       names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first; these names are reserved for the operator's output/scratch")
+  }
+
   /** Context-window chunking — the inverse sibling of packSequences:
     * documents LONGER than the window split into consecutive
     * `chunkSize`-token chunks (last chunk ragged). Pure projection +
@@ -39,6 +54,8 @@ object Packing {
     * preserved for lineage joins). */
   def chunkTokens(docs: DataFrame, id: String, text: String, chunkSize: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
+    require(!Seq("toks", "chunk_idx", "chunk_text", "n_tokens").contains(id),
+      s"chunkTokens: id column '$id' collides with an output/scratch name")
     val nChunks = greatest(
       ceil(size(col("toks")).cast("double") / chunkSize).cast("int"), lit(1))
     // null text ≡ token-free text (one empty chunk, n_tokens 0) — raw
@@ -113,6 +130,7 @@ object Packing {
     * ties are boundary-dependent. */
   def globalRank(df: DataFrame, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(order.nonEmpty, "globalRank requires an ordering")
+    requireAbsent(df, "globalRank", "_rank")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = org.apache.spark.sql.types.StructType(
@@ -138,6 +156,7 @@ object Packing {
   def cumulativeByRank(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
                        weight: String): DataFrame = {
     require(order.nonEmpty, "cumulativeByRank requires an ordering")
+    requireAbsent(df, "cumulativeByRank", "_w", "_cum")
     val spark = df.sparkSession
     val sorted = df.withColumn("_w",
         when(col(weight).isNull || col(weight).cast("long") < 0,
@@ -190,6 +209,7 @@ object Packing {
     * the order is total whenever ids are unique. Output: input columns
     * + `pos` (dense 0-based). */
   def epochOrder(df: DataFrame, id: String, epoch: Int): DataFrame = {
+    requireAbsent(df, "epochOrder", "pos")
     val h = md5(concat(lit(s"epoch$epoch|"), col(id).cast("string")))
     globalRank(df, Seq(h, col(id))).withColumnRenamed("_rank", "pos")
   }
@@ -208,6 +228,7 @@ object Packing {
   def balancedShards(df: DataFrame, id: String, weight: String,
                      nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    requireAbsent(df, "balancedShards", "shard")
     globalRank(df, Seq(col(weight).desc, col(id)))
       .withColumn("shard",
         when(expr(s"_rank div $nShards") % 2 === 0,

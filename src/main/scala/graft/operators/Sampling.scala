@@ -52,6 +52,7 @@ object Sampling {
   def toTargetMix(df: DataFrame, stratum: String, id: String,
                   targets: Map[String, Double], salt: String): DataFrame = {
     require(targets.nonEmpty, "toTargetMix requires at least one target stratum")
+    Packing.requireAbsent(df, "toTargetMix", "rate")
     targets.values.foreach(w => require(w > 0.0, s"target weights must be > 0, got $w"))
     val spark = df.sparkSession
     val t = spark.createDataFrame(targets.toSeq.sortBy(_._1))
@@ -117,6 +118,7 @@ object Sampling {
   def exactKPerStratum(df: DataFrame, stratum: String, id: String,
                        k: Int, salt: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    Packing.requireAbsent(df, "exactKPerStratum", "_h", "_pg", "_r1", "_r2")
     import org.apache.spark.sql.expressions.Window
     val h = md5(concat(lit(salt + "|"), coalesce(col(id).cast("string"), lit(""))))
     // spark_partition_id is projected BEFORE the phase-1 window so its
@@ -157,6 +159,7 @@ object Sampling {
   def temperatureMix(df: DataFrame, stratum: String, id: String,
                      alpha: Double, salt: String): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    Packing.requireAbsent(df, "temperatureMix", "_rate")
     val n = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n"))
     val ratio = col("_nmin").cast("double") / col("_n").cast("double")
     val rate =
@@ -195,6 +198,7 @@ object Sampling {
     * sampling at rate 0 is data loss, not curation). */
   def weightedByScore(df: DataFrame, id: String, weight: String,
                       salt: String): DataFrame = {
+    Packing.requireAbsent(df, "weightedByScore", "_maxw")
     val w = col(weight).cast("long")
     val mx = df.agg(max(
       when(w.isNull || w < 0,

@@ -193,4 +193,58 @@ class LayoutSpec extends AnyFunSuite {
     assert(miss.filesRead <= 2, s"absent key read ${miss.filesRead} files")
     assert(miss.df.filter(col("k") === 999999L).count() == 0)
   }
+
+  test("sidecar drift fails loudly: files appended after the sidecar abort every pruned read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
+    val data = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("payload"))
+    Layout.writeClustered(data, s"$root/t", Seq("k"), numPartitions = 4)
+    Layout.writeBloomSidecar(spark, s"$root/t", "k")
+    // sanity: both readers work before the drift
+    assert(Layout.prunedRead(spark, s"$root/t",
+      Seq(Layout.ColRange("k", 0, 10))).df.count() > 0)
+    assert(Layout.bloomPrunedRead(spark, s"$root/t", Seq(5L)).filesRead >= 1)
+
+    // an out-of-band append the sidecar knows nothing about — a pruned
+    // scan that silently excluded it would be silent data loss
+    spark.range(5000, 5100).select(col("id").as("k"), (col("id") * 3).as("payload"))
+      .coalesce(1).write.mode("append").parquet(s"$root/t")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.prunedRead(spark, s"$root/t", Seq(Layout.ColRange("k", 0, 10)))
+    }
+    assert(e1.getMessage.contains("NOT covered"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.bloomPrunedRead(spark, s"$root/t", Seq(5L))
+    }
+    assert(e2.getMessage.contains("NOT covered"), e2.getMessage)
+
+    // rebuilding the sidecars clears the drift — and the refreshed
+    // pruned scan now SEES the appended rows through the residual
+    Layout.writeClustered(spark.read.parquet(s"$root/t"), s"$root/t2",
+      Seq("k"), numPartitions = 4)
+    val healed = Layout.prunedRead(spark, s"$root/t2",
+      Seq(Layout.ColRange("k", 5000, 5099)))
+    assert(healed.df.filter(col("k").between(5000, 5099)).count() == 100)
+  }
+
+  test("a moved/copied store resolves sidecar files against the read-time root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_move_spec").toString
+    val data = spark.range(2048).select(col("id").as("k"), (col("id") * 5).as("payload"))
+    Layout.writeClustered(data, s"$root/orig", Seq("k"), numPartitions = 8)
+    Layout.writeBloomSidecar(spark, s"$root/orig", "k")
+    // copy the store wholesale, then DELETE the original — an absolute-
+    // path sidecar would now read dead URIs (or, worse, stale data if
+    // the original survived); relative resolution must read the copy
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$root/orig"), new java.io.File(s"$root/moved"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/orig"))
+
+    val scan = Layout.prunedRead(spark, s"$root/moved",
+      Seq(Layout.ColRange("k", 100, 120)))
+    assert(scan.filesRead < scan.filesTotal)
+    assert(scan.df.filter(col("k").between(100, 120)).count() == 21)
+
+    val bloom = Layout.bloomPrunedRead(spark, s"$root/moved", Seq(77L))
+    assert(bloom.df.filter(col("k") === 77L)
+      .select("payload").as[Long].collect().toSeq == Seq(385L))
+  }
 }

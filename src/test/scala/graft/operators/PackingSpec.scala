@@ -186,4 +186,22 @@ class PackingSpec extends AnyFunSuite {
       .select("doc_id", "shard").as[(Long, Long)].collect().toMap
     assert(assign == re)
   }
+
+  test("reserved output/scratch column names fail loudly instead of silently clobbering") {
+    val df = Seq((1L, 5L)).toDF("id", "w")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Packing.globalRank(df.withColumn("_rank", lit(0)), Seq(col("id"))))
+      .contains("_rank"))
+    assert(msg(Packing.epochOrder(df.withColumn("pos", lit(0)), "id", epoch = 1))
+      .contains("pos"))
+    assert(msg(Packing.balancedShards(df.withColumn("shard", lit(0)), "id", "w", 2))
+      .contains("shard"))
+    assert(msg(Packing.cumulativeByRank(df.withColumn("_cum", lit(0)), Seq(col("id")), "w"))
+      .contains("_cum"))
+    assert(msg(Packing.chunkTokens(Seq((1L, "a b")).toDF("chunk_idx", "text"),
+      "chunk_idx", "text", 4)).contains("chunk_idx"))
+    // and the guard does not fire on clean inputs
+    assert(Packing.epochOrder(df, "id", epoch = 1).columns.contains("pos"))
+  }
 }

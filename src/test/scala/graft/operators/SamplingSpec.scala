@@ -184,4 +184,18 @@ class SamplingSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("null/negative weight")))
   }
+
+  test("reserved scratch column names fail loudly instead of silently clobbering") {
+    val df = Seq((1L, "en", 10L)).toDF("id", "lang", "w")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Sampling.toTargetMix(df.withColumn("rate", lit(0)), "lang", "id",
+      Map("en" -> 1.0), "s")).contains("rate"))
+    assert(msg(Sampling.exactKPerStratum(df.withColumn("_h", lit(0)), "lang", "id", 1, "s"))
+      .contains("_h"))
+    assert(msg(Sampling.temperatureMix(df.withColumn("_rate", lit(0)), "lang", "id", 0.5, "s"))
+      .contains("_rate"))
+    assert(msg(Sampling.weightedByScore(df.withColumn("_maxw", lit(0)), "id", "w", "s"))
+      .contains("_maxw"))
+  }
 }

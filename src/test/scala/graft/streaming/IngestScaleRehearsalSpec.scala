@@ -91,21 +91,22 @@ class IngestScaleRehearsalSpec extends AnyFunSuite {
     println("[rehearsal] partition dirs:   " + dirsAfter.mkString(" "))
     println("[rehearsal] parquet files:    " + filesAfter.mkString(" "))
 
-    // (b) flat per-drop cost: the median of the last 4 drops within 3×
-    // the median of drops 2–5 (drops 0–1 excluded as JIT/stream-init
-    // warmup; median + a 3× bar shields against one-off host spikes
-    // while still failing an O(drops) trend, which at 16 drops would
-    // show ≳4× between the windows)
+    // (b) flat per-drop cost, asserted on WORK rather than seconds: a
+    // drop's fold can only read the band-store files present at that
+    // drop, so a file count that stays flat across ALL drops bounds
+    // per-drop read work at O(1) in drops. Wall-clock is a printed
+    // diagnostic only — this host's unrelated drift windows reach
+    // ~1.3–2.4× on unchanged code (README), which a seconds bar would
+    // convert into routine flakes.
+    val ref = filesAfter(3).max(1)
+    filesAfter.zipWithIndex.drop(4).foreach { case (n, i) =>
+      assert(n <= 2 * ref,
+        s"file count creeping at drop $i: ${filesAfter.mkString(" ")}")
+    }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val early = median(secs.slice(2, 6).toIndexedSeq)
-    val late = median(secs.takeRight(4).toIndexedSeq)
-    assert(late <= 3 * early,
-      f"per-drop cost is creeping: early median $early%.2f s, late median $late%.2f s")
-    // file count is bounded by the layout bound (dirs × per-write
-    // parallelism), not by drop count: the final store must not hold
-    // more than 2× the files present right after the first fold
-    assert(filesAfter.last <= 2 * filesAfter(3).max(1),
-      s"file count creeping: ${filesAfter.mkString(" ")}")
+    println(f"[rehearsal] per-drop medians (diagnostic): " +
+      f"early ${median(secs.slice(2, 6).toIndexedSeq)}%.2f s, " +
+      f"late ${median(secs.takeRight(4).toIndexedSeq)}%.2f s")
 
     // (c) bit-for-bit equivalence with the batch recompute (the
     // l66-vs-l44 contract, through ~nDrops/2 compaction cycles)
