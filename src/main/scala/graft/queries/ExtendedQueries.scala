@@ -372,6 +372,73 @@ object ExtendedQueries {
         .orderBy(col("shard"))
     }),
 
+    // Cross-source quality calibration: a raw score threshold means a
+    // different thing in every source (a "good" crawl doc ≠ a "good"
+    // code doc), so curation thresholds are set on the PER-SOURCE
+    // percentile, not the raw score. The percentile comes from
+    // Packing.groupRank — the scalable replacement for
+    // `percent_rank() OVER (PARTITION BY source)`, whose per-group
+    // window would funnel a dominant source (60 % of a 100 TB corpus)
+    // through ONE task. groupRank range-partitions by (source, score)
+    // jointly, so a giant source spreads across the cluster; the
+    // |sources|-row start-offset table broadcasts back. The calibrated
+    // value is one exact-integer division per row — IEEE-identical in
+    // any engine, so the oracle's percent_rank reproduces it bit-for-
+    // bit (order is total via the doc_id tiebreak → rank == row_number).
+    "x21_calibrated_quality" -> ((s, dir) => {
+      import graft.operators.Packing
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Packing.groupRank(d, "source", Seq(col("n_chars"), col("doc_id")))
+        .withColumn("cal",
+          when(col("group_n") === 1, lit(0.0))
+            .otherwise(col("group_rank").cast(DoubleType) /
+              (col("group_n") - 1).cast(DoubleType)))
+        .filter(col("cal") >= 0.9)
+        .select(col("doc_id"), col("source"), col("cal"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-format round-trip: the corpus re-written as ORC, NDJSON,
+    // and CSV, read back through each DataSource, and proven LOSSLESS
+    // in-query (exceptAll both ways must be empty — a loud failure, not
+    // a drifting count) before surfacing one content profile per
+    // format for the oracle to grade. A user of the reference ingests
+    // whatever the crawl ships; this row pins that every columnar/text
+    // format Spark serves yields byte-identical relational content.
+    // (The full-corpus exceptAll is the graded-scale form of the check;
+    // at 100 TB the same gate runs per ingest file, not per corpus.)
+    "x22_format_roundtrip" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      val root = graft.Scratch.dir("graft_fmt")
+      base.write.mode("overwrite").orc(s"$root/orc")
+      base.write.mode("overwrite").json(s"$root/json")
+      base.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"").csv(s"$root/csv")
+      val schema = base.schema
+      val backs = Seq(
+        "csv" -> s.read.schema(schema)
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true").csv(s"$root/csv"),
+        "json" -> s.read.schema(schema).json(s"$root/json"),
+        "orc" -> s.read.schema(schema).orc(s"$root/orc"),
+        "parquet" -> base)
+      backs.foreach { case (fmt, df) =>
+        val drift = df.exceptAll(base).count() + base.exceptAll(df).count()
+        require(drift == 0, s"$fmt round-trip lost or changed $drift rows")
+      }
+      backs.map { case (fmt, df) =>
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .select(lit(fmt).as("fmt"), col("n_docs"), col("sum_id"),
+            col("sum_chars"), col("n_langs"))
+      }.reduce(_ unionByName _).orderBy(col("fmt"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -567,6 +634,29 @@ object ExtendedQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS first_doc
         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    // x21: DuckDB's percent_rank over the same total order — ties are
+    // impossible (doc_id tiebreak), so rank == row_number and both
+    // engines compute the identical (rank-1)/(n-1) IEEE quotient.
+    "x21_calibrated_quality" ->
+      """SELECT doc_id, source,
+        |  percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS cal
+        |FROM documents
+        |QUALIFY cal >= 0.9
+        |ORDER BY doc_id""".stripMargin,
+    // x22: the format legs are Spark-side physical round-trips DuckDB
+    // has no part in; losslessness is enforced in-query (exceptAll both
+    // directions), so the oracle grades one identical content profile
+    // per format from the parquet original.
+    "x22_format_roundtrip" ->
+      """WITH p AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM documents)
+        |SELECT fmt, n_docs, sum_id, sum_chars, n_langs
+        |FROM p CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) t(fmt)
+        |ORDER BY fmt""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

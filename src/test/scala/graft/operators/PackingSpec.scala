@@ -204,4 +204,23 @@ class PackingSpec extends AnyFunSuite {
     // and the guard does not fire on clean inputs
     assert(Packing.epochOrder(df, "id", epoch = 1).columns.contains("pos"))
   }
+
+  test("groupRank equals the per-group row_number at any layout, without per-group windows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs.withColumn("rn",
+        (row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))) - 1).cast("long"))
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    for (p <- Seq(1, 7, 32)) {
+      val r = Packing.groupRank(docs.repartition(p), "source",
+        Seq(col("n_chars"), col("doc_id")))
+      val got = r.select("doc_id", "group_rank").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"group ranks drifted at $p partitions")
+      val gn = r.select("source", "group_n").distinct().as[(String, Long)].collect().toMap
+      assert(gn == sizes)
+    }
+  }
 }
