@@ -21,6 +21,8 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> index-compact <indexDir> <upToBatch>  (fold committed batch ingests)
   *   Ctl <root> bands-compact <bandStoreDir> <upToBatch> (fold dedup band store)
   *   Ctl <root> bands-resolve <bandStoreDir> <discard|complete> (ambiguous stage)
+  *   Ctl <root> stats-refresh <storeDir> <col1,col2,...> (rebuild _filestats sidecar)
+  *   Ctl <root> bloom-refresh <storeDir> <keyCol>        (rebuild _filebloom sidecar)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -45,7 +47,9 @@ object Ctl {
       |       Ctl <root> <lag|trim> <topic> <checkpointDir>
       |       Ctl <root> index-ingests <indexDir>
       |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>
-      |       Ctl <root> bands-resolve <dir> <discard|complete>""".stripMargin
+      |       Ctl <root> bands-resolve <dir> <discard|complete>
+      |       Ctl <root> stats-refresh <dir> <col1,col2,...>
+      |       Ctl <root> bloom-refresh <dir> <keyCol>""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -126,6 +130,21 @@ object Ctl {
         case "complete" => attempt(graft.streaming.IncrementalDedup
           .resolveAmbiguousStage(spark, s"$root/$dir", complete = true))
         case other => Left(s"bands-resolve mode must be discard or complete, got '$other'")
+      }
+    // sidecar recovery: the executable fix the pruned-read drift
+    // fail-fast points at — recompute a store's stats/Bloom sidecar
+    // from the data files CURRENTLY on disk, without rewriting data
+    case ("stats-refresh", dir :: cols :: Nil) =>
+      val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (cs.isEmpty) Left(s"stats-refresh needs a comma-separated column list, got '$cols'")
+      else attempt {
+        graft.operators.Layout.refreshStats(spark, s"$root/$dir", cs)
+        s"refreshed _filestats over ${cs.mkString(",")}"
+      }
+    case ("bloom-refresh", dir :: keyCol :: Nil) =>
+      attempt {
+        graft.operators.Layout.writeBloomSidecar(spark, s"$root/$dir", keyCol)
+        s"refreshed _filebloom over $keyCol"
       }
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")

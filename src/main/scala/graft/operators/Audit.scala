@@ -19,22 +19,20 @@ object Audit {
     * (un-gradeable cross-engine) and pointless when the output is one
     * row per group anyway. Determinism: ties order by (value, id).
     *
-    * Scale shape: one window sort PARTITIONED BY the group (each
-    * group sorts independently across the cluster — no global sort)
-    * plus one conditional aggregation. For corpus-card style audits
-    * the group is coarse (source, lang), so this is the per-ingest
-    * datasheet query, not a hot-path operator. */
+    * Scale shape: per-group ranks come from `Packing.groupRank` — a
+    * range shuffle over (group, value) jointly plus a broadcast
+    * |groups|-row offset join — NOT a window partitioned by the group,
+    * which would funnel each group through ONE task (a corpus that is
+    * 60 % one source would serialize its datasheet on one executor).
+    * Rank semantics are identical to the window formulation
+    * (`AuditSpec` pins the equality), so the SQL-window oracle still
+    * grades it bit-for-bit. */
   def groupQuartiles(docs: DataFrame, group: String, id: String,
                      value: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = docs.select(col(group), col(id), value.cast("long").as("v"))
-    val w = Window.partitionBy(col(group)).orderBy(col("v"), col(id))
-    // group size rides the SAME partition exchange as the rank (an
-    // unordered window = full-partition count) — no second aggregation,
-    // no join back; exactly the oracle's COUNT(*) OVER shape
-    val ranked = v
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col(group))))
+    val ranked = Packing.groupRank(v, group, Seq(col("v"), col(id)))
+      .withColumn("rk", col("group_rank") + 1)
+      .withColumnRenamed("group_n", "n_docs")
     ranked
       .groupBy(col(group), col("n_docs"))
       .agg(

@@ -151,7 +151,8 @@ object Layout {
         (if (stale.nonEmpty)
           s"sidecar entries with no data file (deleted/moved?): ${stale.toSeq.sorted.mkString(", ")}. "
         else "") +
-        "Rebuild the sidecar (writeClustered/writeBloomSidecar) before pruned reads.")
+        "Rebuild the sidecar before pruned reads: `ctl stats-refresh <dir> <cols>` / " +
+        "`ctl bloom-refresh <dir> <keyCol>` (Layout.refreshStats / writeBloomSidecar).")
   }
 
   /** Z-order `df` over `cols`, write it to `path`, and commit a
@@ -161,16 +162,26 @@ object Layout {
     * computable); sidecar rows are one per data file. */
   def writeClustered(df: DataFrame, path: String, cols: Seq[String],
                      numPartitions: Int): Unit = {
-    val spark = df.sparkSession
     zorderBy(df, cols, numPartitions).write.mode("overwrite").parquet(path)
-    // stats keep the column's NATIVE type: casting int64 extents to
-    // double rounds above 2^53 (hash-derived / snowflake ids). With a
-    // Double-typed range the rounded compare happens to stay a superset
-    // (round-to-nearest is monotone, so min <= hi survives rounding),
-    // but that's a proof obligation every reader re-derives; native
-    // stats + prunedRead's exact long-space compare make the superset
-    // guarantee structural, and keep the sidecar faithful for ops
-    // tooling that reads it directly.
+    refreshStats(df.sparkSession, path, cols)
+  }
+
+  /** (Re)compute the `_filestats` sidecar from the data files CURRENTLY
+    * at `path` — the write-time half of `writeClustered`, exposed
+    * standalone as the recovery verb the sidecar-drift fail-fast points
+    * to (`ctl stats-refresh`): after any out-of-band append/compaction,
+    * one scan of the store re-covers every file without rewriting data.
+    * Stats keep each column's NATIVE type: casting int64 extents to
+    * double rounds above 2^53 (hash-derived / snowflake ids). With a
+    * Double-typed range the rounded compare happens to stay a superset
+    * (round-to-nearest is monotone, so min <= hi survives rounding),
+    * but that's a proof obligation every reader re-derives; native
+    * stats + prunedRead's exact long-space compare make the superset
+    * guarantee structural, and keep the sidecar faithful for ops
+    * tooling that reads it directly. */
+  def refreshStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "refreshStats requires at least one stats column")
     val exts = cols.flatMap(c => Seq(
       min(col(c)).as(s"${c}_min"),
       max(col(c)).as(s"${c}_max")))

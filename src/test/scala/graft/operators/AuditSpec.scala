@@ -61,4 +61,29 @@ class AuditSpec extends AnyFunSuite {
       ("b", 1L, 7L, 7L, 7L),
       ("c", 3L, 5L, 5L, 5L)))
   }
+
+  test("groupQuartiles (groupRank-based) equals the window formulation at any layout") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def windowed(df: org.apache.spark.sql.DataFrame) = {
+      val v = df.select(col("source").as("g"), col("doc_id"), col("n_chars").cast("long").as("v"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("doc_id"))
+      v.withColumn("rk", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .groupBy(col("g"), col("n_docs"))
+        .agg(
+          max(when(col("rk") === ceil(col("n_docs") * 0.25), col("v"))).as("p25"),
+          max(when(col("rk") === ceil(col("n_docs") * 0.5), col("v"))).as("p50"),
+          max(when(col("rk") === ceil(col("n_docs") * 0.75), col("v"))).as("p75"))
+        .orderBy("g")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    }
+    val want = windowed(docs)
+    for (p <- Seq(1, 7, 32)) {
+      val got = Audit.groupQuartiles(docs.repartition(p), "source", "doc_id", col("n_chars"))
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"quartiles drifted at $p partitions")
+    }
+  }
 }

@@ -138,4 +138,32 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.Ctl.run(spark, root, "bands-compact", Array("bands", "2")) ==
       Right("folded=2"))
   }
+
+  test("Ctl sidecar-refresh verbs heal a drifted store without rewriting data") {
+    import graft.operators.Layout
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_ctl_sidecar").toString
+    val d = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Layout.writeClustered(d, s"$root/store", Seq("k"), numPartitions = 4)
+    Layout.writeBloomSidecar(spark, s"$root/store", "k")
+    // out-of-band append → both pruned readers fail loudly
+    spark.range(9000, 9100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$root/store")
+    assert(intercept[IllegalArgumentException](
+      Layout.prunedRead(spark, s"$root/store", Seq(Layout.ColRange("k", 0, 10))))
+      .getMessage.contains("stats-refresh"))
+    // the verbs the error message names execute the recovery
+    assert(graft.Ctl.run(spark, root, "stats-refresh", Array("store", "k")) ==
+      Right("refreshed _filestats over k"))
+    assert(graft.Ctl.run(spark, root, "bloom-refresh", Array("store", "k")) ==
+      Right("refreshed _filebloom over k"))
+    // healed: pruned reads see the appended rows through the residual
+    val scan = Layout.prunedRead(spark, s"$root/store",
+      Seq(Layout.ColRange("k", 9000, 9099)))
+    assert(scan.df.filter(col("k").between(9000, 9099)).count() == 100)
+    val bloom = Layout.bloomPrunedRead(spark, s"$root/store", Seq(9050L))
+    assert(bloom.df.filter(col("k") === 9050L).count() == 1)
+    // bad args take the usage path
+    assert(graft.Ctl.run(spark, root, "stats-refresh", Array("store", " , ")).isLeft)
+  }
 }
