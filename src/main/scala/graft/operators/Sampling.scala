@@ -177,6 +177,39 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Repeat-aware UPSAMPLING — the other half of mixture control that
+    * the downsample-only operators above can't express: data-constrained
+    * training repeats tail sources for several epochs (capped, per the
+    * data-constrained-scaling recipe) rather than discarding head data.
+    * Each row is emitted `k` times with a 0-based `copy` index (the
+    * dataloader lineage key), where k applies STOCHASTIC ROUNDING to
+    * the possibly-fractional factor: k = floor(f) + Bernoulli(frac(f))
+    * on the same deterministic md5 coin as `sample` — expected copies
+    * exactly f, identical realization on any engine/layout/rerun.
+    * f < 1 downsamples through the same formula (k ∈ {0,1}), so one
+    * operator covers the whole mixture-reweighting range.
+    *
+    * Scale shape: a codegen'd projection + explode — no shuffle, no
+    * state; output size is the factor-weighted corpus, the cost any
+    * upsampler pays. Null/negative factors fail loudly (a corrupt
+    * factor silently dropping or exploding a source is data loss). */
+  def repeatByFactor(df: DataFrame, id: String, factor: Column,
+                     salt: String): DataFrame = {
+    Packing.requireAbsent(df, "repeatByFactor", "copy", "_k")
+    val f = factor.cast("double")
+    val k = (floor(f).cast("int") +
+      when(unitHash(col(id), salt) < (f - floor(f)), 1).otherwise(0))
+    df.withColumn("_k",
+        when(f.isNull || f < 0,
+          raise_error(concat(lit("repeatByFactor: null/negative factor for id="),
+            col(id).cast("string"))))
+          .otherwise(k))
+      .withColumn("copy",
+        explode(when(col("_k") > 0, sequence(lit(0), col("_k") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("_k")
+  }
+
   /** Quality-weighted Bernoulli sampling: keep each row with
     * probability `weight / max(weight)` — inclusion odds proportional
     * to an integral score (token count, quality score), the curation

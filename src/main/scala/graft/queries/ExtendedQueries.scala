@@ -439,6 +439,34 @@ object ExtendedQueries {
       }.reduce(_ unionByName _).orderBy(col("fmt"))
     }),
 
+    // Repeat-aware upsampling (data-constrained mixing): tail sources
+    // repeat toward the head — factor f_s = min(sqrt(n_max/n_s), 3)
+    // (sqrt tempering, epoch cap 3, the data-constrained-scaling
+    // recipe) — via Sampling.repeatByFactor's stochastic rounding on
+    // the shared md5 coin. Every copy row (doc_id, copy) is graded, so
+    // a single drifted coin or off-by-one in the repeat expansion
+    // hash-fails. Float discipline: f is one correctly-rounded sqrt +
+    // min; frac(f) = f - floor(f) exactly; both engines compare the
+    // identical doubles. Scale shape: |sources|-row factor table
+    // broadcast onto the corpus, then a codegen'd explode — the corpus
+    // is never shuffled (the output orderBy is the graded query's own
+    // presentation sort).
+    "x23_repeat_upsample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val n = d.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy(lit(1))
+      val factors = n.withColumn("_nmax", max(col("_n")).over(w))
+        .select(col("source"),
+          least(sqrt(col("_nmax").cast(DoubleType) / col("_n").cast(DoubleType)),
+            lit(3.0)).as("_f"))
+      Sampling.repeatByFactor(d.join(broadcast(factors), "source"),
+          "doc_id", col("_f"), salt = "rep10")
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -657,6 +685,25 @@ object ExtendedQueries {
         |SELECT fmt, n_docs, sum_id, sum_chars, n_langs
         |FROM p CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) t(fmt)
         |ORDER BY fmt""".stripMargin,
+    // x23: the identical factor chain (count, max, one sqrt, one min)
+    // and the identical per-row stochastic rounding from the shared md5
+    // coin; the copy expansion is a bounded VALUES series filtered by
+    // k (cap = 3), so no lateral support is needed.
+    "x23_repeat_upsample" ->
+      """WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(ns) AS nmax FROM n),
+        |fac AS (SELECT source,
+        |    LEAST(sqrt(CAST(nmax AS DOUBLE) / CAST(ns AS DOUBLE)), 3.0) AS f
+        |  FROM n, m),
+        |k AS (SELECT d.doc_id, d.source,
+        |    CAST(floor(f) AS INT) + CASE WHEN
+        |      CAST('0x' || substr(md5('rep10|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        / 4294967296.0 < f - floor(f)
+        |      THEN 1 ELSE 0 END AS k
+        |  FROM documents d JOIN fac USING (source))
+        |SELECT doc_id, source, CAST(g AS INT) AS copy
+        |FROM k CROSS JOIN (VALUES (0), (1), (2)) t(g)
+        |WHERE g < k ORDER BY doc_id, copy""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

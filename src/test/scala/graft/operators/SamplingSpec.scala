@@ -198,4 +198,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(msg(Sampling.weightedByScore(df.withColumn("_maxw", lit(0)), "id", "w", "s"))
       .contains("_maxw"))
   }
+
+  test("repeatByFactor: stochastic rounding on the md5 coin, dense copies, layout-invariant") {
+    val df = spark.range(2000).toDF("id")
+    // integer factor: exact replication with dense copy indices
+    val twice = Sampling.repeatByFactor(df, "id", lit(2.0), "rep-spec")
+    assert(twice.count() == 4000)
+    assert(twice.groupBy("id").count().filter(col("count") =!= 2).count() == 0)
+    assert(twice.select("copy").distinct().as[Int].collect().toSet == Set(0, 1))
+    // fractional factor 1.5: every id gets 1 or 2 copies, ~half get 2,
+    // and membership is the deterministic coin — layout cannot move it
+    val frac = Sampling.repeatByFactor(df, "id", lit(1.5), "rep-spec")
+    val perId = frac.groupBy("id").count().select("id", "count")
+      .as[(Long, Long)].collect().toMap
+    assert(perId.values.forall(k => k == 1 || k == 2))
+    val doubled = perId.count(_._2 == 2)
+    assert(doubled > 850 && doubled < 1150, s"expected ~1000 doubled ids, got $doubled")
+    val re = Sampling.repeatByFactor(df.repartition(13), "id", lit(1.5), "rep-spec")
+      .groupBy("id").count().select("id", "count").as[(Long, Long)].collect().toMap
+    assert(re == perId)
+    // f < 1 downsamples through the same formula
+    val down = Sampling.repeatByFactor(df, "id", lit(0.25), "rep-spec").count()
+    assert(down > 350 && down < 650, s"expected ~500 at f=0.25, got $down")
+    // corrupt factors fail loudly
+    val e = intercept[Exception](
+      Sampling.repeatByFactor(df, "id", lit(-1.0), "rep-spec").count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null/negative factor")))
+  }
 }
