@@ -20,7 +20,10 @@ object PlanAudit {
     // corpus — a scalar join, not a data x data nested loop
     "l29_domain_mix" -> "1-row mix-scale stat frame broadcast-crossed into the corpus",
     "l33_bm25" -> "1-row (N, avgdl) stat frame broadcast-crossed into the term join",
-    "l42_lm_xentropy" -> "1-row (vocab, total) stat frame broadcast-crossed into the corpus")
+    "l42_lm_xentropy" -> "1-row (vocab, total) stat frame broadcast-crossed into the corpus",
+    // the exact-integer coin compares hash·maxW < w·2^32 against the
+    // 1-row max-weight aggregate — a scalar join, not data x data
+    "x13_weighted_sample" -> "1-row max-weight stat frame broadcast-crossed into the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
