@@ -223,4 +223,46 @@ class PackingSpec extends AnyFunSuite {
       assert(gn == sizes)
     }
   }
+
+  test("groupRank spreads a dominant group across range partitions (no one-task funnel)") {
+    // 95% of rows in ONE group — the shape that serializes a
+    // partitioned window. groupRank's range shuffle keys on
+    // (group, order) jointly, so the giant group must span many
+    // partitions while ranks stay exact.
+    val n = 20000
+    val docs = spark.range(n).select(col("id"),
+      when(col("id") % 20 =!= 0, lit("big")).otherwise(lit("small")).as("g"))
+    val ranked = Packing.groupRank(docs.repartition(16), "g", Seq(col("id")))
+    // correctness: within each group, ranks are the dense order of id
+    val bigRanks = ranked.filter(col("g") === "big")
+      .orderBy(col("id")).select("group_rank").as[Long].collect()
+    assert(bigRanks.toSeq == bigRanks.indices.map(_.toLong))
+    // scale mechanism: re-derive the physical layout groupRank uses
+    // (the same repartitionByRange the operator issues) and assert the
+    // dominant group does NOT collapse onto one task. AQE's
+    // size-based partition COALESCING is disabled for the probe: at
+    // 20k toy rows every partition is under the advisory size and AQE
+    // legitimately merges them — at corpus scale partitions are
+    // byte-bounded and no such merge applies, so coalescing here would
+    // measure the toy size, not the range-spread mechanism.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    val spread =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        docs.repartitionByRange(col("g"), col("id"))
+          .filter(col("g") === "big")
+          .groupBy(spark_partition_id().as("p")).count()
+          .as[(Int, Long)].collect()
+      } finally spark.conf.set(coalesceKey, prev)
+    // full spread = the session's shuffle-partition count (4 in the
+    // test JVM) — a window partitioned by the group would put ALL of
+    // the dominant group on exactly one
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(spread.length >= shufflePartitions - 1,
+      s"dominant group landed on only ${spread.length} of $shufflePartitions partitions")
+    val total = spread.map(_._2).sum
+    assert(spread.map(_._2).max < total / 2,
+      "one partition holds over half the dominant group")
+  }
 }
