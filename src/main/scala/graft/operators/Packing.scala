@@ -160,13 +160,18 @@ object Packing {
   def groupRank(df: DataFrame, group: String,
                 order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(order.nonEmpty, "groupRank requires an ordering")
-    requireAbsent(df, "groupRank", "group_rank", "group_n", "_gstart")
+    requireAbsent(df, "groupRank", "group_rank", "group_n", "_gstart", "_gkey")
     val g = globalRank(df, col(group) +: order)
     val starts = g.groupBy(col(group))
       .agg(min(col("_rank")).as("_gstart"), count(lit(1)).as("group_n"))
-    g.join(broadcast(starts), group)
+    // null-SAFE join: groupBy treats null as a group (crawl data has
+    // null sources), but an equi-join would never match it back —
+    // silently dropping every null-group row. <=> keeps the rank
+    // total over the whole input.
+    g.join(broadcast(starts.withColumnRenamed(group, "_gkey")),
+        col(group) <=> col("_gkey"))
       .withColumn("group_rank", col("_rank") - col("_gstart"))
-      .drop("_rank", "_gstart")
+      .drop("_rank", "_gstart", "_gkey")
   }
 
   /** Inclusive prefix sum of `weight` under the total order `order` —

@@ -199,9 +199,13 @@ object Sampling {
     val f = factor.cast("double")
     val k = (floor(f).cast("int") +
       when(unitHash(col(id), salt) < (f - floor(f)), 1).otherwise(0))
+    // NaN fails the < 0 test (every NaN compare is false) and would
+    // otherwise flow to a null k → the row silently DROPPED; a huge
+    // factor is certainly a corrupt score and would explode a runaway
+    // sequence. Both are data corruption, not mixing — fail loudly.
     df.withColumn("_k",
-        when(f.isNull || f < 0,
-          raise_error(concat(lit("repeatByFactor: null/negative factor for id="),
+        when(f.isNull || f.isNaN || f < 0 || f > 1e6,
+          raise_error(concat(lit("repeatByFactor: null/NaN/negative/absurd factor for id="),
             col(id).cast("string"))))
           .otherwise(k))
       .withColumn("copy",

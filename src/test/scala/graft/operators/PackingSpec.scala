@@ -265,4 +265,15 @@ class PackingSpec extends AnyFunSuite {
     assert(spread.map(_._2).max < total / 2,
       "one partition holds over half the dominant group")
   }
+
+  test("groupRank keeps null-group rows as their own group (null-safe offset join)") {
+    val df = Seq((1L, "a"), (2L, null), (3L, "a"), (4L, null), (5L, "b"))
+      .toDF("id", "g")
+    val r = Packing.groupRank(df, "g", Seq(col("id")))
+    assert(r.count() == 5, "null-group rows must survive the offset join")
+    val got = r.select("id", "group_rank", "group_n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L), (3L, 1L, 2L),
+      (2L, 0L, 2L), (4L, 1L, 2L), (5L, 0L, 1L)))
+  }
 }

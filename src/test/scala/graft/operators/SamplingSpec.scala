@@ -220,11 +220,15 @@ class SamplingSpec extends AnyFunSuite {
     // f < 1 downsamples through the same formula
     val down = Sampling.repeatByFactor(df, "id", lit(0.25), "rep-spec").count()
     assert(down > 350 && down < 650, s"expected ~500 at f=0.25, got $down")
-    // corrupt factors fail loudly
-    val e = intercept[Exception](
-      Sampling.repeatByFactor(df, "id", lit(-1.0), "rep-spec").count())
+    // corrupt factors fail loudly — negative, NaN (which passes every
+    // < comparison and would silently DROP the row via a null k), and
+    // absurd magnitudes alike
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("null/negative factor")))
+    for (bad <- Seq(lit(-1.0), lit(Double.NaN), lit(2e6))) {
+      val e = intercept[Exception](
+        Sampling.repeatByFactor(df, "id", bad, "rep-spec").count())
+      assert(messages(e).exists(_.contains("absurd factor")), s"factor $bad not rejected")
+    }
   }
 }
