@@ -23,6 +23,7 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> bands-resolve <bandStoreDir> <discard|complete> (ambiguous stage)
   *   Ctl <root> stats-refresh <storeDir> <col1,col2,...> (rebuild _filestats sidecar)
   *   Ctl <root> bloom-refresh <storeDir> <keyCol>        (rebuild _filebloom sidecar)
+  *   Ctl <root> topkeys <parquetDir> <col> [k]           (skew probe: hot join/agg keys)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -49,7 +50,8 @@ object Ctl {
       |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>
       |       Ctl <root> bands-resolve <dir> <discard|complete>
       |       Ctl <root> stats-refresh <dir> <col1,col2,...>
-      |       Ctl <root> bloom-refresh <dir> <keyCol>""".stripMargin
+      |       Ctl <root> bloom-refresh <dir> <keyCol>
+      |       Ctl <root> topkeys <dir> <col> [k]""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -145,6 +147,23 @@ object Ctl {
       attempt {
         graft.operators.Layout.writeBloomSidecar(spark, s"$root/$dir", keyCol)
         s"refreshed _filebloom over $keyCol"
+      }
+    // skew probe: the decision input for Skew.saltedSumCount/saltedJoin
+    // — the k hottest values of a join/agg key with their share of the
+    // table, so "does this key need salting" is a measurement, not a
+    // guess. One map-side-combined count agg; output is k rows.
+    case ("topkeys", dir :: colName :: tl) =>
+      parseLimit(tl).flatMap { k =>
+        attempt {
+          import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+          val df = spark.read.parquet(s"$root/$dir")
+          val counts = df.groupBy(col(colName)).agg(count(lit(1)).as("n"))
+          val total = counts.agg(sum(col("n"))).head().getLong(0).max(1L)
+          showRows(counts
+            .withColumn("pct", round(col("n") * 100.0 / total, 2))
+            .orderBy(col("n").desc, col(colName))
+            .limit(k))
+        }
       }
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")

@@ -426,18 +426,12 @@ object ExtendedQueries {
         "json" -> s.read.schema(schema).json(s"$root/json"),
         "orc" -> s.read.schema(schema).orc(s"$root/orc"),
         "parquet" -> base)
-      // lossless = the signed multiset delta is EMPTY: +1 per read-back
-      // row, −1 per original row, grouped over every column — any lost,
-      // invented, or value-drifted row leaves a non-zero group. One
-      // shuffle per format (exceptAll both ways would pay two) and
-      // covers both directions in the same pass.
+      // lossless = the signed multiset delta is EMPTY (Delta.scala —
+      // one shuffle per format, both directions in the same pass;
+      // DeltaSpec proves the gate FIRES on lost/changed/duplicated
+      // rows, so this require is a tested tripwire, not decoration)
       backs.foreach { case (fmt, df) =>
-        val cols = base.columns.map(col).toSeq
-        val drift = df.withColumn("_sgn", lit(1))
-          .unionByName(base.withColumn("_sgn", lit(-1)))
-          .groupBy(cols: _*).agg(sum(col("_sgn")).as("_d"))
-          .filter(col("_d") =!= 0).count()
-        require(drift == 0, s"$fmt round-trip lost or changed rows ($drift drifted groups)")
+        graft.operators.Delta.assertLossless(df, base, fmt)
       }
       backs.map { case (fmt, df) =>
         df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"),

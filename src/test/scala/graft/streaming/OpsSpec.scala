@@ -166,4 +166,22 @@ class OpsSpec extends AnyFunSuite {
     // bad args take the usage path
     assert(graft.Ctl.run(spark, root, "stats-refresh", Array("store", " , ")).isLeft)
   }
+
+  test("Ctl topkeys reports hot-key share for the salting decision") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ctl_topkeys").toString
+    // 60% of rows on one hot key, the rest spread across 40 keys
+    spark.range(1000).select(
+        when(col("id") < 600, lit("hot")).otherwise(concat(lit("k"), col("id") % 40)).as("user"),
+        col("id"))
+      .write.parquet(s"$root/events")
+    val out = graft.Ctl.run(spark, root, "topkeys", Array("events", "user", "3"))
+    assert(out.isRight, out.toString)
+    val lines = out.toOption.get.split("\n")
+    assert(lines.head.contains("user") && lines.head.contains("pct"))
+    assert(lines.length == 4) // header + k rows
+    assert(lines(1).contains("hot") && lines(1).contains("600") && lines(1).contains("60.0"))
+    // bad column takes the usage path, not a stack trace
+    assert(graft.Ctl.run(spark, root, "topkeys", Array("events", "no_such_col")).isLeft)
+  }
 }
