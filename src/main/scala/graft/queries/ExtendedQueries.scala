@@ -470,6 +470,40 @@ object ExtendedQueries {
         .orderBy(col("doc_id"), col("copy"))
     }),
 
+    // Upsampled-corpus epoch export: x23's repeat expansion composed
+    // into x16's per-epoch permutation. Each (doc, copy) pair is an
+    // INDEPENDENT dataloader key — copies of a repeated document
+    // disperse across the epoch instead of training back-to-back,
+    // which is the point of shuffling a repeated corpus. Graded like
+    // x16 via 100-position blocks over the EXPANDED corpus (count,
+    // token mass, first key, upsampled-copy count per block), so a
+    // drifted coin, a mis-keyed permutation, or copies clustering
+    // where the hash says they shouldn't all hash-fail. Scale shape:
+    // the x23 chain (broadcast factors + explode) + ONE range shuffle
+    // for the distributed rank — never a single-reducer window.
+    "x24_upsampled_epoch_order" -> ((s, dir) => {
+      import graft.operators.{Packing, Sampling}
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val n = d.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy(lit(1))
+      val factors = n.withColumn("_nmax", max(col("_n")).over(w))
+        .select(col("source"),
+          least(sqrt(col("_nmax").cast(DoubleType) / col("_n").cast(DoubleType)),
+            lit(3.0)).as("_f"))
+      val expanded = Sampling.repeatByFactor(
+          d.join(broadcast(factors), "source"), "doc_id", col("_f"), salt = "rep10")
+        .withColumn("key",
+          concat(col("doc_id").cast("string"), lit("#"), col("copy").cast("string")))
+      Packing.epochOrder(expanded, "key", epoch = 1)
+        .groupBy(expr("pos div 100").cast("long").as("pos_block"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("key")).as("first_key"),
+          sum(when(col("copy") > 0, 1).otherwise(0)).cast("long").as("n_upsampled"))
+        .orderBy(col("pos_block"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -707,6 +741,31 @@ object ExtendedQueries {
         |SELECT doc_id, source, CAST(g AS INT) AS copy
         |FROM k CROSS JOIN (VALUES (0), (1), (2)) t(g)
         |WHERE g < k ORDER BY doc_id, copy""".stripMargin,
+    // x24: the x23 expansion chain, then DuckDB's one-window
+    // ROW_NUMBER over md5('epoch1|'||key) — block profile over the
+    // expanded corpus must match bit-for-bit.
+    "x24_upsampled_epoch_order" ->
+      """WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(ns) AS nmax FROM n),
+        |fac AS (SELECT source,
+        |    LEAST(sqrt(CAST(nmax AS DOUBLE) / CAST(ns AS DOUBLE)), 3.0) AS f
+        |  FROM n, m),
+        |k AS (SELECT d.doc_id, d.n_chars,
+        |    CAST(floor(f) AS INT) + CASE WHEN
+        |      CAST('0x' || substr(md5('rep10|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        / 4294967296.0 < f - floor(f)
+        |      THEN 1 ELSE 0 END AS k
+        |  FROM documents d JOIN fac USING (source)),
+        |x AS (SELECT n_chars, g AS copy,
+        |    CAST(doc_id AS VARCHAR) || '#' || CAST(g AS VARCHAR) AS key
+        |  FROM k CROSS JOIN (VALUES (0), (1), (2)) t(g) WHERE g < k),
+        |r AS (SELECT key, copy, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY md5('epoch1|' || key), key) - 1 AS pos
+        |  FROM x)
+        |SELECT CAST(pos // 100 AS BIGINT) AS pos_block, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(key) AS first_key,
+        |  CAST(SUM(CASE WHEN copy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_upsampled
+        |FROM r GROUP BY 1 ORDER BY pos_block""".stripMargin,
     "x7_union_topics" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
