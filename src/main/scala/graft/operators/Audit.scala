@@ -26,7 +26,14 @@ object Audit {
     * 60 % one source would serialize its datasheet on one executor).
     * Rank semantics are identical to the window formulation
     * (`AuditSpec` pins the equality), so the SQL-window oracle still
-    * grades it bit-for-bit. */
+    * grades it bit-for-bit.
+    *
+    * Constraint inherited from `Packing.groupRank`: the GROUP
+    * CARDINALITY (distinct groups, not rows) must be broadcast-small —
+    * the per-group offset frame rides a broadcast join. Source/split/
+    * lang-style audit groupings are inherently so; a high-cardinality
+    * group column (e.g. per-document) belongs in a plain window, not
+    * here. */
   def groupQuartiles(docs: DataFrame, group: String, id: String,
                      value: Column): DataFrame = {
     val v = docs.select(col(group), col(id), value.cast("long").as("v"))

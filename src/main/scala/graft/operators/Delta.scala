@@ -15,10 +15,22 @@ import org.apache.spark.sql.functions._
 object Delta {
 
   /** Number of (row-value) groups whose signed counts do not cancel —
-    * 0 iff `got` and `want` are multiset-equal. */
+    * 0 iff `got` and `want` are multiset-equal. Schema equality is
+    * checked on (name, dataType) pairs, not names alone: a round-trip
+    * that silently widened int→long or float→double would otherwise
+    * pass via unionByName's implicit coercion. Nullability is NOT
+    * compared — writers legitimately relax it and values still match. */
   def driftedGroups(got: DataFrame, want: DataFrame): Long = {
     require(got.columns.sameElements(want.columns),
       s"Delta compares identical schemas; got ${got.columns.mkString(",")} vs ${want.columns.mkString(",")}")
+    val gotTypes  = got.schema.fields.map(f => (f.name, f.dataType))
+    val wantTypes = want.schema.fields.map(f => (f.name, f.dataType))
+    require(gotTypes.sameElements(wantTypes), {
+      val diffs = gotTypes.zip(wantTypes).collect {
+        case ((n, gt), (_, wt)) if gt != wt => s"$n: $gt vs $wt"
+      }
+      s"Delta: column types drifted — ${diffs.mkString("; ")}"
+    })
     require(!got.columns.contains("_sgn"),
       "Delta: input already has reserved column _sgn — rename it first")
     val cols = got.columns.map(col).toSeq

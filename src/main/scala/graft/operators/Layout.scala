@@ -116,12 +116,34 @@ object Layout {
 
   /** Planning-time listing of the parquet data files directly under
     * `path` (underscore/dot names are metadata, not data). O(files),
-    * the same cost class as reading the sidecar itself. */
+    * the same cost class as reading the sidecar itself.
+    *
+    * The sidecar format keys files by BASENAME, which is only a valid
+    * identity in a FLAT store (plain `df.write.parquet` — the layout
+    * `writeClustered`/`refreshStats` produce). A partitioned/nested
+    * store would put data files in subdirectories the flat listing
+    * never sees while `input_file_name()`-derived sidecar entries DO
+    * see them — every pruned read would then fail with a misleading
+    * "deleted/moved?" drift message that `ctl stats-refresh` can never
+    * heal. So the flat-layout contract is validated here, where both
+    * build and probe paths pass, and a nested store fails with the
+    * actual cause named. */
   private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
                             path: String): Set[String] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(hPath).iterator
+    val entries = fs.listStatus(hPath)
+    val nestedDirs = entries.iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .toSeq.sorted
+    require(nestedDirs.isEmpty,
+      s"Layout sidecars require a FLAT parquet store (files keyed by basename), " +
+        s"but '$path' contains data subdirectories: ${nestedDirs.mkString(", ")}. " +
+        "Partitioned/nested layouts are not supported by _filestats/_filebloom — " +
+        "rewrite the store flat (e.g. Layout.writeClustered) before pruned reads.")
+    entries.iterator
       .filter(_.isFile)
       .map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
@@ -182,6 +204,7 @@ object Layout {
   def refreshStats(spark: org.apache.spark.sql.SparkSession,
                    path: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "refreshStats requires at least one stats column")
+    listDataFiles(spark, path) // validates the flat-store contract at build time
     val exts = cols.flatMap(c => Seq(
       min(col(c)).as(s"${c}_min"),
       max(col(c)).as(s"${c}_max")))
@@ -239,6 +262,7 @@ object Layout {
                         path: String, keyCol: String,
                         bits: Int = 4096): Unit = {
     require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    listDataFiles(spark, path) // validates the flat-store contract at build time
     val slots = bits / 64
     // hash as LONG regardless of the column's physical integral width:
     // Spark's xxhash64 hashes int and long DIFFERENTLY for the same

@@ -47,4 +47,20 @@ class DeltaSpec extends AnyFunSuite {
       Delta.driftedGroups(base.withColumn("_sgn", lit(0)),
         base.withColumn("_sgn", lit(0)))).getMessage.contains("_sgn"))
   }
+
+  test("silent type widening fires the gate even when values coerce equal") {
+    // the round-trip that turned long→int (a lossy writer default):
+    // unionByName would coerce both to long and every value would
+    // match — name-only schema comparison passes what is in fact a
+    // format change. The gate must name the drifted column and types.
+    val narrowed = base.withColumn("id", col("id").cast("int"))
+    val e = intercept[IllegalArgumentException](Delta.driftedGroups(narrowed, base))
+    assert(e.getMessage.contains("column types drifted"))
+    assert(e.getMessage.contains("id"))
+    // float→double on a fractional column, same shape
+    val f = base.withColumn("v", lit(1.5f))
+    val widened = f.withColumn("v", col("v").cast("double"))
+    assert(intercept[IllegalArgumentException](
+      Delta.driftedGroups(widened, f)).getMessage.contains("FloatType"))
+  }
 }

@@ -247,4 +247,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(bloom.df.filter(col("k") === 77L)
       .select("payload").as[Long].collect().toSeq == Seq(385L))
   }
+
+  test("partitioned/nested stores fail loudly at BUILD time, naming the cause") {
+    // a hive-partitioned write puts data files in subdirectories the
+    // basename-keyed sidecar can never address; without the up-front
+    // contract check, every later pruned read would fail with a
+    // misleading 'deleted/moved?' drift message that stats-refresh can
+    // never heal. The failure must happen at refresh time and say WHY.
+    val root = java.nio.file.Files.createTempDirectory("graft_nested_spec").toString
+    spark.range(100)
+      .select(col("id").as("k"), (col("id") % 3).as("part"))
+      .write.partitionBy("part").parquet(s"$root/t")
+    val e = intercept[IllegalArgumentException] {
+      Layout.refreshStats(spark, s"$root/t", Seq("k"))
+    }
+    assert(e.getMessage.contains("FLAT parquet store"), e.getMessage)
+    assert(e.getMessage.contains("part="), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.writeBloomSidecar(spark, s"$root/t", "k")
+    }
+    assert(e2.getMessage.contains("FLAT parquet store"), e2.getMessage)
+  }
 }

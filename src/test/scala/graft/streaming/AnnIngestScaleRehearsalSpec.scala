@@ -103,15 +103,24 @@ class AnnIngestScaleRehearsalSpec extends AnyFunSuite {
     // drops. Wall-clock stays a printed diagnostic only — this host's
     // unrelated drift windows reach ~1.3–2.4× on unchanged code
     // (README), which a seconds bar would convert into routine flakes.
+    // (array index i maps to drop i+1: drops are 1-based here because
+    // drop 0 is the base build — same true-drop-number convention as
+    // the (a) message above and IngestScaleRehearsalSpec's 0-based one)
     val ref = filesAfter(3).max(1)
     filesAfter.zipWithIndex.drop(4).foreach { case (n, i) =>
       assert(n <= 2 * ref,
         s"file count creeping at drop ${i + 1}: ${filesAfter.mkString(" ")}")
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val earlyMed = median(secs.slice(2, 6).toIndexedSeq)
+    val lateMed = median(secs.takeRight(4).toIndexedSeq)
     println(f"[ann-rehearsal] per-drop medians (diagnostic): " +
-      f"early ${median(secs.slice(2, 6).toIndexedSeq)}%.2f s, " +
-      f"late ${median(secs.takeRight(4).toIndexedSeq)}%.2f s")
+      f"early $earlyMed%.2f s, late $lateMed%.2f s")
+    // generous wall-clock BACKSTOP (10×) alongside the file-count bound:
+    // catches an O(drops) regression that keeps file counts flat while
+    // sitting far above this host's documented drift windows
+    assert(lateMed <= 10 * earlyMed.max(0.1),
+      f"late-drop median $lateMed%.2f s exceeds 10x early median $earlyMed%.2f s — per-drop cost is not flat")
 
     // (c) the streamed index == base + one bulk append, served over
     // probes drawn from first, middle, and last drops

@@ -98,15 +98,23 @@ class IngestScaleRehearsalSpec extends AnyFunSuite {
     // diagnostic only — this host's unrelated drift windows reach
     // ~1.3–2.4× on unchanged code (README), which a seconds bar would
     // convert into routine flakes.
+    // (index i here IS the drop number: drops are 0-based in this spec)
     val ref = filesAfter(3).max(1)
     filesAfter.zipWithIndex.drop(4).foreach { case (n, i) =>
       assert(n <= 2 * ref,
         s"file count creeping at drop $i: ${filesAfter.mkString(" ")}")
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val earlyMed = median(secs.slice(2, 6).toIndexedSeq)
+    val lateMed = median(secs.takeRight(4).toIndexedSeq)
     println(f"[rehearsal] per-drop medians (diagnostic): " +
-      f"early ${median(secs.slice(2, 6).toIndexedSeq)}%.2f s, " +
-      f"late ${median(secs.takeRight(4).toIndexedSeq)}%.2f s")
+      f"early $earlyMed%.2f s, late $lateMed%.2f s")
+    // generous wall-clock BACKSTOP (10×) alongside the file-count bound:
+    // catches an O(drops) regression that keeps file counts flat (e.g.
+    // re-reading ever-larger files, growing per-drop CPU) while sitting
+    // far above this host's documented ~1.3–2.4× drift windows
+    assert(lateMed <= 10 * earlyMed.max(0.1),
+      f"late-drop median $lateMed%.2f s exceeds 10x early median $earlyMed%.2f s — per-drop cost is not flat")
 
     // (c) bit-for-bit equivalence with the batch recompute (the
     // l66-vs-l44 contract, through ~nDrops/2 compaction cycles)
