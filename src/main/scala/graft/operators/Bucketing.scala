@@ -101,12 +101,31 @@ object Bucketing {
     * ReusedExchangeExec wraps the original exchange node, so identity
     * dedup is exact. */
   def executedShuffleCount(df: DataFrame): (Int, Int) = {
-    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{ExternalRDDScanExec, RDDScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[ShuffleExchangeLike, java.lang.Boolean]())
     var reused = 0
+    // RDD-LINEAGE shuffles: operators that materialize an order at the
+    // RDD level (the rank family's range exchange + offset stitching)
+    // surface in the SQL plan only as an `ExistingRDD` leaf — a counter
+    // that stopped there would under-report exactly the shuffles those
+    // operators exist to manage (the PLANS_r10 "honesty note"). Walking
+    // the scan's RDD dependency DAG counts every ShuffleDependency the
+    // lineage executes, dedup'd by shuffleId so a lineage referenced
+    // twice (groupRank joins a frame derived from itself) counts once —
+    // the same each-instance-once semantics as the SQL side.
+    val seenRddShuffles = scala.collection.mutable.Set[Int]()
+    val seenRdds = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
+    def walkRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seenRdds.add(rdd)) rdd.dependencies.foreach {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] =>
+          seenRddShuffles += s.shuffleId
+          walkRdd(s.rdd)
+        case d => walkRdd(d.rdd)
+      }
     // each exchange INSTANCE is walked into exactly once (identity
     // guard), wherever it is first met — as a live stage or through a
     // reuse wrapper — so nested exchanges below it count once too
@@ -122,9 +141,11 @@ object Bucketing {
           case other => walk(other) // broadcast reuse: not a shuffle read,
           // but its subtree can hold exchanges met nowhere else
         }
+      case r: RDDScanExec => walkRdd(r.rdd)
+      case r: ExternalRDDScanExec[_] => walkRdd(r.rdd)
       case _ => p.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    (seen.size, reused)
+    (seen.size + seenRddShuffles.size, reused)
   }
 }
