@@ -115,29 +115,76 @@ object Packing {
       .toDF("doc_id", "bucket", "n_tokens", "seq_id", "seq_pos")
   }
 
+  /** The rank family's offset pass needs only ORDER-INDEPENDENT
+    * per-partition summaries (row counts, weight sums), yet reading the
+    * sorted frame would pay the per-partition O(n log n) sort a second
+    * time: across jobs the range exchange's shuffle FILES are reused,
+    * but the post-read `sortWithinPartitions` re-executes per job. This
+    * digs the executed plan for the Sort node's child — the exchange
+    * read — and hands THAT to the summary job: the same rows in the
+    * same partition indices (an intra-partition sort is 1:1), minus the
+    * sort. Falls back to the sorted output when the plan shape is
+    * unexpected (correct either way, just the old double-sort cost).
+    * Package-private with the fast-path flag exposed so PackingSpec can
+    * assert the sort-free read ENGAGES — a Spark upgrade that changed
+    * the plan shape would otherwise silently restore the double sort. */
+  private[operators] def preSortRdd(sorted: DataFrame)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], Boolean) = {
+    import org.apache.spark.sql.execution.{InputAdapter, SortExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val qe = sorted.queryExecution
+    // descend ONLY through top-level wrappers to the first Sort: the
+    // helper is private to frames this object built as
+    // repartitionByRange(...).sortWithinPartitions(...), so the Sort is
+    // the plan root modulo AQE/codegen wrapping
+    def sortChild(p: SparkPlan): Option[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => sortChild(a.finalPhysicalPlan)
+      case q: QueryStageExec => sortChild(q.plan)
+      case w: WholeStageCodegenExec => sortChild(w.child)
+      case i: InputAdapter => sortChild(i.child)
+      case s: SortExec => Some(s.child)
+      case _ => None
+    }
+    sortChild(qe.executedPlan) match {
+      case Some(child) => (child.execute(), true)
+      case None => (qe.toRdd, false)
+    }
+  }
+
   /** Exact 0-based global rank of every row under `order` — the
     * building block for rank-dependent layout (shard dealing below)
     * that a plain `Window.orderBy` CANNOT provide at scale: an
     * unpartitioned window funnels the whole corpus through ONE task.
     * Here the order is materialized distributively: one range shuffle
     * clusters rows by order key across partitions, an intra-partition
-    * sort finishes the total order, and `zipWithIndex` stitches
-    * per-partition offsets (its internal count job is O(partitions)
-    * driver data, never rows). Rank is a pure function of the TOTAL
-    * order, so range-boundary placement (which may vary with input
-    * splits) cannot change the result — but the caller MUST make
-    * `order` total (include a unique tiebreak column), or ranks within
-    * ties are boundary-dependent. */
+    * sort finishes the total order, and per-partition offsets are
+    * stitched from an O(partitions) count job (P longs on the driver,
+    * never rows) that reads the exchange output PRE-sort — so the
+    * per-partition sort, the expensive half, runs exactly once, in the
+    * ranked pass. Rank is a pure function of the TOTAL order, so
+    * range-boundary placement (which may vary with input splits)
+    * cannot change the result — but the caller MUST make `order` total
+    * (include a unique tiebreak column), or ranks within ties are
+    * boundary-dependent. */
   def globalRank(df: DataFrame, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(order.nonEmpty, "globalRank requires an ordering")
     requireAbsent(df, "globalRank", "_rank")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val counts = preSortRdd(sorted)._1.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((i, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val main = sorted.rdd
+    require(counts.length == main.getNumPartitions,
+      s"globalRank: offset pass saw ${counts.length} partitions, ranked pass has ${main.getNumPartitions}")
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "_rank", org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    val rdd = main.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i) - 1
+      it.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+    }
     spark.createDataFrame(rdd, schema)
   }
 
@@ -180,8 +227,10 @@ object Packing {
     * task (an unpartitioned ordered frame). Shape: the same range
     * shuffle as `globalRank` materializes the order; one O(partitions)
     * job collects per-partition weight totals (P longs on the driver,
-    * never rows); exclusive offsets are handed back and each partition
-    * streams its own running sum. The second pass re-reads the range
+    * never rows) from the exchange output PRE-sort — sums are
+    * order-independent, so the per-partition sort runs once, in the
+    * prefix pass; exclusive offsets are handed back and each partition
+    * streams its own running sum. The prefix pass re-reads the range
     * shuffle's files (same RDD lineage → Spark skips the exchange), so
     * the corpus is shuffled once. Weights must be non-negative longs —
     * a negative weight silently corrupts every later prefix, so it
@@ -198,9 +247,14 @@ object Packing {
       .repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val wIdx = sorted.schema.fieldIndex("_w")
     val rdd = sorted.rdd
-    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+    // pre-sort read: InternalRow layout matches the logical schema for
+    // this Sort-over-Exchange plan (the sort neither adds nor reorders
+    // columns), so _w sits at the same index
+    val partSums = preSortRdd(sorted)._1.mapPartitionsWithIndex { (i, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
+    require(partSums.length == rdd.getNumPartitions,
+      s"cumulativeByRank: offset pass saw ${partSums.length} partitions, prefix pass has ${rdd.getNumPartitions}")
     val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields.filterNot(_.name == "_w") :+

@@ -112,6 +112,22 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("the offset pass reads the exchange PRE-sort (fast path engages, partitions align)") {
+    // a silent fallback would restore the double per-partition sort —
+    // correct but 2x the sort cost at 100 TB, so the engagement itself
+    // is the asserted contract
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("w"))
+    val sorted = df.repartitionByRange(col("w").desc, col("id"))
+      .sortWithinPartitions(col("w").desc, col("id"))
+    val (pre, fast) = Packing.preSortRdd(sorted)
+    assert(fast, "pre-sort read must engage on the rank family's own plan shape")
+    // same rows in the same partition indices as the sorted output
+    val preCounts = pre.mapPartitionsWithIndex((i, it) => Iterator((i, it.size))).collect().toMap
+    val postCounts = sorted.rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size))).collect().toMap
+    assert(preCounts == postCounts)
+    assert(preCounts.values.sum == 10000)
+  }
+
   test("epochOrder: dense permutation, distinct per epoch, replayable across layouts") {
     val docs = spark.range(3000).select(col("id").as("doc_id"))
     val e3 = Packing.epochOrder(docs, "doc_id", 3)
