@@ -504,6 +504,51 @@ object ExtendedQueries {
         .orderBy(col("pos_block"))
     }),
 
+    // Measured salting under grading — the closed loop between the
+    // `ctl topkeys` probe and the salted executors: the probe MEASURES
+    // documents.lang's hottest-key share ('en' ≈ 0.39–0.44 at every SF,
+    // the generator's natural skew, not a synthesized remap like
+    // x10/x11), the 0.25 threshold fires, and the salted two-phase
+    // aggregate's values grade against DuckDB's PLAIN GROUP BY — so a
+    // green hash row is the proof that salted and unsalted plans are
+    // value-identical. The in-query require makes "the probe actually
+    // decided to salt on genuinely skewed data" a loud failure rather
+    // than a vacuous pass. At 100 TB this is the skew story for the
+    // reference's per-key ordering contract (docs/concurrency.md:5-11):
+    // a 0.4-share key IS the stage's wall clock unless spread.
+    "x25_auto_salted_agg" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("lang"), col("n_chars"))
+      val (out, decision) = graft.operators.Skew.autoSaltedSumCount(
+        d, Seq("lang"), "n_chars", nSalts = 16, threshold = 0.25)
+      require(decision.salted,
+        s"x25 expects genuinely skewed data; measured share ${decision.topShare} (${decision.topKey})")
+      out.select(col("lang"), col("n"),
+          col("sum_n_chars").cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // The NEGATIVE decision under grading: events.user_id is
+    // near-uniform (top share ≤ 0.09 at every SF), so the probe REFUSES
+    // to salt — an nSalts-way replication of the dim side would be pure
+    // overhead — and the join Catalyst would have planned anyway runs
+    // (broadcast here: customer is dim-sized). x11 grades the salted
+    // join path on a synthesized hot key; together the two rows grade
+    // the decision in both directions on real measurements.
+    "x26_auto_salted_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), dec("value").as("v"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val (out, decision) = graft.operators.Skew.autoSaltedJoin(
+        e, c, "user_id", "c_custkey", nSalts = 8, threshold = 0.2)
+      require(!decision.salted,
+        s"x26 expects near-uniform user_id; measured share ${decision.topShare} (${decision.topKey})")
+      out.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast(DoubleType).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -590,6 +635,18 @@ object ExtendedQueries {
         |FROM (SELECT CASE WHEN user_id % 10 < 5 THEN 1 ELSE user_id END AS uid, value
         |      FROM events) e
         |JOIN customer ON e.uid = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // x25: DuckDB's PLAIN group-by — a green hash row proves the
+    // probe-selected salted plan is value-identical to the unsalted
+    // aggregation.
+    "x25_auto_salted_agg" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // x26: the plain join the negative decision must leave untouched.
+    "x26_auto_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // x12: DuckDB full-scans the original table under the same
     // SF-relative predicate — a green hash row proves the pruned scan

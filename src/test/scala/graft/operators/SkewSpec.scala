@@ -30,4 +30,68 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(salted.count(_._1 == "hot") == 1000)
   }
+
+  test("hotKeyShare measures the hottest key's fraction, deterministically on any layout") {
+    // 600 'hot' rows + 400 spread over 40 cold keys → share 0.6 exactly
+    val df = ((1 to 600).map(_ => "hot") ++ (1 to 400).map(i => s"k${i % 40}"))
+      .toDF("key").withColumn("v", lit(1L))
+    Seq(df, df.repartition(13)).foreach { d =>
+      val (share, key, total) = Skew.hotKeyShare(d, Seq("key"))
+      assert(math.abs(share - 0.6) < 1e-12)
+      assert(key == "key=hot")
+      assert(total == 1000)
+    }
+    // empty input: share 0, no crash
+    val (s0, _, t0) = Skew.hotKeyShare(df.filter(lit(false)), Seq("key"))
+    assert(s0 == 0.0 && t0 == 0L)
+  }
+
+  test("autoSaltedSumCount pins the decision both ways around the threshold, values identical") {
+    val df = ((1 to 600).map(i => ("hot", i.toLong)) ++
+      (1 to 400).map(i => (s"k${i % 40}", i.toLong))).toDF("key", "v")
+    val direct = df.groupBy("key").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val expect = direct.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // share 0.6 ≥ 0.5 → salted
+    val (salted, d1) = Skew.autoSaltedSumCount(df, Seq("key"), "v", nSalts = 8, threshold = 0.5)
+    assert(d1.salted && math.abs(d1.topShare - 0.6) < 1e-12 && d1.topKey == "key=hot")
+    assert(salted.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expect)
+
+    // share 0.6 < 0.7 → plain
+    val (plain, d2) = Skew.autoSaltedSumCount(df, Seq("key"), "v", nSalts = 8, threshold = 0.7)
+    assert(!d2.salted && math.abs(d2.topShare - 0.6) < 1e-12)
+    assert(plain.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expect)
+
+    // output (name, type) identical on BOTH branches (the salted re-agg
+    // is cast back), including for decimal sums whose re-agg would
+    // otherwise widen precision; nullability metadata may differ
+    // (sum-of-counts is nullable where count is not) and carries no
+    // value difference
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      d.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(salted) == shape(plain))
+    val dec = df.withColumn("v", col("v").cast("decimal(18,2)"))
+    val (sDec, _) = Skew.autoSaltedSumCount(dec, Seq("key"), "v", threshold = 0.5)
+    val (pDec, _) = Skew.autoSaltedSumCount(dec, Seq("key"), "v", threshold = 0.7)
+    assert(shape(sDec) == shape(pDec))
+  }
+
+  test("autoSaltedJoin pins the decision both ways, rows identical") {
+    val left = ((1 to 600).map(i => ("hot", i)) ++
+      (1 to 400).map(i => (s"k${i % 40}", i))).toDF("lk", "lv")
+    val right = Seq(("hot", 10), ("k1", 20), ("k2", 30), ("only_right", 40)).toDF("rk", "rv")
+    val expect = left.join(right, col("lk") === col("rk"))
+      .select("lk", "lv", "rv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+
+    val (salted, d1) = Skew.autoSaltedJoin(left, right, "lk", "rk", nSalts = 4, threshold = 0.5)
+    assert(d1.salted)
+    assert(salted.select("lk", "lv", "rv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet == expect)
+
+    val (plain, d2) = Skew.autoSaltedJoin(left, right, "lk", "rk", nSalts = 4, threshold = 0.7)
+    assert(!d2.salted)
+    assert(plain.select("lk", "lv", "rv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet == expect)
+  }
 }
