@@ -64,6 +64,78 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Pointer-column blob store: the 100 TB layout for media. In-row
+  // binary (above) is right for small payloads that live and die with
+  // the row; real image/audio/video columns belong in a CONTENT-
+  // ADDRESSED store with the relational row carrying only a pointer —
+  // dedup falls out of the addressing (two docs sharing bytes store
+  // them once), the relational tables stay scan-fast (no multi-MB
+  // values riding every shuffle), and a blob is fetchable without
+  // scanning the store (the same `_filebloom` point-lookup sidecar the
+  // Layout machinery already maintains). Identity is sha-256 of the
+  // bytes; the Bloom probe key is xxhash64 of the same bytes (64-bit,
+  // superset-safe — the join back verifies the sha exactly).
+  // ------------------------------------------------------------------
+
+  /** Materialize the content-addressed store for `bin` (a
+    * (doc_id, content binary) frame) at `path` and return the POINTER
+    * frame (doc_id, blob_sha, blob_key, n_bytes) — what the relational
+    * table keeps in place of the bytes. The store holds one row per
+    * DISTINCT content, spread over `nFiles` files by probe key, with a
+    * `_filebloom` sidecar so point fetches touch ~1 file. Scale shape:
+    * one dropDuplicates shuffle over (sha-keyed) blobs + one
+    * repartition write; the pointer frame is a projection, never
+    * shuffled. Callers persist pointers next to their table — the
+    * returned frame recomputes hashes if re-evaluated. */
+  def writeBlobStore(spark: SparkSession, bin: DataFrame, path: String,
+                     nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val addressed = bin.select(col("doc_id"),
+      sha2(col("content"), 256).as("blob_sha"),
+      xxhash64(col("content")).as("blob_key"),
+      octet_length(col("content")).cast("long").as("n_bytes"),
+      col("content"))
+    addressed.select(col("blob_sha"), col("blob_key"), col("n_bytes"), col("content"))
+      .dropDuplicates("blob_sha")
+      .repartition(nFiles, col("blob_key"))
+      .write.mode("overwrite").parquet(path)
+    Layout.writeBloomSidecar(spark, path, "blob_key")
+    addressed.drop("content")
+  }
+
+  /** Resolve a pointer frame back to its bytes through the store. A
+    * DANGLING pointer — the blob deleted, the store truncated, a sha
+    * the store never held — fails the job with the sha named the
+    * moment `content` is read, never a silent row drop (an inner join
+    * would shrink the corpus without a trace; at 100 TB that's
+    * unnoticed data loss). The left join preserves cardinality even
+    * for consumers that never touch the bytes (Catalyst prunes the
+    * unread guard, which is safe exactly because no row was dropped).
+    * Plain shuffle join on the sha: the store side is big by design,
+    * so no broadcast. */
+  def joinBlobs(spark: SparkSession, path: String, pointers: DataFrame): DataFrame = {
+    val store = spark.read.parquet(path)
+      .select(col("blob_sha").as("_s_sha"), col("content"))
+    pointers.join(store, col("blob_sha") === col("_s_sha"), "left")
+      .withColumn("content",
+        when(col("_s_sha").isNull, raise_error(
+          concat(lit("blob store at "), lit(path),
+            lit(" is missing sha "), col("blob_sha"))))
+          .otherwise(col("content")))
+      .drop("_s_sha")
+  }
+
+  /** Point-fetch blobs by probe key through the Bloom sidecar — the
+    * serving path ("show me these 50 images"): reads only the files
+    * whose filter admits a key, exact-verified on the key after read.
+    * Returns the pruned scan so callers can assert pruning happened. */
+  def fetchBlobs(spark: SparkSession, path: String,
+                 keys: Seq[Long]): Layout.PrunedScan = {
+    val scan = Layout.bloomPrunedRead(spark, path, keys)
+    scan.copy(df = scan.df.filter(col("blob_key").isin(keys: _*)))
+  }
+
   /** Feature-extraction stub: a real model would run per batch here
     * (that's why this is mapPartitions — weights load once per
     * partition, not per row); the fake embeds byte statistics into a

@@ -1068,6 +1068,49 @@ object LlmQueries {
           Tables.load(s, dir, "documents"), "source", "doc_id",
           TextFunctions.tokenCount(col("text")))
         .orderBy(col("source"))
+    }),
+
+    // Pointer-column blob store under grading — the 100 TB media
+    // layout (SURVEY §7.2 step 8): payloads move to a content-addressed
+    // store (one row per DISTINCT content, sha-256 identity), the
+    // relational row keeps a pointer, and FOUR executable claims run
+    // inside the query: (a) the store dedups — its row count equals the
+    // corpus's distinct payloads; (b) every pointer resolves back and
+    // the restored corpus passes the Delta losslessness gate bit for
+    // bit (a dangling pointer would raise, not shrink); (c) a 3-key
+    // point fetch through the `_filebloom` sidecar reads FEWER files
+    // than the store holds — serving never scans; (d) the graded
+    // per-source profile is computed FROM THE RESTORED corpus, so the
+    // green hash row certifies the whole round trip, not the write
+    // path alone. */
+    "l72_blob_pointer_store" -> ((s, dir) => {
+      import graft.operators.{Delta, Multimodal}
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val bin = Multimodal.asBinary(d, "doc_id", "text")
+      val root = graft.Scratch.dir("graft_blob")
+      val store = s"$root/store"
+      val pointers = Multimodal.writeBlobStore(s, bin, store, nFiles = 8)
+      val distinctPayloads = d.select(countDistinct(col("text"))).head().getLong(0)
+      val storeRows = s.read.parquet(store).count()
+      require(storeRows == distinctPayloads,
+        s"content addressing must dedup: store holds $storeRows, corpus has $distinctPayloads distinct payloads")
+      val restored = Multimodal.joinBlobs(s, store, pointers)
+        .select(col("doc_id"), decode(col("content"), "UTF-8").as("text"))
+      Delta.assertLossless(restored,
+        d.select(col("doc_id"), col("text")), "blob-store")
+      val probeKeys = pointers.orderBy(col("doc_id")).limit(3)
+        .select(col("blob_key")).collect().map(_.getLong(0)).toSeq.distinct
+      val scan = Multimodal.fetchBlobs(s, store, probeKeys)
+      require(scan.filesRead < scan.filesTotal,
+        s"blob point-fetch read ${scan.filesRead}/${scan.filesTotal} files — sidecar not pruning")
+      require(scan.df.count() >= probeKeys.size, "point fetch lost blobs")
+      restored.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_blobs"),
+          sum(octet_length(col("text"))).cast("long").as("sum_bytes"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1145,6 +1188,15 @@ object LlmQueries {
           |       ELSE CAST(a.n_unique AS DOUBLE) / a.n_shingles END AS novelty
           |FROM documents d2 LEFT JOIN agg a USING (doc_id)
           |ORDER BY d2.doc_id""".stripMargin) +
+      // l72: DuckDB profiles the ORIGINAL corpus — a green hash row
+      // proves the store round-trip (write → pointer join → decode)
+      // reproduced it exactly; the dedup/losslessness/pruning claims
+      // fail the Spark side loudly before any row reaches grading.
+      ("l72_blob_pointer_store" ->
+        """SELECT source, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT text) AS n_blobs,
+          |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin) +
       ("l71_source_len_quartiles" ->
         """WITH v AS (SELECT source, doc_id,
           |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v

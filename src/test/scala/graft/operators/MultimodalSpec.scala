@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -34,5 +35,65 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(spark, meta, everyK = 2)
       .as[(Long, Int)].collect().toSet
     assert(frames == Set((1L, 0), (1L, 2)))
+  }
+
+  test("blob store: content addressing dedups, pointers restore losslessly, point fetch prunes") {
+    // 200 docs over 40 distinct payloads — shared bytes store ONCE
+    val d = (0 until 200).map(i => (i.toLong, s"payload body number ${i % 40} with shared content"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_blobspec").toString
+    val bin = Multimodal.asBinary(d, "doc_id", "text")
+    val pointers = Multimodal.writeBlobStore(spark, bin, s"$root/store", nFiles = 6)
+
+    assert(spark.read.parquet(s"$root/store").count() == 40,
+      "store must hold one row per distinct payload")
+    assert(pointers.count() == 200, "every doc keeps its pointer")
+
+    // restore through the store, decode, compare through the Delta gate
+    val restored = Multimodal.joinBlobs(spark, s"$root/store", pointers)
+      .select(col("doc_id"), decode(col("content"), "UTF-8").as("text"))
+    Delta.assertLossless(restored, d, "blob-spec")
+
+    // point fetch: 2 keys through the Bloom sidecar read < all files
+    val keys = pointers.filter(col("doc_id").isin(3L, 7L))
+      .select("blob_key").as[Long].collect().toSeq.distinct
+    val scan = Multimodal.fetchBlobs(spark, s"$root/store", keys)
+    assert(scan.filesRead < scan.filesTotal,
+      s"read ${scan.filesRead}/${scan.filesTotal} — sidecar not pruning")
+    val fetched = scan.df.select("blob_sha").as[String].collect().toSet
+    val want = pointers.filter(col("doc_id").isin(3L, 7L))
+      .select("blob_sha").as[String].collect().toSet
+    assert(want.subsetOf(fetched), "point fetch must return the pointed-at blobs")
+  }
+
+  test("a dangling pointer fails the restore loudly, never a silent row drop") {
+    val d = (0 until 30).map(i => (i.toLong, s"unique doc $i")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_blobspec2").toString
+    val bin = Multimodal.asBinary(d, "doc_id", "text")
+    val pointers = Multimodal.writeBlobStore(spark, bin, s"$root/store", nFiles = 4)
+      .collect() // pin pointers BEFORE the store is damaged
+    val pinned = spark.createDataFrame(
+      spark.sparkContext.parallelize(pointers.toIndexedSeq),
+      Multimodal.writeBlobStore(spark, bin, s"$root/store2", nFiles = 4).schema)
+
+    // rebuild the store minus one blob — the deleted-media case
+    val victim = pointers.head.getString(pointers.head.fieldIndex("blob_sha"))
+    val truncated = spark.read.parquet(s"$root/store").filter(col("blob_sha") =!= victim)
+    truncated.write.mode("overwrite").parquet(s"$root/damaged")
+
+    // reading the bytes fails loudly with the sha named
+    val e = intercept[Exception] {
+      Multimodal.joinBlobs(spark, s"$root/damaged", pinned)
+        .select(col("doc_id"), col("content")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("missing sha"),
+      s"expected a loud missing-sha failure, got: ${e.getMessage}")
+
+    // and a consumer that never touches the bytes still sees EVERY
+    // pointer row (left join — dangling pointers are never silently
+    // dropped; Catalyst prunes the unread guard column, which is fine
+    // because cardinality is intact and any bytes access raises)
+    assert(Multimodal.joinBlobs(spark, s"$root/damaged", pinned)
+      .select(col("doc_id")).count() == 30)
   }
 }
