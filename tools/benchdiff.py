@@ -3,6 +3,12 @@
 
 Usage: python3 tools/benchdiff.py <old.json> <new.json>
 
+Each side may also be a comma-separated list of run files, in which
+case per-query MEDIANS across the runs are compared (the same merge
+rule as tools/benchmedian.py — the round protocol is N>=3 full runs
+per side, compared on medians, because this host drifts up to ~2.4x
+on unchanged code and single-run flags are mostly noise).
+
 Accepts either this repo's full Bench JSON ({"queries": {...}}) or the
 driver's capture format ({"tail": "..."} — per-query times regexed out
 of the possibly-truncated tail). Prints common-suite totals, the
@@ -62,10 +68,31 @@ def load(path):
     return out, failed
 
 
+def load_side(arg):
+    """One artifact, or a comma-separated run list -> per-query medians.
+    Multi-run failed = failed in every run where the query appeared."""
+    import statistics
+    paths = [p for p in arg.split(",") if p]
+    if len(paths) == 1:
+        return load(paths[0])
+    loaded = [load(p) for p in paths]
+    times, seen, failcnt = {}, {}, {}
+    for t, f in loaded:
+        for k, v in t.items():
+            times.setdefault(k, []).append(v)
+            seen[k] = seen.get(k, 0) + 1
+        for k in f:
+            seen[k] = seen.get(k, 0) + 1
+            failcnt[k] = failcnt.get(k, 0) + 1
+    med = {k: statistics.median(v) for k, v in times.items()}
+    failed = {k for k in seen if failcnt.get(k, 0) == seen[k]}
+    return med, failed
+
+
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    (old, old_failed), (new, new_failed) = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_failed), (new, new_failed) = load_side(sys.argv[1]), load_side(sys.argv[2])
     # a query that TIMED before and FAILS now is the worst regression a
     # bench can show — lead with it, never let it vanish from the report
     broke = sorted((set(old) & new_failed) - set(new))
