@@ -151,4 +151,53 @@ object Decontaminate {
       .select(col(id))
     train.join(flagged, Seq(id), "left_semi")
   }
+
+  /** Embedding-space decontamination — the SEMANTIC complement of the
+    * n-gram family above: a paraphrased or translated benchmark row
+    * shares no long n-gram with the training doc that leaks it, but
+    * their embeddings still sit next to each other. Per train vector,
+    * the max cosine over the whole eval set; `contaminated` = that max
+    * >= `flagCos`.
+    *
+    * Scale shape mirrors `overlapStats`: the eval side is
+    * benchmark-sized (MBs against a 100 TB corpus) so it broadcasts
+    * explicitly, and the check is ONE pass over the train embeddings —
+    * a broadcast scoring loop with the codegen'd FloatVecDot inside
+    * whole-stage codegen, then one groupBy(id) max. Train never pairs
+    * with train, no shuffle ever carries a vector (the max is a
+    * scalar), and eval norms are computed once per broadcast copy.
+    * Scoring reuses the similarity family's guarded cosine (zero-norm
+    * encoder-failure sentinel = cosine 0 to everything) rounded to
+    * 6 d.p. per pair BEFORE the max, so the flag is reproducible in
+    * any engine. An empty eval set surfaces every train row with
+    * max_eval_cos 0.0, contaminated false — nothing to leak against,
+    * never a silent row drop. */
+  def semanticOverlapStats(train: DataFrame, eval: DataFrame, id: String,
+                           vec: String, flagCos: Double): DataFrame = {
+    require(flagCos > 0.0 && flagCos <= 1.0, s"flagCos must be in (0,1], got $flagCos")
+    val t = Similarity.withNorm(train, vec)
+      .select(col(id), col(vec).as("_tv"), col("nrm").as("_tn"))
+    val e = Similarity.withNorm(eval, vec)
+      .select(col(vec).as("_ev"), col("nrm").as("_en"))
+    val agg = t.crossJoin(broadcast(e))
+      .groupBy(col(id))
+      .agg(max(Similarity.guardedCos(col("_tv"), col("_ev"),
+        col("_tn"), col("_en"))).as("max_eval_cos"))
+    train.select(col(id))
+      .join(agg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("max_eval_cos"), lit(0.0)).as("max_eval_cos"),
+        (coalesce(col("max_eval_cos"), lit(0.0)) >= flagCos).as("contaminated"))
+  }
+
+  /** The filtering form of the semantic check — train rows whose
+    * nearest eval neighbor stays below `maxCos`. Same broadcast
+    * shape. */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame, id: String,
+                            vec: String, maxCos: Double): DataFrame = {
+    val clean = semanticOverlapStats(train, eval, id, vec, maxCos)
+      .filter(!col("contaminated"))
+      .select(col(id))
+    train.join(clean, Seq(id), "left_semi")
+  }
 }

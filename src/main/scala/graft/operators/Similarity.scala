@@ -42,7 +42,7 @@ object Similarity extends Serializable {
     * orders NaN ABOVE every value — unguarded, a zero vector becomes
     * the rank-1 "neighbor" of every bucket-mate and passes every
     * threshold. Same discipline as nearestCentroidIds/semDedup. */
-  private def guardedCos(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[operators] def guardedCos(va: Column, vb: Column, na: Column, nb: Column): Column =
     when(na === 0.0 || nb === 0.0, lit(0.0))
       .otherwise(round(dot(va, vb) / sqrt(na * nb), 6))
 

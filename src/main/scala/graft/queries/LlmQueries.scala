@@ -1111,6 +1111,24 @@ object LlmQueries {
           countDistinct(col("text")).as("n_blobs"),
           sum(octet_length(col("text"))).cast("long").as("sum_bytes"))
         .orderBy(col("source"))
+    }),
+
+    // SEMANTIC decontamination — the embedding-space complement of
+    // l28's n-gram check: a paraphrased benchmark shares no 3-gram but
+    // its embedding still neighbors the eval set's. vec_id % 17 == 0
+    // stands in for the held-out benchmark; every train vector gets the
+    // max cosine over the broadcast eval side (one corpus pass, guarded
+    // + 6-d.p.-rounded per pair before the max, so DuckDB reproduces
+    // the flag exactly). At 0.4 the data flags both ways at every SF
+    // (6/470 at sf0.001 up to 99/1882 at sf0.1), so the green hash row
+    // grades the positive AND negative decision, not a vacuous pass.
+    "l73_semantic_decontaminate" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticOverlapStats(
+          train = e.filter(col("vec_id") % 17 =!= 0),
+          eval = e.filter(col("vec_id") % 17 === 0),
+          "vec_id", "embedding", flagCos = 0.4)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1209,7 +1227,26 @@ object LlmQueries {
           |  MAX(CASE WHEN rk = ceil(n_docs * 0.25) THEN v END) AS p25,
           |  MAX(CASE WHEN rk = ceil(n_docs * 0.5) THEN v END) AS p50,
           |  MAX(CASE WHEN rk = ceil(n_docs * 0.75) THEN v END) AS p75
-          |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+          |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin) +
+      // l73: per-pair guarded cosine rounded to 6 d.p. BEFORE the max —
+      // the same scoring contract as l8/l9, so the max and the >= 0.4
+      // flag are bit-reproducible across engines.
+      ("l73_semantic_decontaminate" ->
+        """WITH e AS (SELECT vec_id, embedding,
+          |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+          |  FROM embeddings),
+          |ev AS (SELECT embedding, nrm FROM e WHERE vec_id % 17 = 0),
+          |tr AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % 17 <> 0),
+          |sc AS (SELECT t.vec_id,
+          |    max(CASE WHEN t.nrm = 0 OR v.nrm = 0 THEN 0.0
+          |      ELSE round(list_sum(list_transform(list_zip(t.embedding, v.embedding),
+          |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / sqrt(t.nrm * v.nrm), 6) END)
+          |      AS max_eval_cos
+          |  FROM tr t CROSS JOIN ev v GROUP BY t.vec_id)
+          |SELECT t.vec_id, coalesce(sc.max_eval_cos, 0.0) AS max_eval_cos,
+          |  (coalesce(sc.max_eval_cos, 0.0) >= 0.4) AS contaminated
+          |FROM tr t LEFT JOIN sc USING (vec_id)
+          |ORDER BY t.vec_id""".stripMargin)
   }
 
   /** The l68 replay: the same doc_id-derived injection, the same three

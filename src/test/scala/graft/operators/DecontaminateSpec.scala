@@ -119,4 +119,48 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out(0)._2 == 3L) // n_sh counts distinct shingles
     assert(out(0)._3 == 1L) // only "x y z" is shared
   }
+
+  private def vdf(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("semanticOverlapStats: max eval cosine per train vector, flag both ways around the threshold") {
+    val eval = vdf((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+    val train = vdf(
+      (1L, Seq(2f, 0f)),    // cos 1.0 with eval 100
+      (2L, Seq(1f, 1f)),    // cos ~0.707107 with both
+      (3L, Seq(1f, -1f)))   // cos ~0.707107 with 100, 0 with 101 → max 0.707107
+    val out = Decontaminate.semanticOverlapStats(train, eval, "vec_id", "embedding", flagCos = 0.9)
+      .orderBy("vec_id").as[(Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1.0, true), (2L, 0.707107, false), (3L, 0.707107, false)))
+    // tighter threshold flips the middle rows, not row 1
+    val strict = Decontaminate.semanticOverlapStats(train, eval, "vec_id", "embedding", flagCos = 0.7)
+      .orderBy("vec_id").as[(Long, Double, Boolean)].collect().toSeq
+    assert(strict.map(_._3) == Seq(true, true, true))
+  }
+
+  test("semantic check: zero-norm encoder-failure sentinel is cosine 0, never NaN-contaminated") {
+    val eval = vdf((100L, Seq(0f, 0f)), (101L, Seq(1f, 0f)))
+    val train = vdf((1L, Seq(0f, 0f)), (2L, Seq(0f, 3f)))
+    val out = Decontaminate.semanticOverlapStats(train, eval, "vec_id", "embedding", flagCos = 0.5)
+      .orderBy("vec_id").as[(Long, Double, Boolean)].collect().toSeq
+    // zero train vec: cos 0 to everything; orthogonal train vec: max 0
+    assert(out == Seq((1L, 0.0, false), (2L, 0.0, false)))
+  }
+
+  test("semantic check with an EMPTY eval set keeps every train row, max 0.0") {
+    val train = vdf((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val out = Decontaminate.semanticOverlapStats(
+        train, vdf().filter(lit(false)), "vec_id", "embedding", flagCos = 0.5)
+      .orderBy("vec_id").as[(Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 0.0, false), (2L, 0.0, false)))
+  }
+
+  test("semanticDecontaminate keeps exactly the clean rows with original columns") {
+    val eval = vdf((100L, Seq(1f, 0f)))
+    val train = vdf((1L, Seq(5f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(1f, 10f)))
+      .withColumn("extra", col("vec_id") * 10)
+    val kept = Decontaminate.semanticDecontaminate(train, eval, "vec_id", "embedding", maxCos = 0.5)
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding", "extra"))
+    assert(kept.select("vec_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
 }
