@@ -205,6 +205,36 @@ object Dedup {
       .distinct()
   }
 
+  /** The LINEAR-cost verdict from band frames: per new doc, the MIN
+    * seen id sharing >= 1 band bucket — exactly the pair path's
+    * `first_match` (and its non-null-ness is exactly `is_dup`) —
+    * WITHOUT materializing candidate pairs. The seen side first
+    * collapses to ONE ROW PER BUCKET ((band, bsig) -> min seen id), so
+    * the join output is bounded by the new side's band rows (numBands
+    * rows per doc), never |new dups| x |dup group|. Correctness: the
+    * globally-minimal seen bucket-mate is itself a member of some
+    * shared bucket, so min-over-matched-buckets == min-over-pairs,
+    * bit-identically.
+    *
+    * Why it exists: the pair form's cost is SUM over buckets of
+    * |new in bucket| x |seen in bucket| — quadratic in dup-group size.
+    * A boilerplate group growing with the corpus (cookie banners,
+    * licence headers) makes per-drop cost scale with ALL history, and
+    * the scale-spot measured exactly that (33 s on one drop at 5x data
+    * where the pair count is the only super-linear term). What this
+    * form CANNOT produce is `n_matches`: the distinct-matches count IS
+    * the pair set — if the pipeline reports it, it pays for it. */
+  def incrementalLshFirstMatchFromBands(newBands: DataFrame, seenBands: DataFrame,
+                                        id: String): DataFrame = {
+    val nb = newBands.select(col(id).as("new_id"), col("band"), col("bsig"))
+    val buckets = seenBands.select(col(id).as("seen_id"), col("band"), col("bsig"))
+      .groupBy(col("band"), col("bsig"))
+      .agg(min(col("seen_id")).as("_bucket_min"))
+    nb.join(buckets, Seq("band", "bsig"))
+      .groupBy(col("new_id"))
+      .agg(min(col("_bucket_min")).as("first_match"))
+  }
+
   /** Exact SUBSTRING dedup at chunk granularity (the parallelizable
     * approximation of suffix-array substring dedup from "Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022):

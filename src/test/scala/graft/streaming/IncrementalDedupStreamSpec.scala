@@ -489,4 +489,57 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(seen.select("doc_id").as[Long].collect().toSeq == Seq(1L))
     assert(IncrementalDedup.seenBands(spark, s"$root/st", 0L).isEmpty)
   }
+
+  test("bucket-min verdict == pair verdict on first_match, without materializing pairs") {
+    // one LARGE dup group (40 members) + unique docs: the pair form
+    // emits 40 seen ids per new dup; the bucket form must reach the
+    // same min through |buckets| rows
+    val docs = (1L to 60L).map { i =>
+      if (i % 3 != 0) (i, "shared boilerplate sentence repeated across the whole crawl corpus")
+      else (i, s"unique document number $i with words resembling nothing else at all")
+    }.toDF("doc_id", "text")
+    val newB = Dedup.bandFrame(Dedup.shingleSet(docs.filter(col("doc_id") > 50L), "doc_id", "text", 3),
+      "doc_id", 8, 2)
+    val seenB = Dedup.bandFrame(Dedup.shingleSet(docs.filter(col("doc_id") <= 50L), "doc_id", "text", 3),
+      "doc_id", 8, 2)
+    val viaPairs = Dedup.incrementalLshPairsFromBands(newB, seenB, "doc_id")
+      .groupBy(col("new_id")).agg(min(col("seen_id")).as("first_match"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBuckets = Dedup.incrementalLshFirstMatchFromBands(newB, seenB, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPairs.nonEmpty && viaBuckets == viaPairs)
+  }
+
+  test("exactCounts=false loop: identical first_match/is_dup per drop, n_matches NULL") {
+    def loop(root: String, exact: Boolean): Map[Long, (Option[Long], Boolean)] = {
+      val c = cfg.copy(exactCounts = exact)
+      val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+      Seq.tabulate(3) { k =>
+        (k * 10L + 1 to k * 10L + 6).map { i =>
+          if (i % 2 == 0) (i, "template boilerplate text shared by every second document in the crawl")
+          else (i, s"one-off document $i that matches nothing else in any drop at all")
+        }
+      }.foreach { rows =>
+        rows.toDF("doc_id", "text").write.mode("append").parquet(s"$root/src")
+        IncrementalDedup.run(
+          spark.readStream.schema(schema).parquet(s"$root/src"),
+          c, s"$root/bands", s"$root/out", s"$root/ckpt",
+          compactEvery = 2).awaitTermination()
+      }
+      IncrementalDedup.results(spark, s"$root/out").collect().map { r =>
+        if (!exact) assert(r.isNullAt(r.fieldIndex("n_matches")),
+          s"lite verdict must surface n_matches as NULL, got row $r")
+        r.getLong(r.fieldIndex("doc_id")) ->
+          ((if (r.isNullAt(r.fieldIndex("first_match"))) None
+            else Some(r.getLong(r.fieldIndex("first_match")))),
+            r.getBoolean(r.fieldIndex("is_dup")))
+      }.toMap
+    }
+    val exactRoot = Files.createTempDirectory("graft_incr_exact").toString
+    val liteRoot = Files.createTempDirectory("graft_incr_lite").toString
+    val e = loop(exactRoot, exact = true)
+    val l = loop(liteRoot, exact = false)
+    assert(e == l)
+    assert(e.values.exists(_._2) && e.values.exists(!_._2)) // both verdicts occur
+  }
 }
