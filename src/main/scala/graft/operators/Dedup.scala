@@ -107,6 +107,39 @@ object Dedup {
     minhashLshPairsFromShingles(shingleSet(docs, id, text, shingleN),
       id, numHashes, rowsPerBand)
 
+  /** Probability that two docs at Jaccard similarity `s` share at least
+    * one band under (numHashes / rowsPerBand) bands of `rowsPerBand`
+    * rows: 1 - (1 - s^r)^b — the LSH S-curve (Mining of Massive
+    * Datasets §3.4). Driver-side math for tuning and specs. */
+  def lshCollisionProb(numHashes: Int, rowsPerBand: Int, s: Double): Double = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val b = numHashes / rowsPerBand
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), b.toDouble)
+  }
+
+  /** Choose `rowsPerBand` for a signature of `numHashes` minhashes so
+    * the S-curve's inflection threshold (1/b)^(1/r) lands closest to
+    * `targetJaccard` — the similarity level at which candidate recall
+    * should switch from "mostly miss" to "mostly hit". Candidates are
+    * the divisors of numHashes (banding needs b·r == numHashes); ties
+    * break to the SMALLER r (more, shorter bands → recall over
+    * precision: LSH false POSITIVES are removed by the exact
+    * verification every production composition runs downstream, while
+    * false negatives are unrecoverable). Pure driver-side arithmetic —
+    * call once, pass the result to `minhashLshPairs`/
+    * `lshVerifiedPairs`; the chosen value must stay constant for the
+    * lifetime of any band store built with it. */
+  def tuneRowsPerBand(numHashes: Int, targetJaccard: Double): Int = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(targetJaccard > 0.0 && targetJaccard <= 1.0,
+      s"targetJaccard must be in (0,1], got $targetJaccard")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .minBy { r =>
+        val threshold = math.pow(1.0 / (numHashes / r), 1.0 / r)
+        (math.abs(threshold - targetJaccard), r)
+      }
+  }
+
   /** `minhashLshPairs` over an ALREADY-PREPARED distinct shingle frame
     * (id, s) — the form compositions use so the tokenize→explode→
     * distinct pass (the dominant cost) is built ONCE and shared across

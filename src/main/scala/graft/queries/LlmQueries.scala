@@ -1129,6 +1129,25 @@ object LlmQueries {
           eval = e.filter(col("vec_id") % 17 === 0),
           "vec_id", "embedding", flagCos = 0.4)
         .orderBy(col("vec_id"))
+    }),
+
+    // The LSH S-curve tuner IN THE LOOP: (bands, rows) are not chosen
+    // by hand but derived from the target Jaccard threshold — for an
+    // 8-hash signature and t=0.5 the tuner must land on rows=2 (4 bands
+    // of 2: threshold (1/4)^(1/2) = 0.5 exactly; rows=1 sits at 0.125,
+    // rows=4 at 0.84), asserted in-query so a tuner regression fails
+    // loudly. The tuned parameters then drive the production
+    // composition (candidates → exact verification), and the green
+    // hash row proves the tuned banding caught every true pair the
+    // exact-Jaccard oracle finds — the closed loop from threshold
+    // choice to verified output.
+    "l74_dedup_lsh_tuned" -> ((s, dir) => {
+      val rows = graft.operators.Dedup.tuneRowsPerBand(numHashes = 8, targetJaccard = 0.5)
+      require(rows == 2, s"tuner must choose rows=2 for H=8, t=0.5; got $rows")
+      Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = rows,
+          threshold = 0.8)
+        .orderBy(col("da"), col("db"))
     })
   )
 
@@ -1186,6 +1205,10 @@ object LlmQueries {
       // exactly the corpus band frame, so the contract is l44's batch
       // recompute oracle verbatim
       ("l66_stream_dup_groups" -> base("l44_dedup_keep_best")) +
+      // l74 runs l16's exact composition with TUNER-chosen banding;
+      // the tuner's in-query require pins rows=2 — the parameters l16
+      // uses — so the verified-pairs contract is l16's oracle verbatim
+      ("l74_dedup_lsh_tuned" -> base("l16_dedup_lsh_verified")) +
       ("l60_bpe_train" -> bpeOracle(10)) +
       ("l67_bpe_encode" -> bpeEncodeOracle(10)) +
       ("l69_token_fertility" -> bpeFertilityOracle(10)) +

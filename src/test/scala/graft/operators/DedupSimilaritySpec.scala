@@ -295,4 +295,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("LSH tuner: S-curve thresholds drive (bands, rows); ties break toward recall") {
+    // H=8 divisor thresholds: r=1 -> 0.125, r=2 -> (1/4)^(1/2) = 0.5
+    // exactly, r=4 -> (1/2)^(1/4) ~ 0.841, r=8 -> 1.0
+    assert(Dedup.tuneRowsPerBand(8, 0.5) == 2)
+    assert(Dedup.tuneRowsPerBand(8, 0.1) == 1)
+    assert(Dedup.tuneRowsPerBand(8, 0.9) == 4)  // |0.841-0.9| < |1.0-0.9|
+    assert(Dedup.tuneRowsPerBand(8, 1.0) == 8)
+    // equidistant between r=1 (0.125) and r=2 (0.5): prefer smaller r
+    // (more bands, higher recall — downstream verification removes FPs)
+    assert(Dedup.tuneRowsPerBand(8, 0.3125) == 1)
+    // the S-curve itself: steeper and centered near the threshold
+    val atThreshold = Dedup.lshCollisionProb(8, 2, 0.5)
+    assert(atThreshold > 0.6 && atThreshold < 0.8) // 1-(1-0.25)^4 ~ 0.684
+    assert(Dedup.lshCollisionProb(8, 2, 0.9) > 0.99)
+    assert(Dedup.lshCollisionProb(8, 2, 0.1) < 0.05)
+    intercept[IllegalArgumentException](Dedup.tuneRowsPerBand(0, 0.5))
+    intercept[IllegalArgumentException](Dedup.tuneRowsPerBand(8, 0.0))
+  }
 }
