@@ -115,6 +115,7 @@ object Multimodal {
     * Plain shuffle join on the sha: the store side is big by design,
     * so no broadcast. */
   def joinBlobs(spark: SparkSession, path: String, pointers: DataFrame): DataFrame = {
+    Packing.requireAbsent(pointers, "joinBlobs(pointers)", "content", "_s_sha")
     val store = spark.read.parquet(path)
       .select(col("blob_sha").as("_s_sha"), col("content"))
     pointers.join(store, col("blob_sha") === col("_s_sha"), "left")

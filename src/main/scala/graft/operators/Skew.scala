@@ -30,6 +30,7 @@ object Skew {
     * the first shuffle spreads each hot key across `nSalts` reducers. */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      nSalts: Int): DataFrame = {
+    Packing.requireAbsent(df, "saltedSumCount", "_salt", "_psum", "_pcnt")
     val keys = keyCols.map(col)
     df.withColumn("_salt", salt(df, nSalts))
       .groupBy(keys :+ col("_salt"): _*)
@@ -48,6 +49,11 @@ object Skew {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/left_semi join types (right rows are replicated), got $joinType")
+    // both names guarded on BOTH sides: the final drop("_lsalt")/
+    // drop("_rsalt") is name-based over the joined frame, so a user
+    // column of either name on either side would be silently removed
+    Packing.requireAbsent(left, "saltedJoin(left)", "_lsalt", "_rsalt")
+    Packing.requireAbsent(right, "saltedJoin(right)", "_lsalt", "_rsalt")
     val l = left.withColumn("_lsalt", salt(left, nSalts))
     val r = right.withColumn("_rsalt",
       explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))

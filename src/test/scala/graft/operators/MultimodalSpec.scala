@@ -95,5 +95,13 @@ class MultimodalSpec extends AnyFunSuite {
     // because cardinality is intact and any bytes access raises)
     assert(Multimodal.joinBlobs(spark, s"$root/damaged", pinned)
       .select(col("doc_id")).count() == 30)
+
+    // a pointer frame that still carries its own `content` column fails
+    // at the operator boundary (the restore would otherwise die later
+    // on an ambiguous-reference error far from the cause)
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.joinBlobs(spark, s"$root/damaged",
+        pinned.withColumn("content", lit(Array[Byte]()))))
+    assert(ex.getMessage.contains("content"))
   }
 }

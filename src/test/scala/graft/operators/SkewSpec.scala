@@ -94,4 +94,20 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.select("lk", "lv", "rv").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet == expect)
   }
+
+  test("reserved scratch columns fail loudly instead of silently overwriting user data") {
+    val df = Seq(("k", 1L)).toDF("key", "v")
+    val ex1 = intercept[IllegalArgumentException](
+      Skew.saltedSumCount(df.withColumn("_salt", lit(9)), Seq("key"), "v", 4))
+    assert(ex1.getMessage.contains("_salt"))
+    // the post-join drop is name-based on the combined frame, so BOTH
+    // names are reserved on BOTH sides
+    val right = Seq(("k", 2L)).toDF("rk", "rv")
+    val ex2 = intercept[IllegalArgumentException](
+      Skew.saltedJoin(df.withColumn("_rsalt", lit(9)), right, "key", "rk", 4))
+    assert(ex2.getMessage.contains("_rsalt"))
+    val ex3 = intercept[IllegalArgumentException](
+      Skew.saltedJoin(df, right.withColumn("_lsalt", lit(9)), "key", "rk", 4))
+    assert(ex3.getMessage.contains("_lsalt"))
+  }
 }
