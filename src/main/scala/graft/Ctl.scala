@@ -19,6 +19,8 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> trim        <topic> <checkpointDir>   (graftlog retention)
   *   Ctl <root> index-ingests <indexDir>              (ANN index: servable ingest tags)
   *   Ctl <root> index-compact <indexDir> <upToBatch>  (fold committed batch ingests)
+  *   Ctl <root> index-delete <indexDir> <idCol> <id1,id2,...> <tag> (tombstone ids)
+  *   Ctl <root> index-tombstones <indexDir>           (standing dead-id count)
   *   Ctl <root> bands-compact <bandStoreDir> <upToBatch> (fold dedup band store)
   *   Ctl <root> bands-resolve <bandStoreDir> <discard|complete> (ambiguous stage)
   *   Ctl <root> stats-refresh <storeDir> <col1,col2,...> (rebuild _filestats sidecar)
@@ -47,6 +49,8 @@ object Ctl {
       |       Ctl <root> state <checkpointDir> [limit]
       |       Ctl <root> <lag|trim> <topic> <checkpointDir>
       |       Ctl <root> index-ingests <indexDir>
+      |       Ctl <root> index-delete <indexDir> <idCol> <id1,id2,...> <tag>
+      |       Ctl <root> index-tombstones <indexDir>
       |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>
       |       Ctl <root> bands-resolve <dir> <discard|complete>
       |       Ctl <root> stats-refresh <dir> <col1,col2,...>
@@ -119,6 +123,22 @@ object Ctl {
     case ("index-compact", dir :: upTo :: Nil) =>
       parseBatch(upTo).flatMap(b => attempt(
         s"folded=${graft.operators.AnnIndex.compactIngests(spark, s"$root/$dir", b)}"))
+    // right-to-erasure verbs: tombstone ids out of a persisted index
+    // (no rebuild — load masks them; the next rebuild purges), and
+    // inspect the standing deletion state
+    case ("index-delete", dir :: idCol :: ids :: tag :: Nil) =>
+      val parsed = ids.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLongOption)
+      if (parsed.isEmpty || parsed.exists(_.isEmpty))
+        Left(s"index-delete needs comma-separated integer ids, got '$ids'")
+      else attempt {
+        import spark.implicits._
+        graft.operators.AnnIndex.deleteVectors(spark, s"$root/$dir",
+          parsed.flatten.toSeq.toDF(idCol), idCol, tag)
+        s"tombstoned=${parsed.length} under ingest=$tag"
+      }
+    case ("index-tombstones", dir :: Nil) =>
+      attempt(s"dead_ids=${graft.operators.AnnIndex
+        .loadTombstones(spark, s"$root/$dir").map(_.count()).getOrElse(0L)}")
     case ("bands-compact", dir :: upTo :: Nil) =>
       parseBatch(upTo).flatMap(b => attempt(
         s"folded=${graft.streaming.IncrementalDedup.compactBandStore(spark, s"$root/$dir", b)}"))

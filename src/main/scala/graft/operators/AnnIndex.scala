@@ -45,9 +45,12 @@ object AnnIndex {
     val spark = emb.sparkSession
     // a rebuild RETRAINS the quantizers, so every prior ingest's codes
     // (encoded against the old codebooks) are invalid — clear the
-    // partitioned artifacts wholesale rather than only ingest=base
+    // partitioned artifacts wholesale rather than only ingest=base.
+    // Tombstones clear too: the rebuild indexes exactly the corpus it
+    // was handed, so deletion state is spent — this is also how
+    // tombstoned space is physically reclaimed (the purge).
     val conf = spark.sessionState.newHadoopConf()
-    Seq("codes", "lists").foreach { artifact =>
+    Seq("codes", "lists", "tombstones").foreach { artifact =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, true)
@@ -138,11 +141,55 @@ object AnnIndex {
   def load(spark: SparkSession, dir: String): IvfPq = {
     val tags = servableTags(spark, dir)
     require(tags.nonEmpty, s"no committed ingests under $dir")
+    // committed tombstones mask deleted ids out of BOTH served
+    // artifacts: lists (so a dead id is never a candidate) and codes
+    // (so the whole-corpus ADC path never scores it). The tombstone
+    // frame is |deletes| — broadcast-sized against the corpus until a
+    // rebuild reclaims the space — and is self-describing: its single
+    // column is the id column the index was built on.
+    val masked = loadTombstones(spark, dir) match {
+      case Some(t) =>
+        val idCol = t.columns.head
+        (df: DataFrame) => df.join(t, Seq(idCol), "left_anti")
+      case None => identity[DataFrame] _
+    }
     IvfPq(
       codebooks = spark.read.parquet(s"$dir/codebooks"),
-      codes = readArtifact(spark, dir, "codes", tags),
+      codes = masked(readArtifact(spark, dir, "codes", tags)),
       centroids = spark.read.parquet(s"$dir/centroids"),
-      lists = readArtifact(spark, dir, "lists", tags))
+      lists = masked(readArtifact(spark, dir, "lists", tags)))
+  }
+
+  /** Delete vectors from a persisted index WITHOUT a rebuild — the
+    * GDPR/right-to-erasure shape: `delIds` (any frame carrying the
+    * index's id column) is written as a tombstone partition under
+    * `ingestTag`, and every subsequent `load` masks the dead ids out of
+    * codes and lists before serving. Same commit discipline as appends:
+    * the partition is tag-keyed overwrite (a crashed delete is
+    * invisible until its same-tag retry commits), so the delete is
+    * idempotent end to end.
+    *
+    * Tombstones MASK, they don't reclaim: codes rows for dead ids stay
+    * on disk until the next `buildIvfPq` rebuild, which clears the
+    * tombstone artifact along with the append partitions (deletion
+    * state is spent once the rebuild indexes the post-delete corpus).
+    * A deleted id stays dead until that rebuild — `appendVectors`
+    * refuses to re-ingest one (see its scaladoc). */
+  def deleteVectors(spark: SparkSession, dir: String, delIds: DataFrame,
+                    id: String, ingestTag: String): Unit = {
+    require(servableTags(spark, dir).nonEmpty,
+      s"no committed ingests under $dir — nothing to delete from")
+    delIds.select(col(id)).distinct()
+      .write.mode("overwrite").parquet(ingestDir(dir, "tombstones", ingestTag))
+  }
+
+  /** The committed tombstone frame (distinct dead ids), None when no
+    * delete has ever committed — exposed for ops/audit; `load` applies
+    * it to every serve path already. */
+  def loadTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val tags = committedTags(spark, dir, "tombstones")
+    if (tags.isEmpty) None
+    else Some(readArtifact(spark, dir, "tombstones", tags).distinct())
   }
 
   /** Extend a persisted index with NEW vectors, no rebuild: codes are
@@ -166,7 +213,17 @@ object AnnIndex {
     * from the probe: a retry of a fully-committed append must not read
     * the partition it is overwriting (Spark forbids it), nor treat its
     * previous attempt's rows as "already indexed" (the anti-join would
-    * empty the batch and the drop would silently vanish). */
+    * empty the batch and the drop would silently vanish).
+    *
+    * Tombstone discipline: a TOMBSTONED id stays dead until a rebuild
+    * purges the tombstones, so re-ingesting one is refused loudly —
+    * appending it would write fresh code rows that the standing
+    * tombstone immediately masks, i.e. the append would silently
+    * vanish at serve time. (Under `skipExisting` a tombstoned id is
+    * simply skipped like any other physically-indexed id — its code
+    * rows are still on disk, only masked.) The check is one
+    * column-pruned scan of the tombstone artifact and runs only when
+    * deletes have committed. */
   def appendVectors(spark: SparkSession, dir: String, newEmb: DataFrame,
                     id: String, vec: String, dim: Int, m: Int,
                     ingestTag: String, skipExisting: Boolean = false): Unit = {
@@ -176,8 +233,23 @@ object AnnIndex {
       if (skipExisting) {
         val priorCodes = readArtifact(spark, dir, "codes",
           servableTags(spark, dir) - ingestTag)
-        newEmb.join(priorCodes.select(col(id)).distinct(), Seq(id), "left_anti")
+        val live = newEmb.join(priorCodes.select(col(id)).distinct(),
+          Seq(id), "left_anti")
+        // skip dead ids too: a tombstoned id that was never physically
+        // indexed isn't in priorCodes, but appending it would be
+        // instantly masked — drop it with the rest of the settled ids
+        loadTombstones(spark, dir)
+          .map(t => live.join(t, Seq(id), "left_anti")).getOrElse(live)
       } else newEmb
+    if (!skipExisting) loadTombstones(spark, dir).foreach { t =>
+      val dead = fresh.join(t, Seq(id), "left_semi")
+        .select(col(id)).limit(5).collect().map(_.get(0))
+      require(dead.isEmpty,
+        s"cannot re-ingest tombstoned id(s) ${dead.mkString(", ")} — a " +
+          "deleted id stays dead until buildIvfPq rebuilds (purging the " +
+          "tombstones); rebuild first, or pass skipExisting = true to " +
+          "drop them from the batch")
+    }
     Quantize.pqEncode(fresh, ix.codebooks, id, vec, dim, m)
       .write.mode("overwrite").parquet(ingestDir(dir, "codes", ingestTag))
     Similarity.ivfListsFrom(ix.centroids, fresh, id, vec)

@@ -73,6 +73,63 @@ object Audit {
       .withColumn("leaky", col("split_lo") =!= col("split_hi"))
   }
 
+  /** Snapshot diff (CDC) between two corpus versions: one row per id
+    * whose membership or payload changed — `status` is 'added' (in
+    * `cur` only), 'removed' (in `prev` only), or 'changed' (in both,
+    * payload differs); unchanged ids emit nothing. The report an
+    * incremental pipeline runs between ingest cycles to size the delta
+    * before reprocessing (and the audit trail for what a cycle did).
+    *
+    * Scale shape: each side reduces to an (id, 64-bit fingerprint)
+    * pointer frame BEFORE the full-outer join, so the payload column —
+    * at 100 TB, the documents themselves — never rides the shuffle;
+    * the join moves 16 bytes a row and co-partitions both snapshots on
+    * the id. Change detection is fingerprint equality (xxhash64), the
+    * same trade every content-addressed diff makes: equal payloads
+    * always compare unchanged, and a silent false-'unchanged' needs a
+    * 2^-64 collision. Null-safe: a null payload fingerprints like any
+    * other value and compares via <=>. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, id: String,
+                   payload: Column): DataFrame = {
+    Seq(prev, cur).foreach(
+      Packing.requireAbsent(_, "snapshotDiff", "_fpa", "_fpb", "status"))
+    val a = prev.select(col(id).as("_ida"), xxhash64(payload).as("_fpa"))
+    val b = cur.select(col(id).as("_idb"), xxhash64(payload).as("_fpb"))
+    a.join(b, col("_ida") === col("_idb"), "full_outer")
+      .select(coalesce(col("_ida"), col("_idb")).as(id),
+        when(col("_idb").isNull, "removed")
+          .when(col("_ida").isNull, "added")
+          .when(!(col("_fpa") <=> col("_fpb")), "changed")
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
+  /** Incremental refresh of a per-document derived artifact, driven by
+    * a `snapshotDiff` frame: rows the diff names are dropped from the
+    * standing `state` (removed stay dropped; changed are superseded),
+    * and ONLY the added+changed documents flow through `recompute` —
+    * the incremental-view-maintenance shape. The result is
+    * row-identical to recomputing the artifact over the whole new
+    * snapshot whenever `recompute` is deterministic per document
+    * (unchanged docs keep state computed from byte-identical text).
+    *
+    * Scale shape: the expensive leg (`recompute`, e.g. quality
+    * scoring or tokenization) runs over |delta| documents, not the
+    * corpus; the splice is one anti-join against the |delta|-row diff
+    * frame. At 100 TB with a 1 % daily delta this is the difference
+    * between reprocessing a terabyte and reprocessing everything.
+    *
+    * `cur` must be the snapshot the diff's 'added'/'changed' verdicts
+    * came from; `state`'s id column must match `diff`'s. */
+  def incrementalRefresh(state: DataFrame, cur: DataFrame, diff: DataFrame,
+                         id: String,
+                         recompute: DataFrame => DataFrame): DataFrame = {
+    val todo = cur.join(
+      diff.filter(col("status") =!= "removed").select(col(id)), Seq(id))
+    state.join(diff.select(col(id)), Seq(id), "left_anti")
+      .unionByName(recompute(todo))
+  }
+
   /** Per-source corpus datasheet: document count, size, token means,
     * short-doc and exact-duplicate counts, detected-language count, and
     * a sample document pointer (min id) — the "corpus card" row a

@@ -457,6 +457,83 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(serveAll(dir) == serveAll(fresh))
   }
 
+  test("deleteVectors masks ids from every serve path; a rebuild purges the tombstones") {
+    val dir = Files.createTempDirectory("annix_del").toString
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    val before = serveAll(dir)
+    assert(before.map(_._1).toSet == (0L until 12L).toSet)
+
+    AnnIndex.deleteVectors(spark, dir, Seq(2L, 4L).toDF("vec_id"),
+      "vec_id", ingestTag = "del_1")
+    val after = serveAll(dir)
+    // exactly the dead ids vanish; every survivor's ADC score is
+    // bit-unchanged (deletion only removes rows from the ranking)
+    assert(after == before.filterNot(r => Set(2L, 4L)(r._1)))
+    // ...and the whole-corpus ADC path (no IVF routing) masks too
+    val ix = AnnIndex.load(spark, dir)
+    val adcIds = AnnIndex.servePqAdc(ix, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", dim = 8, m = 2, topK = 12)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(!adcIds(2L) && !adcIds(4L))
+
+    // a same-tag retry overwrites its own partition (idempotent), and
+    // a second delete under a NEW tag unions with the first
+    AnnIndex.deleteVectors(spark, dir, Seq(2L, 4L).toDF("vec_id"),
+      "vec_id", ingestTag = "del_1")
+    assert(serveAll(dir) == after)
+    AnnIndex.deleteVectors(spark, dir, Seq(6L).toDF("vec_id"),
+      "vec_id", ingestTag = "del_2")
+    assert(serveAll(dir).map(_._1).toSet ==
+      (0L until 12L).toSet -- Set(2L, 4L, 6L))
+
+    // the rebuild indexes the post-delete corpus and spends the
+    // deletion state: tombstones are purged, a formerly-dead id
+    // re-ingested through the rebuild serves again
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "rebuild must clear the tombstone artifact")
+    assert(serveAll(dir) == before)
+  }
+
+  test("a torn delete is invisible until its retry commits; appends refuse dead ids") {
+    val dir = Files.createTempDirectory("annix_del_torn").toString
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 4, dir = dir)
+    val before = serveAll(dir)
+
+    AnnIndex.deleteVectors(spark, dir, Seq(2L).toDF("vec_id"),
+      "vec_id", ingestTag = "del_1")
+    // crash before the commit marker: the delete must not serve
+    import java.nio.file.Paths
+    assert(Files.deleteIfExists(Paths.get(s"$dir/tombstones/ingest=del_1/_SUCCESS")))
+    assert(serveAll(dir) == before, "an uncommitted delete must not mask")
+    // the same-tag retry commits it
+    AnnIndex.deleteVectors(spark, dir, Seq(2L).toDF("vec_id"),
+      "vec_id", ingestTag = "del_1")
+    assert(serveAll(dir) == before.filterNot(_._1 == 2L))
+
+    // re-ingesting a dead id is refused loudly: the standing tombstone
+    // would instantly mask the fresh codes — the append would silently
+    // vanish at serve time
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendVectors(spark, dir,
+        emb.filter(col("vec_id") === 2 || col("vec_id") === 10),
+        "vec_id", "embedding", dim = 8, m = 2, ingestTag = "drop1")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+
+    // under skipExisting the dead id is dropped with the other settled
+    // ids and the genuinely-new ones land
+    AnnIndex.appendVectors(spark, dir,
+      emb.filter(col("vec_id") === 2 || col("vec_id") >= 10),
+      "vec_id", "embedding", dim = 8, m = 2, ingestTag = "drop1",
+      skipExisting = true)
+    val ids = serveAll(dir).map(_._1).toSet
+    assert(ids(10L) && ids(11L) && !ids(2L), s"unexpected serve set: $ids")
+  }
+
   test("the serving plan reads the index and touches the corpus only for the probe") {
     val dir = Files.createTempDirectory("annix_plan").toString
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding",

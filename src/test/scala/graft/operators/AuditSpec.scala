@@ -86,4 +86,79 @@ class AuditSpec extends AnyFunSuite {
       assert(got == want, s"quartiles drifted at $p partitions")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed and is silent on unchanged ids") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta"), (5L, "epsilon"))
+      .toDF("doc_id", "text")
+    val out = Audit.snapshotDiff(prev, cur, "doc_id", col("text"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // 1 and 4 unchanged (no row), 2 revised, 3 dropped, 5 new
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
+  }
+
+  test("snapshotDiff is null-safe on the payload and loud on reserved columns") {
+    // null payloads fingerprint like any value: null -> null is
+    // unchanged, null -> value (and back) is changed
+    val prev = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, null: String), (2L, "now set"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = Audit.snapshotDiff(prev, cur, "doc_id", col("text"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "changed"), (3L, "changed")))
+
+    val clash = Seq((1L, "a", "scratch")).toDF("doc_id", "text", "_fpa")
+    val e = intercept[IllegalArgumentException](
+      Audit.snapshotDiff(clash, clash, "doc_id", col("text")))
+    assert(e.getMessage.contains("_fpa"))
+  }
+
+  test("incrementalRefresh equals a full recompute and touches only the delta") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta"), (5L, "epsilon"))
+      .toDF("doc_id", "text")
+    def derive(c: org.apache.spark.sql.DataFrame) =
+      c.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val state = derive(prev)
+    val diff = Audit.snapshotDiff(prev, cur, "doc_id", col("text"))
+    var touched: Seq[Long] = Nil
+    val out = Audit.incrementalRefresh(state, cur, diff, "doc_id", todo => {
+      touched = todo.select("doc_id").as[Long].collect().toSeq.sorted
+      derive(todo)
+    }).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // identical to deriving over the whole new snapshot...
+    assert(out == derive(cur).orderBy("doc_id").as[(Long, Long)].collect().toSeq)
+    // ...with the expensive leg fed exactly the added+changed docs
+    assert(touched == Seq(2L, 5L))
+  }
+
+  test("snapshotDiff shuffles pointer frames, not payloads") {
+    // the full-outer join's inputs must project to (id, fingerprint)
+    // BEFORE the exchange — the payload column may not ride the shuffle
+    val prev = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val cur = Seq((2L, "beta v2"), (3L, "new")).toDF("doc_id", "text")
+    val df = Audit.snapshotDiff(prev, cur, "doc_id", col("text"))
+    df.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val found = scala.collection.mutable.ArrayBuffer[ShuffleExchangeLike]()
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.finalPhysicalPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case e: ShuffleExchangeLike => found += e; e.children.foreach(walk)
+      case r: ReusedExchangeExec => walk(r.child)
+      case _ => p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "expected a shuffle for the full-outer join")
+    found.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("text"),
+        s"payload column crossed the shuffle: ${names.mkString(", ")}")
+    }
+  }
 }

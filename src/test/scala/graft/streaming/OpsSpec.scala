@@ -121,6 +121,24 @@ class OpsSpec extends AnyFunSuite {
     // a typo'd index path is an ERROR, not an empty-but-healthy report
     assert(graft.Ctl.run(spark, root, "index-ingests", Array("no_such_ix")).isLeft)
 
+    // right-to-erasure verbs: tombstone two ids, inspect the standing
+    // deletion state, and confirm serving masks them
+    assert(graft.Ctl.run(spark, root, "index-tombstones", Array("ix")) ==
+      Right("dead_ids=0"))
+    assert(graft.Ctl.run(spark, root, "index-delete",
+      Array("ix", "vec_id", "2,4", "erasure_1")) ==
+      Right("tombstoned=2 under ingest=erasure_1"))
+    assert(graft.Ctl.run(spark, root, "index-tombstones", Array("ix")) ==
+      Right("dead_ids=2"))
+    val servedIds = graft.operators.AnnIndex.serveIvfPq(
+        graft.operators.AnnIndex.load(spark, s"$root/ix"),
+        emb.filter($"vec_id" === 0), "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 2, topK = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!servedIds(2L) && !servedIds(4L))
+    assert(graft.Ctl.run(spark, root, "index-delete",
+      Array("ix", "vec_id", "2,x", "erasure_2")).isLeft)
+
     // band store: two drops through the streaming loop, folded via ctl
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog every day"),
       (2L, "completely unrelated words about some other topic entirely here"))
