@@ -549,6 +549,35 @@ object ExtendedQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Dynamic partition pruning over the STANDARD 100 TB layout: the
+    // fact table written partitionBy(source), joined to a dim whose
+    // qualifying sources are the product of an aggregation — a set the
+    // planner cannot fold into a static partition filter. Catalyst
+    // must insert a DPP subquery on the fact scan (reusing the dim's
+    // broadcast), so only the qualifying partition DIRECTORIES are
+    // read: at 100 TB, the difference between scanning 7/20 of the
+    // corpus and all of it. The in-query require pins the mechanism
+    // (the executed fact scan carries a dynamicpruning partition
+    // filter); the hash row grades the result.
+    "x27_partition_pruning" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val root = graft.Scratch.dir("graft_dpp")
+      d.write.partitionBy("source").parquet(s"$root/docs")
+      val fact = s.read.parquet(s"$root/docs")
+      val dim = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(substring(col("source"), 4, 10).cast("int") % 3 === 0)
+      val out = fact.join(broadcast(dim), Seq("source"))
+        .groupBy(col("source"), col("n_docs"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        "fact scan must be dynamically partition-pruned by the dim join")
+      out
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -648,6 +677,17 @@ object ExtendedQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // x27: DuckDB full-scans the original table — a green hash row
+    // proves the partition-pruned fact scan (the DPP subquery pinned
+    // by the in-query require) lost nothing and invented nothing.
+    "x27_partition_pruning" ->
+      """WITH dim AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |             WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+        |             GROUP BY source)
+        |SELECT d.source, d.n_docs, COUNT(*) AS n_rows,
+        |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents f JOIN dim d USING (source)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // x12: DuckDB full-scans the original table under the same
     // SF-relative predicate — a green hash row proves the pruned scan
     // (stats-selected files + residual filter) lost nothing.

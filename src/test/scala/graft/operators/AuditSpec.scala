@@ -135,6 +135,32 @@ class AuditSpec extends AnyFunSuite {
     assert(touched == Seq(2L, 5L))
   }
 
+  test("snapshotDiff matches the brute-force model on generated snapshot pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val payloads = Vector("p0", "p1", "p2", "p3")
+    def snapshot(seed: Long): Map[Long, String] = {
+      val g = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.oneOf(payloads)))
+      g(Gen.Parameters.default.withSize(40), Seed(seed)).get
+    }
+    for (s <- 1L to 5L) {
+      val a = snapshot(s); val b = snapshot(s + 100)
+      val model = (a.keySet ++ b.keySet).flatMap { k =>
+        (a.get(k), b.get(k)) match {
+          case (Some(_), None) => Some(k -> "removed")
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+          case _ => None
+        }
+      }.toMap
+      val got = Audit.snapshotDiff(
+          a.toSeq.toDF("doc_id", "text"), b.toSeq.toDF("doc_id", "text"),
+          "doc_id", col("text"))
+        .as[(Long, String)].collect().toMap
+      assert(got == model, s"seed $s: got $got want $model")
+    }
+  }
+
   test("snapshotDiff shuffles pointer frames, not payloads") {
     // the full-outer join's inputs must project to (id, fingerprint)
     // BEFORE the exchange — the payload column may not ride the shuffle
