@@ -104,6 +104,119 @@ object Multimodal {
     addressed.drop("content")
   }
 
+  /** Append NEW corpus content to an existing blob store: only payloads
+    * whose sha the store doesn't already hold are written — content
+    * addressing makes cross-ingest dedup one anti-join against the
+    * store's column-pruned sha scan — and the point-fetch sidecar is
+    * rebuilt to cover the grown file set (the drift gate demands
+    * sidecar == listing). Returns the pointer frame for ALL of `bin`
+    * (pointers resolve whether the payload was already present or just
+    * written). Content-level idempotent: re-running the same append
+    * finds every sha present and writes nothing. Job-level atomicity
+    * comes from the parquet commit protocol (tasks stage under
+    * `_temporary`, invisible to readers and to the sidecar listing);
+    * single writer, like every store maintainer here. */
+  def appendBlobStore(spark: SparkSession, bin: DataFrame, path: String,
+                      nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val addressed = bin.select(col("doc_id"),
+      sha2(col("content"), 256).as("blob_sha"),
+      xxhash64(col("content")).as("blob_key"),
+      octet_length(col("content")).cast("long").as("n_bytes"),
+      col("content"))
+    val existing = spark.read.parquet(path).select(col("blob_sha"))
+    val fresh = addressed
+      .select(col("blob_sha"), col("blob_key"), col("n_bytes"), col("content"))
+      .dropDuplicates("blob_sha")
+      .join(existing, Seq("blob_sha"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // nothing-new appends (replays, all-dup drops) must write NOTHING:
+      // a whole-empty parquet write still emits one schema-preserving
+      // empty part file, which the sidecar's exact-coverage gate would
+      // then flag on every later pruned read (empty files contribute no
+      // sidecar rows) — and the store/sidecar are already correct anyway
+      if (!fresh.isEmpty) {
+        fresh.repartition(nFiles, col("blob_key"))
+          .write.mode("append").parquet(path)
+        Layout.writeBloomSidecar(spark, path, "blob_key")
+      }
+    } finally { fresh.unpersist(); () }
+    addressed.drop("content")
+  }
+
+  private def vacuumTmp(path: String) = s"$path.vacuum_tmp"
+  private def vacuumTrash(path: String) = s"$path.vacuum_trash"
+
+  /** Drop every blob no LIVE pointer references — the erasure pass for
+    * media (content addressing stores bytes once, so a blob dies only
+    * when its LAST referencing row is gone). Rewrites the store to
+    * `nFiles` files holding exactly the live shas, rebuilds the
+    * sidecar, and returns (kept, dropped). The replace is the classic
+    * two-rename swap — stage the survivors beside the store, rename
+    * the store to a trash dir (directory rename: atomic on local/HDFS),
+    * rename the stage in, delete the trash — so no crash point loses
+    * bytes: `recoverVacuum` (run on entry here and available to ops)
+    * completes or discards any interrupted swap from the directory
+    * states alone. Single writer, like compaction everywhere else. */
+  def vacuumBlobStore(spark: SparkSession, path: String,
+                      livePointers: DataFrame, nFiles: Int): (Long, Long) = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    recoverVacuum(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val store = spark.read.parquet(path)
+    val live = store.join(
+      livePointers.select(col("blob_sha")).distinct(), Seq("blob_sha"), "left_semi")
+    val total = store.count()
+    live.repartition(nFiles, col("blob_key"))
+      .write.mode("overwrite").parquet(vacuumTmp(path))
+    val kept = spark.read.parquet(vacuumTmp(path)).count()
+    val (p, tmp, trash) = (new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(vacuumTmp(path)),
+      new org.apache.hadoop.fs.Path(vacuumTrash(path)))
+    require(fs.rename(p, trash),
+      s"vacuum failed to move $path aside — store is intact; retry")
+    require(fs.rename(tmp, p),
+      s"vacuum failed to swap $tmp into place — the survivors are staged " +
+        s"there and the originals are in ${vacuumTrash(path)}; re-run " +
+        "vacuumBlobStore (or recoverVacuum) to complete the swap")
+    require(fs.delete(trash, true), s"vacuum failed to clear ${vacuumTrash(path)}")
+    Layout.writeBloomSidecar(spark, path, "blob_key")
+    (kept, total - kept)
+  }
+
+  /** Complete or discard an interrupted vacuum swap, from directory
+    * states alone (no manifest needed — the two-rename protocol makes
+    * every crash point distinguishable):
+    *  - store present → any stage/trash is stale; discard both
+    *    (originals were never touched: the store rename is the FIRST
+    *    mutation and it removes the store dir whole);
+    *  - store absent, stage committed (_SUCCESS) → the crash fell
+    *    between the two renames; rename the stage in, drop the trash;
+    *  - store absent, no committed stage, trash present → the stage
+    *    was lost before its commit; restore the trash (nothing was
+    *    dropped yet). */
+  def recoverVacuum(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (p, tmp, trash) = (new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(vacuumTmp(path)),
+      new org.apache.hadoop.fs.Path(vacuumTrash(path)))
+    val tmpCommitted = fs.exists(new org.apache.hadoop.fs.Path(s"${vacuumTmp(path)}/_SUCCESS"))
+    if (fs.exists(p)) {
+      if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to discard stale $tmp")
+      if (fs.exists(trash)) require(fs.delete(trash, true), s"failed to clear stale $trash")
+    } else if (tmpCommitted) {
+      require(fs.rename(tmp, p), s"vacuum recovery failed to swap $tmp into place")
+      if (fs.exists(trash)) require(fs.delete(trash, true), s"failed to clear $trash")
+      Layout.writeBloomSidecar(spark, path, "blob_key")
+    } else if (fs.exists(trash)) {
+      if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to discard torn $tmp")
+      require(fs.rename(trash, p), s"vacuum recovery failed to restore $trash")
+    }
+  }
+
   /** Resolve a pointer frame back to its bytes through the store. A
     * DANGLING pointer — the blob deleted, the store truncated, a sha
     * the store never held — fails the job with the sha named the

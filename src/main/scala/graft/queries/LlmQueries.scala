@@ -1240,6 +1240,88 @@ object LlmQueries {
         s"delta recompute touched $recomputedRows docs, expected " +
           s"${counts("added") + counts("changed")} (added+changed only)")
       out.orderBy(col("doc_id"))
+    }),
+
+    // Blob-store APPEND — stores accrete across ingest cycles: the
+    // previous cycle's store plus the new snapshot's payloads, where
+    // only shas the store doesn't already hold are written (content
+    // addressing makes cross-ingest dedup one anti-join). In-query
+    // requires pin the lifecycle claims: the grown store holds exactly
+    // the UNION's distinct payloads, a replayed append writes nothing,
+    // and the new cycle's pointers restore its corpus through the
+    // Delta losslessness gate. Graded on the per-source profile of the
+    // RESTORED new snapshot.
+    "l78_blob_append" -> ((s, dir) => {
+      import graft.operators.{Delta, Multimodal}
+      val d = Tables.load(s, dir, "documents")
+      val prev = d.filter(col("doc_id") % 13 =!= 3)
+        .select(col("doc_id"), col("text"), col("source"))
+      val cur = d.filter(col("doc_id") % 11 =!= 4)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      val root = graft.Scratch.dir("graft_blobapp")
+      val store = s"$root/store"
+      Multimodal.writeBlobStore(s,
+        Multimodal.asBinary(prev, "doc_id", "text"), store, nFiles = 8)
+      val pointers = Multimodal.appendBlobStore(s,
+        Multimodal.asBinary(cur, "doc_id", "text"), store, nFiles = 4)
+      val unionDistinct = prev.select(col("text"))
+        .union(cur.select(col("text"))).distinct().count()
+      val storeRows = s.read.parquet(store).count()
+      require(storeRows == unionDistinct,
+        s"append must dedup across ingests: store $storeRows vs union-distinct $unionDistinct")
+      Multimodal.appendBlobStore(s,
+        Multimodal.asBinary(cur, "doc_id", "text"), store, nFiles = 4)
+      require(s.read.parquet(store).count() == storeRows,
+        "a replayed append must write nothing")
+      val restored = Multimodal.joinBlobs(s, store, pointers)
+        .select(col("doc_id"), decode(col("content"), "UTF-8").as("text"))
+      Delta.assertLossless(restored,
+        cur.select(col("doc_id"), col("text")), "blob-append")
+      restored.join(cur.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_blobs"),
+          sum(octet_length(col("text"))).cast("long").as("sum_bytes"))
+        .orderBy(col("source"))
+    }),
+
+    // Blob-store VACUUM — the erasure pass for media: content
+    // addressing stores bytes once, so a blob dies only when its LAST
+    // referencing row is gone (refcount semantics via one semi-join
+    // against the live pointers). The swap is two atomic directory
+    // renames with state-derived crash recovery. In-query requires pin
+    // that the vacuum kept EXACTLY the live snapshot's distinct
+    // payloads and actually dropped the erased docs' blobs; the
+    // surviving pointers restore their corpus through the Delta gate;
+    // graded on the restored snapshot's per-source profile.
+    "l79_blob_vacuum" -> ((s, dir) => {
+      import graft.operators.{Delta, Multimodal}
+      val d = Tables.load(s, dir, "documents")
+      val all = d.select(col("doc_id"), col("text"), col("source"))
+      val cur = all.filter(col("doc_id") % 11 =!= 4)
+      val root = graft.Scratch.dir("graft_blobvac")
+      val store = s"$root/store"
+      val allPtr = Multimodal.writeBlobStore(s,
+        Multimodal.asBinary(all, "doc_id", "text"), store, nFiles = 8)
+      val livePtr = allPtr.join(cur.select(col("doc_id")), Seq("doc_id"))
+      val (kept, dropped) = Multimodal.vacuumBlobStore(s, store, livePtr, nFiles = 8)
+      val liveDistinct = cur.select(col("text")).distinct().count()
+      require(kept == liveDistinct,
+        s"vacuum must keep exactly the live payloads: kept $kept vs $liveDistinct")
+      require(dropped > 0, "the erased docs' unreferenced blobs must drop")
+      val restored = Multimodal.joinBlobs(s, store, livePtr)
+        .select(col("doc_id"), decode(col("content"), "UTF-8").as("text"))
+      Delta.assertLossless(restored,
+        cur.select(col("doc_id"), col("text")), "blob-vacuum")
+      restored.join(cur.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_blobs"),
+          sum(octet_length(col("text"))).cast("long").as("sum_bytes"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1369,6 +1451,30 @@ object LlmQueries {
           |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS q_score,
           |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
           |FROM z ORDER BY doc_id""".stripMargin) +
+      // l78: DuckDB profiles the NEW snapshot directly — the Spark side
+      // routes it through write → append (cross-ingest dedup) →
+      // pointer join → decode, so the green row certifies the whole
+      // grown-store round trip; the dedup/no-op-replay/losslessness
+      // claims fail the Spark side loudly before grading.
+      ("l78_blob_append" ->
+        """WITH b AS (SELECT doc_id,
+          |        CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+          |        source
+          |      FROM documents WHERE doc_id % 11 <> 4)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT text) AS n_blobs,
+          |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+          |FROM b GROUP BY source ORDER BY source""".stripMargin) +
+      // l79: DuckDB profiles the surviving snapshot — the Spark side
+      // serves it from the VACUUMED store, so the green row certifies
+      // erasure kept every live blob while the in-query requires pin
+      // that the dead ones actually dropped.
+      ("l79_blob_vacuum" ->
+        """SELECT source, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT text) AS n_blobs,
+          |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+          |FROM documents WHERE doc_id % 11 <> 4
+          |GROUP BY source ORDER BY source""".stripMargin) +
       // l73: per-pair guarded cosine rounded to 6 d.p. BEFORE the max —
       // the same scoring contract as l8/l9, so the max and the >= 0.4
       // flag are bit-reproducible across engines.

@@ -104,4 +104,92 @@ class MultimodalSpec extends AnyFunSuite {
         pinned.withColumn("content", lit(Array[Byte]()))))
     assert(ex.getMessage.contains("content"))
   }
+
+  test("appendBlobStore writes only new shas, replays are no-ops, all pointers resolve") {
+    val root = java.nio.file.Files.createTempDirectory("graft_blobapp").toString
+    val prev = Seq((1L, "shared"), (2L, "old only")).toDF("doc_id", "text")
+    // 3 shares payload with 1; 4 is new — only ONE new blob may land
+    val cur = Seq((3L, "shared"), (4L, "brand new")).toDF("doc_id", "text")
+    Multimodal.writeBlobStore(spark, Multimodal.asBinary(prev, "doc_id", "text"),
+      s"$root/store", nFiles = 2)
+    val ptr = Multimodal.appendBlobStore(spark,
+      Multimodal.asBinary(cur, "doc_id", "text"), s"$root/store", nFiles = 2)
+    assert(spark.read.parquet(s"$root/store").count() == 3) // shared, old only, brand new
+    Multimodal.appendBlobStore(spark,
+      Multimodal.asBinary(cur, "doc_id", "text"), s"$root/store", nFiles = 2)
+    assert(spark.read.parquet(s"$root/store").count() == 3, "replayed append must be a no-op")
+    // pointers resolve for both the pre-existing and the new payload
+    val restored = Multimodal.joinBlobs(spark, s"$root/store", ptr)
+      .select(col("doc_id"), decode(col("content"), "UTF-8").as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(restored == Map(3L -> "shared", 4L -> "brand new"))
+    // the sidecar re-covers the grown file set: a point fetch still works
+    val key = ptr.filter($"doc_id" === 4L).select("blob_key").as[Long].head()
+    assert(Multimodal.fetchBlobs(spark, s"$root/store", Seq(key)).df.count() >= 1)
+  }
+
+  test("vacuumBlobStore drops only unreferenced blobs (refcount semantics) and serves the rest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_blobvac").toString
+    // payload "shared" is referenced by a kept doc AND an erased doc —
+    // it must survive; "dead only" is referenced only by erased docs
+    val all = Seq((1L, "kept one"), (2L, "shared"), (3L, "shared"),
+      (4L, "dead only")).toDF("doc_id", "text")
+    val ptr = Multimodal.writeBlobStore(spark,
+      Multimodal.asBinary(all, "doc_id", "text"), s"$root/store", nFiles = 2)
+    val live = ptr.filter($"doc_id" =!= 3L && $"doc_id" =!= 4L) // erase docs 3, 4
+    val (kept, dropped) = Multimodal.vacuumBlobStore(spark, s"$root/store", live, nFiles = 2)
+    assert(kept == 2 && dropped == 1, s"kept=$kept dropped=$dropped") // shared survives via doc 2
+    val restored = Multimodal.joinBlobs(spark, s"$root/store", live)
+      .select(col("doc_id"), decode(col("content"), "UTF-8").as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(restored == Map(1L -> "kept one", 2L -> "shared"))
+    // the erased doc's pointer now dangles — reading its bytes raises
+    val e = intercept[Exception](
+      Multimodal.joinBlobs(spark, s"$root/store", ptr.filter($"doc_id" === 4L))
+        .select(col("content")).collect())
+    assert(e.getMessage.contains("missing sha"))
+    // vacuum is idempotent: nothing left to drop
+    assert(Multimodal.vacuumBlobStore(spark, s"$root/store", live, nFiles = 2) == ((2L, 0L)))
+  }
+
+  test("an interrupted vacuum swap recovers from directory states alone") {
+    import java.nio.file.{Files => JF, Paths}
+    val all = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+
+    // crash BETWEEN the two renames: store gone, stage committed →
+    // recovery swaps the stage in (and clears the trash)
+    val r1 = JF.createTempDirectory("graft_vacrec1").toString
+    val ptr1 = Multimodal.writeBlobStore(spark,
+      Multimodal.asBinary(all, "doc_id", "text"), s"$r1/store", nFiles = 1)
+    spark.read.parquet(s"$r1/store")
+      .write.mode("overwrite").parquet(s"$r1/store.vacuum_tmp")
+    assert(new java.io.File(s"$r1/store").renameTo(new java.io.File(s"$r1/store.vacuum_trash")))
+    Multimodal.recoverVacuum(spark, s"$r1/store")
+    assert(JF.exists(Paths.get(s"$r1/store")) &&
+      !JF.exists(Paths.get(s"$r1/store.vacuum_tmp")) &&
+      !JF.exists(Paths.get(s"$r1/store.vacuum_trash")))
+    assert(Multimodal.joinBlobs(spark, s"$r1/store", ptr1)
+      .select("doc_id").count() == 2)
+
+    // crash BEFORE the stage committed, store already moved aside (a
+    // hand-forced state recovery must still untangle): trash restores
+    val r2 = JF.createTempDirectory("graft_vacrec2").toString
+    Multimodal.writeBlobStore(spark,
+      Multimodal.asBinary(all, "doc_id", "text"), s"$r2/store", nFiles = 1)
+    assert(new java.io.File(s"$r2/store").renameTo(new java.io.File(s"$r2/store.vacuum_trash")))
+    JF.createDirectory(Paths.get(s"$r2/store.vacuum_tmp")) // torn stage, no _SUCCESS
+    Multimodal.recoverVacuum(spark, s"$r2/store")
+    assert(JF.exists(Paths.get(s"$r2/store")) &&
+      !JF.exists(Paths.get(s"$r2/store.vacuum_tmp")) &&
+      !JF.exists(Paths.get(s"$r2/store.vacuum_trash")))
+
+    // store present → any stage/trash is stale and is discarded
+    val r3 = JF.createTempDirectory("graft_vacrec3").toString
+    Multimodal.writeBlobStore(spark,
+      Multimodal.asBinary(all, "doc_id", "text"), s"$r3/store", nFiles = 1)
+    JF.createDirectory(Paths.get(s"$r3/store.vacuum_tmp"))
+    Multimodal.recoverVacuum(spark, s"$r3/store")
+    assert(JF.exists(Paths.get(s"$r3/store")) &&
+      !JF.exists(Paths.get(s"$r3/store.vacuum_tmp")))
+  }
 }
