@@ -15,6 +15,11 @@ object PlanAudit {
     // Spark enforces the broadcast size bound (vs. a driver collect,
     // which had no bound); Similarity.lshTopK buckets are the scale path
     "l8_embed_pairs" -> "broadcast self-join all-pairs cosine baseline (size-bounded by engine)",
+    // semantic decontamination scores every train vector against the
+    // BENCHMARK-sized eval side — broadcast-crossing the (small by
+    // nature) eval frame into one corpus scan IS the intended plan
+    // (train never pairs with train); engine-bounded like l8/l9
+    "l73_semantic_decontaminate" -> "benchmark-sized eval side broadcast-crossed into one corpus scan (size-bounded by engine)",
     // the next three cross ONE broadcast stats row (corpus-level
     // constants: mix scale / bm25 avgdl+N / LM vocab+total) into the
     // corpus — a scalar join, not a data x data nested loop
