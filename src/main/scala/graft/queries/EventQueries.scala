@@ -254,6 +254,33 @@ object EventQueries {
         .orderBy(col("user_id"), col("rk"))
     }),
 
+    // Streaming CDC ledger — Audit.snapshotDiff's per-key counterpart
+    // as a REAL streaming query: each user's event_type stream is an
+    // upsert sequence (seq = event_id), folded in seq order on
+    // transformWithState state into new/changed/unchanged verdicts.
+    // The per-key in-batch sort makes the verdicts a pure function of
+    // the data (never shuffle arrival order), and the oracle replays
+    // the same total order with one LAG window. Update mode emits the
+    // running ledger per trigger; the latest emission per key is the
+    // monotone-max nUpserts row.
+    "w13_tws_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val t = runTws(s, dir, "tws_cdc_", "update") { src =>
+        val typed = src.select(col("user_id"), col("event_id"), col("event_type"))
+          .as[(Long, Long, String)]
+        graft.streaming.KeyedState.changeLogTws(typed)
+          .toDF("user_id", "n_upserts", "n_new", "n_changed", "n_unchanged", "last_type")
+      }
+      t.groupBy(col("user_id"))
+        .agg(max(struct(col("n_upserts"), col("n_new"), col("n_changed"),
+          col("n_unchanged"), col("last_type"))).as("fin"))
+        .select(col("user_id"), col("fin.n_upserts").as("n_upserts"),
+          col("fin.n_new").as("n_new"), col("fin.n_changed").as("n_changed"),
+          col("fin.n_unchanged").as("n_unchanged"),
+          col("fin.last_type").as("last_type"))
+        .orderBy(col("user_id"))
+    }),
+
     // W12 idempotent dedup: first event per (user_id, event_type) —
     // deterministic min-id representative rather than dropDuplicates'
     // arbitrary row, so the oracle can match it.
@@ -438,6 +465,20 @@ object EventQueries {
     "w12_dedup_first" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    // w13: the same seq-ordered upsert replay via one LAG window —
+    // 'new' where no predecessor, 'changed' where the payload flipped,
+    // 'unchanged' otherwise; last payload = arg_max over the sequence.
+    "w13_tws_cdc" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_upserts,
+        |  CAST(SUM(CASE WHEN pt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN pt IS NOT NULL AND event_type <> pt THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN event_type = pt THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  (SELECT arg_max(event_type, event_id) FROM events e2
+        |   WHERE e2.user_id = o.user_id) AS last_type
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
     "j2_enrich_join" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -227,6 +227,53 @@ object KeyedState {
     ds.groupByKey(_._1).transformWithState(proc, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-key CDC upsert ledger on `transformWithState` — the STREAMING
+    * counterpart of `graft.operators.Audit.snapshotDiff`: a stream of
+    * (key, seq, payload) upserts folds into one small state blob per
+    * key, classifying each upsert as 'new' (first sighting of the
+    * key), 'changed' (payload differs from the stored one), or
+    * 'unchanged' (counted but suppressible — the downstream-write
+    * suppression CDC exists for). The batch slice SORTS by `seq`
+    * before folding, so the verdict sequence is a pure function of
+    * the data, never of shuffle arrival order (`seq` must be unique
+    * per key — an event id; the per-key per-batch sort is bounded by
+    * the key's batch volume, the same contract as sessionizeTws).
+    * Emits the running ledger per trigger in Update fashion:
+    * (key, nUpserts, nNew, nChanged, nUnchanged, lastPayload) —
+    * nUpserts is monotone, so the latest emission per key is the max.
+    * Cross-batch: state carries the last payload, so a batch boundary
+    * never manufactures or hides a change. */
+  def changeLogTws[K: Encoder](ds: Dataset[(K, Long, String)])(
+      implicit sEnc: Encoder[(Long, Long, Long, Long, String)],
+      out: Encoder[(K, Long, Long, Long, Long, String)])
+      : Dataset[(K, Long, Long, Long, Long, String)] = {
+    val stEnc = implicitly[Encoder[(Long, Long, Long, Long, String)]]
+    val proc = new StatefulProcessor[K, (K, Long, String), (K, Long, Long, Long, Long, String)] {
+      @transient private var st: ValueState[(Long, Long, Long, Long, String)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Long, Long, Long, String)](
+          "cdc", stEnc, TTLConfig.NONE)
+      override def handleInputRows(k: K, rows: Iterator[(K, Long, String)],
+                                   tv: TimerValues)
+          : Iterator[(K, Long, Long, Long, Long, String)] = {
+        val arr = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        var (nUp, nNew, nCh, nUn, last) =
+          if (st.exists()) st.get() else (0L, 0L, 0L, 0L, null: String)
+        var seen = nUp > 0
+        arr.foreach { case (_, p) =>
+          nUp += 1
+          if (!seen) { nNew += 1; seen = true }
+          else if (p != last) nCh += 1
+          else nUn += 1
+          last = p
+        }
+        st.update((nUp, nNew, nCh, nUn, last))
+        Iterator.single((k, nUp, nNew, nCh, nUn, last))
+      }
+    }
+    ds.groupByKey(_._1).transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
   /** The reference fold callback promoted to a FIRST-CLASS typed
     * aggregate (SURVEY §2.6: fold aggregations → `Aggregator[IN,BUF,
     * OUT]` registered with `udaf`). The difference from the

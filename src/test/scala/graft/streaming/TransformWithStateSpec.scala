@@ -230,6 +230,39 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("changeLogTws: seq-ordered CDC verdicts, order-immune within a batch, state across batches") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, String)] // (key, seq, payload)
+      val cdc = KeyedState.changeLogTws(in.toDS())
+        .toDF("key", "n_up", "n_new", "n_ch", "n_un", "last")
+      val q = cdc.writeStream.outputMode("update")
+        .format("memory").queryName("tws_cdc_out").start()
+      try {
+        // batch 1, deliberately OUT of seq order: the fold must apply
+        // seq order 1,2,3 (a -> a -> b): new, unchanged, changed
+        in.addData((1L, 3L, "b"), (1L, 1L, "a"), (1L, 2L, "a"),
+          (2L, 10L, "x"))
+        q.processAllAvailable()
+        // batch 2: key 1 continues b -> b (unchanged), -> c (changed);
+        // the cross-batch boundary must not manufacture a change
+        in.addData((1L, 4L, "b"), (1L, 5L, "c"))
+        q.processAllAvailable()
+        val fin = spark.table("tws_cdc_out")
+          .groupBy("key").agg(max(struct(col("n_up"), col("n_new"),
+            col("n_ch"), col("n_un"), col("last"))).as("f"))
+          .select(col("key"), col("f.n_up"), col("f.n_new"), col("f.n_ch"),
+            col("f.n_un"), col("f.last"))
+          .as[(Long, Long, Long, Long, Long, String)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+        // 5 upserts: a(new), a(unchanged), b(changed) | b(unchanged —
+        // the boundary didn't manufacture a change), c(changed)
+        assert(fin(1L) == ((5L, 1L, 2L, 2L, "c")), s"key 1 ledger: ${fin(1L)}")
+        assert(fin(2L) == ((1L, 1L, 0L, 0L, "x")), s"key 2 ledger: ${fin(2L)}")
+      } finally q.stop()
+    }
+  }
+
   test("a non-NONE TTL starts (processing-time mode) and folds normally within the TTL window") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
