@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> trim        <topic> <checkpointDir>   (graftlog retention)
   *   Ctl <root> index-ingests <indexDir>              (ANN index: servable ingest tags)
   *   Ctl <root> index-compact <indexDir> <upToBatch>  (fold committed batch ingests)
-  *   Ctl <root> index-delete <indexDir> <idCol> <id1,id2,...> <tag> (tombstone ids)
+  *   Ctl <root> index-delete <indexDir> <idCol> <id1,id2,...> <tag> (tombstone ids;
+  *                                       tokens are cast to the index's id type)
   *   Ctl <root> index-tombstones <indexDir>           (standing dead-id count)
   *   Ctl <root> bands-compact <bandStoreDir> <upToBatch> (fold dedup band store)
   *   Ctl <root> bands-resolve <bandStoreDir> <discard|complete> (ambiguous stage)
@@ -127,14 +128,24 @@ object Ctl {
     // (no rebuild — load masks them; the next rebuild purges), and
     // inspect the standing deletion state
     case ("index-delete", dir :: idCol :: ids :: tag :: Nil) =>
-      val parsed = ids.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLongOption)
-      if (parsed.isEmpty || parsed.exists(_.isEmpty))
-        Left(s"index-delete needs comma-separated integer ids, got '$ids'")
+      // tokens are parsed as STRINGS and cast to the INDEX's id type, so
+      // a non-integral id column can be erased via the CLI too, and a
+      // token that doesn't parse as that type fails by name instead of
+      // relying on implicit join casts
+      val toks = ids.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Left(s"index-delete needs comma-separated ids, got '$ids'")
       else attempt {
         import spark.implicits._
-        graft.operators.AnnIndex.deleteVectors(spark, s"$root/$dir",
-          parsed.flatten.toSeq.toDF(idCol), idCol, tag)
-        s"tombstoned=${parsed.length} under ingest=$tag"
+        val t = graft.operators.AnnIndex.idDataType(spark, s"$root/$dir", idCol)
+        val frame = toks.toDF(idCol)
+          .select(org.apache.spark.sql.functions.col(idCol).cast(t).as(idCol))
+          .distinct()
+        val bad = frame.filter(org.apache.spark.sql.functions.col(idCol).isNull).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"$bad id token(s) in '$ids' do not parse as the index's id type $t")
+        val nDistinct = frame.count()
+        graft.operators.AnnIndex.deleteVectors(spark, s"$root/$dir", frame, idCol, tag)
+        s"tombstoned=$nDistinct distinct ids under ingest=$tag"
       }
     case ("index-tombstones", dir :: Nil) =>
       attempt(s"dead_ids=${graft.operators.AnnIndex

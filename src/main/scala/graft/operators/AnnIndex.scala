@@ -183,6 +183,20 @@ object AnnIndex {
       .write.mode("overwrite").parquet(ingestDir(dir, "tombstones", ingestTag))
   }
 
+  /** The served id column's data type — for CLI/ops callers that must
+    * construct a tombstone frame matching the index's id type (a
+    * tombstone of the wrong type would match via implicit join casts
+    * at best and never match at worst). */
+  def idDataType(spark: SparkSession, dir: String,
+                 id: String): org.apache.spark.sql.types.DataType = {
+    val tags = servableTags(spark, dir)
+    require(tags.nonEmpty, s"no committed ingests under $dir")
+    val sch = readArtifact(spark, dir, "codes", tags).schema
+    require(sch.fieldNames.contains(id),
+      s"index at $dir has no id column '$id' (columns: ${sch.fieldNames.mkString(", ")})")
+    sch(id).dataType
+  }
+
   /** The committed tombstone frame (distinct dead ids), None when no
     * delete has ever committed — exposed for ops/audit; `load` applies
     * it to every serve path already. */

@@ -88,13 +88,28 @@ object Audit {
     * same trade every content-addressed diff makes: equal payloads
     * always compare unchanged, and a silent false-'unchanged' needs a
     * 2^-64 collision. Null-safe: a null payload fingerprints like any
-    * other value and compares via <=>. */
+    * other value and compares via <=>.
+    *
+    * CONTRACT: `id` must be a key of each snapshot — a duplicated id
+    * would fan out across the full-outer join into duplicated,
+    * contradictory verdicts (and `incrementalRefresh` would splice
+    * duplicate state rows). Enforced loudly here: each pointer frame
+    * is groupBy-counted on the id (a count over the SAME 16-byte rows
+    * the join shuffles — it adds a pointer-frame pass, never a payload
+    * pass) and the first duplicated id fails the job by name. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, id: String,
                    payload: Column): DataFrame = {
     Seq(prev, cur).foreach(
       Packing.requireAbsent(_, "snapshotDiff", "_fpa", "_fpb", "status"))
     val a = prev.select(col(id).as("_ida"), xxhash64(payload).as("_fpa"))
     val b = cur.select(col(id).as("_idb"), xxhash64(payload).as("_fpb"))
+    Seq(("prev", a, "_ida"), ("cur", b, "_idb")).foreach { case (side, df, c) =>
+      val dup = df.groupBy(col(c)).count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"snapshotDiff: id '$id' is not a key of the $side snapshot — e.g. " +
+          s"value ${dup.head.get(0)} appears ${dup.head.getLong(1)} times; " +
+          "dedupe the snapshot (or diff on a composite key) first")
+    }
     a.join(b, col("_ida") === col("_idb"), "full_outer")
       .select(coalesce(col("_ida"), col("_idb")).as(id),
         when(col("_idb").isNull, "removed")

@@ -245,6 +245,11 @@ object Layout {
   private val BloomDir = "_filebloom"
   private val BloomProbes = 3
 
+  /** The sidecar directory name, for maintainers that need to TEST for
+    * sidecar presence (e.g. vacuum crash recovery) without hardcoding
+    * the layout contract. */
+  def bloomSidecarDir: String = BloomDir
+
   /** The probe positions of a key — xxhash64 under `BloomProbes` seeds,
     * the engine's codegen'd 64-bit hash (sign-safe via pmod). Build and
     * probe MUST agree on this function AND the bit width; the probe

@@ -169,6 +169,18 @@ object Multimodal {
     val live = store.join(
       livePointers.select(col("blob_sha")).distinct(), Seq("blob_sha"), "left_semi")
     val total = store.count()
+    // Full erasure must not go through the rewrite path: a whole-empty
+    // parquet overwrite still emits one schema-preserving empty part
+    // file, which the sidecar's exact-coverage gate can never cover
+    // (empty files contribute no sidecar rows — the same hazard
+    // appendBlobStore guards) and no later bloom-refresh could repair.
+    // Refuse loudly; erasing a whole store is a directory delete the
+    // operator should perform deliberately, not a vacuum side effect.
+    require(!live.isEmpty,
+      s"vacuumBlobStore: no live pointer references any of the $total blobs " +
+        s"at $path — a vacuum to empty would leave an unservable store. " +
+        "If full erasure is intended, delete the store directory (and its " +
+        "sidecar) explicitly instead")
     live.repartition(nFiles, col("blob_key"))
       .write.mode("overwrite").parquet(vacuumTmp(path))
     val kept = spark.read.parquet(vacuumTmp(path)).count()
@@ -207,6 +219,14 @@ object Multimodal {
     if (fs.exists(p)) {
       if (fs.exists(tmp)) require(fs.delete(tmp, true), s"failed to discard stale $tmp")
       if (fs.exists(trash)) require(fs.delete(trash, true), s"failed to clear stale $trash")
+      // A swap that completed its renames but crashed before the sidecar
+      // write leaves the swapped-in store WITHOUT `_filebloom` (the old
+      // sidecar rode the store dir into the trash) — whether or not the
+      // trash delete also ran. Recovery must finish the interrupted
+      // vacuum's last step, not just tidy directories, or every later
+      // point fetch fails on the missing sidecar.
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/${Layout.bloomSidecarDir}")))
+        Layout.writeBloomSidecar(spark, path, "blob_key")
     } else if (tmpCommitted) {
       require(fs.rename(tmp, p), s"vacuum recovery failed to swap $tmp into place")
       if (fs.exists(trash)) require(fs.delete(trash, true), s"failed to clear $trash")

@@ -241,33 +241,58 @@ object KeyedState {
     * Emits the running ledger per trigger in Update fashion:
     * (key, nUpserts, nNew, nChanged, nUnchanged, lastPayload) —
     * nUpserts is monotone, so the latest emission per key is the max.
-    * Cross-batch: state carries the last payload, so a batch boundary
-    * never manufactures or hides a change. */
-  def changeLogTws[K: Encoder](ds: Dataset[(K, Long, String)])(
-      implicit sEnc: Encoder[(Long, Long, Long, Long, String)],
+    * Cross-batch ordering: state carries BOTH the last payload and the
+    * last folded `seq`, so a batch boundary never manufactures or
+    * hides a change — and a LATER batch delivering an EARLIER seq
+    * (out-of-order cross-batch arrival, which the in-batch sort cannot
+    * repair) is detected against the stored lastSeq and DROPPED, the
+    * same late-data discipline as a watermark: the ledger is always
+    * the in-order fold of the upserts it accepted, never a
+    * wrong-order fold. Under batch-monotone delivery (each key's seqs
+    * per batch all exceed its prior batches' — true of any
+    * checkpoint-ordered source) nothing is ever dropped and the
+    * result equals the total-seq-order fold exactly. */
+  def changeLogTws[K: Encoder](ds: Dataset[(K, Long, String)],
+      maxBatchRowsPerKey: Int = 1 << 20)(
+      implicit sEnc: Encoder[(Long, Long, Long, Long, Long, String)],
       out: Encoder[(K, Long, Long, Long, Long, String)])
       : Dataset[(K, Long, Long, Long, Long, String)] = {
-    val stEnc = implicitly[Encoder[(Long, Long, Long, Long, String)]]
+    val stEnc = implicitly[Encoder[(Long, Long, Long, Long, Long, String)]]
     val proc = new StatefulProcessor[K, (K, Long, String), (K, Long, Long, Long, Long, String)] {
-      @transient private var st: ValueState[(Long, Long, Long, Long, String)] = _
+      @transient private var st: ValueState[(Long, Long, Long, Long, Long, String)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        st = getHandle.getValueState[(Long, Long, Long, Long, String)](
+        st = getHandle.getValueState[(Long, Long, Long, Long, Long, String)](
           "cdc", stEnc, TTLConfig.NONE)
       override def handleInputRows(k: K, rows: Iterator[(K, Long, String)],
                                    tv: TimerValues)
           : Iterator[(K, Long, Long, Long, Long, String)] = {
-        val arr = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
-        var (nUp, nNew, nCh, nUn, last) =
-          if (st.exists()) st.get() else (0L, 0L, 0L, 0L, null: String)
-        var seen = nUp > 0
-        arr.foreach { case (_, p) =>
-          nUp += 1
-          if (!seen) { nNew += 1; seen = true }
-          else if (p != last) nCh += 1
-          else nUn += 1
-          last = p
+        // LOUD hot-key guard: the per-key per-batch buffer is bounded by
+        // the key's batch volume by contract; a key exceeding the bound
+        // in one trigger fails the batch by name instead of silently
+        // pressuring executor memory.
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        rows.foreach { r =>
+          buf += ((r._2, r._3))
+          require(buf.length <= maxBatchRowsPerKey,
+            s"changeLogTws: key $k received more than $maxBatchRowsPerKey " +
+              "upserts in one micro-batch — raise maxBatchRowsPerKey or " +
+              "shrink the trigger interval")
         }
-        st.update((nUp, nNew, nCh, nUn, last))
+        val arr = buf.toArray.sortBy(_._1)
+        var (nUp, nNew, nCh, nUn, lastSeq, last) =
+          if (st.exists()) st.get() else (0L, 0L, 0L, 0L, Long.MinValue, null: String)
+        var seen = nUp > 0
+        arr.foreach { case (seq, p) =>
+          if (seq > lastSeq) {
+            nUp += 1
+            if (!seen) { nNew += 1; seen = true }
+            else if (p != last) nCh += 1
+            else nUn += 1
+            last = p
+            lastSeq = seq
+          } // else: stale cross-batch upsert — already folded past it; drop
+        }
+        st.update((nUp, nNew, nCh, nUn, lastSeq, last))
         Iterator.single((k, nUp, nNew, nCh, nUn, last))
       }
     }

@@ -115,6 +115,19 @@ class AuditSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_fpa"))
   }
 
+  test("snapshotDiff enforces the id-is-a-key contract on BOTH snapshots") {
+    // a duplicated id would fan out across the full-outer join into
+    // duplicated, contradictory verdicts — the diff must refuse loudly
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val duped = Seq((1L, "a"), (1L, "a'"), (2L, "b")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Audit.snapshotDiff(duped, clean, "doc_id", col("text")).collect())
+    assert(e1.getMessage.contains("prev") && e1.getMessage.contains("not a key"))
+    val e2 = intercept[IllegalArgumentException](
+      Audit.snapshotDiff(clean, duped, "doc_id", col("text")).collect())
+    assert(e2.getMessage.contains("cur"))
+  }
+
   test("incrementalRefresh equals a full recompute and touches only the delta") {
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
       .toDF("doc_id", "text")

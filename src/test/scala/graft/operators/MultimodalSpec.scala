@@ -192,4 +192,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JF.exists(Paths.get(s"$r3/store")) &&
       !JF.exists(Paths.get(s"$r3/store.vacuum_tmp")))
   }
+
+  test("a crash after the swap but before the sidecar write is repaired by recovery") {
+    import java.nio.file.{Files => JF, Paths}
+    // the crash window: both renames done (store holds the survivors,
+    // old store rode into the trash WITH its sidecar), writeBloomSidecar
+    // never ran → store present, trash present, NO `_filebloom`. Before
+    // the fix, recovery only tidied directories and every later point
+    // fetch failed on the missing sidecar.
+    val root = JF.createTempDirectory("graft_vacrec4").toString
+    val all = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val ptr = Multimodal.writeBlobStore(spark,
+      Multimodal.asBinary(all, "doc_id", "text"), s"$root/store", nFiles = 1)
+    val side = new java.io.File(s"$root/store/${Layout.bloomSidecarDir}")
+    assert(side.exists())
+    JF.createDirectory(Paths.get(s"$root/store.vacuum_trash"))
+    side.listFiles().foreach(_.delete()); assert(side.delete())
+    Multimodal.recoverVacuum(spark, s"$root/store")
+    assert(!JF.exists(Paths.get(s"$root/store.vacuum_trash")))
+    val key = ptr.filter($"doc_id" === 1L).select("blob_key").as[Long].head()
+    assert(Multimodal.fetchBlobs(spark, s"$root/store", Seq(key)).df.count() >= 1)
+    // same window WITHOUT the trash (crash fell after the trash delete):
+    // sidecar absence alone is the trigger
+    side.listFiles().foreach(_.delete()); assert(side.delete())
+    Multimodal.recoverVacuum(spark, s"$root/store")
+    assert(Multimodal.fetchBlobs(spark, s"$root/store", Seq(key)).df.count() >= 1)
+  }
+
+  test("vacuum to empty refuses loudly instead of leaving an unservable store") {
+    val root = java.nio.file.Files.createTempDirectory("graft_blobvac0").toString
+    val all = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val ptr = Multimodal.writeBlobStore(spark,
+      Multimodal.asBinary(all, "doc_id", "text"), s"$root/store", nFiles = 1)
+    val e = intercept[IllegalArgumentException](Multimodal.vacuumBlobStore(
+      spark, s"$root/store", ptr.filter($"doc_id" === -1L), nFiles = 1))
+    assert(e.getMessage.contains("full erasure"))
+    // the refused vacuum left the store fully servable
+    assert(Multimodal.joinBlobs(spark, s"$root/store", ptr)
+      .select("doc_id").count() == 2)
+  }
 }

@@ -125,9 +125,12 @@ class OpsSpec extends AnyFunSuite {
     // deletion state, and confirm serving masks them
     assert(graft.Ctl.run(spark, root, "index-tombstones", Array("ix")) ==
       Right("dead_ids=0"))
+    // duplicate tokens ("4" twice, once zero-padded) count ONCE: the
+    // verb reports distinct tombstoned ids after the cast to the
+    // index's id type, not raw input tokens
     assert(graft.Ctl.run(spark, root, "index-delete",
-      Array("ix", "vec_id", "2,4", "erasure_1")) ==
-      Right("tombstoned=2 under ingest=erasure_1"))
+      Array("ix", "vec_id", "2,4,04,4", "erasure_1")) ==
+      Right("tombstoned=2 distinct ids under ingest=erasure_1"))
     assert(graft.Ctl.run(spark, root, "index-tombstones", Array("ix")) ==
       Right("dead_ids=2"))
     val servedIds = graft.operators.AnnIndex.serveIvfPq(

@@ -248,6 +248,12 @@ class TransformWithStateSpec extends AnyFunSuite {
         // the cross-batch boundary must not manufacture a change
         in.addData((1L, 4L, "b"), (1L, 5L, "c"))
         q.processAllAvailable()
+        // batch 3: a LATER batch delivering an EARLIER seq (stale
+        // cross-batch arrival, which the in-batch sort cannot repair)
+        // is dropped against the stored lastSeq — before the lastSeq
+        // fix this would fold out of order and count a phantom change
+        in.addData((1L, 2L, "zzz"))
+        q.processAllAvailable()
         val fin = spark.table("tws_cdc_out")
           .groupBy("key").agg(max(struct(col("n_up"), col("n_new"),
             col("n_ch"), col("n_un"), col("last"))).as("f"))
