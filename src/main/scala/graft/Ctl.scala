@@ -171,12 +171,23 @@ object Ctl {
       val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (cs.isEmpty) Left(s"stats-refresh needs a comma-separated column list, got '$cols'")
       else attempt {
-        graft.operators.Layout.refreshStats(spark, s"$root/$dir", cs)
+        // sidecar refresh is a store MAINTENANCE pass: take the store's
+        // single-writer lease so a refresh can't interleave with a
+        // concurrent vacuum/append (which rewrite the same sidecar)
+        graft.operators.StoreLease.withLease(spark, s"$root/$dir",
+            "ctl:stats-refresh") { lease =>
+          graft.operators.StoreLease.verify(spark, lease)
+          graft.operators.Layout.refreshStats(spark, s"$root/$dir", cs)
+        }
         s"refreshed _filestats over ${cs.mkString(",")}"
       }
     case ("bloom-refresh", dir :: keyCol :: Nil) =>
       attempt {
-        graft.operators.Layout.writeBloomSidecar(spark, s"$root/$dir", keyCol)
+        graft.operators.StoreLease.withLease(spark, s"$root/$dir",
+            "ctl:bloom-refresh") { lease =>
+          graft.operators.StoreLease.verify(spark, lease)
+          graft.operators.Layout.writeBloomSidecar(spark, s"$root/$dir", keyCol)
+        }
         s"refreshed _filebloom over $keyCol"
       }
     // skew probe: the decision input for Skew.saltedSumCount/saltedJoin

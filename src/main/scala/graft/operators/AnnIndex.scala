@@ -50,21 +50,26 @@ object AnnIndex {
     // was handed, so deletion state is spent — this is also how
     // tombstoned space is physically reclaimed (the purge).
     val conf = spark.sessionState.newHadoopConf()
-    Seq("codes", "lists", "tombstones").foreach { artifact =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
+    StoreLease.withLease(spark, dir, "buildIvfPq") { lease =>
+      // verify BEFORE the destructive clear — the rebuild's first
+      // mutation deletes every prior ingest's artifacts
+      StoreLease.verify(spark, lease)
+      Seq("codes", "lists", "tombstones").foreach { artifact =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Quantize.pqCodebooks(emb, id, vec, dim, m, k)
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      Similarity.coarseCentroidFrame(emb, id, vec, nCentroids, kmeansIters)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      val cb = spark.read.parquet(s"$dir/codebooks")
+      val cents = spark.read.parquet(s"$dir/centroids")
+      Quantize.pqEncode(emb, cb, id, vec, dim, m)
+        .write.mode("overwrite").parquet(ingestDir(dir, "codes", "base"))
+      Similarity.ivfListsFrom(cents, emb, id, vec)
+        .write.mode("overwrite").parquet(ingestDir(dir, "lists", "base"))
     }
-    Quantize.pqCodebooks(emb, id, vec, dim, m, k)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
-    Similarity.coarseCentroidFrame(emb, id, vec, nCentroids, kmeansIters)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    val cb = spark.read.parquet(s"$dir/codebooks")
-    val cents = spark.read.parquet(s"$dir/centroids")
-    Quantize.pqEncode(emb, cb, id, vec, dim, m)
-      .write.mode("overwrite").parquet(ingestDir(dir, "codes", "base"))
-    Similarity.ivfListsFrom(cents, emb, id, vec)
-      .write.mode("overwrite").parquet(ingestDir(dir, "lists", "base"))
   }
 
   private val Artifacts = Seq("codes", "lists")
@@ -176,12 +181,14 @@ object AnnIndex {
     * A deleted id stays dead until that rebuild — `appendVectors`
     * refuses to re-ingest one (see its scaladoc). */
   def deleteVectors(spark: SparkSession, dir: String, delIds: DataFrame,
-                    id: String, ingestTag: String): Unit = {
-    require(servableTags(spark, dir).nonEmpty,
-      s"no committed ingests under $dir — nothing to delete from")
-    delIds.select(col(id)).distinct()
-      .write.mode("overwrite").parquet(ingestDir(dir, "tombstones", ingestTag))
-  }
+                    id: String, ingestTag: String): Unit =
+    StoreLease.withLease(spark, dir, "deleteVectors") { lease =>
+      require(servableTags(spark, dir).nonEmpty,
+        s"no committed ingests under $dir — nothing to delete from")
+      StoreLease.verify(spark, lease)
+      delIds.select(col(id)).distinct()
+        .write.mode("overwrite").parquet(ingestDir(dir, "tombstones", ingestTag))
+    }
 
   /** The served id column's data type — for CLI/ops callers that must
     * construct a tombstone frame matching the index's id type (a
@@ -240,7 +247,8 @@ object AnnIndex {
     * deletes have committed. */
   def appendVectors(spark: SparkSession, dir: String, newEmb: DataFrame,
                     id: String, vec: String, dim: Int, m: Int,
-                    ingestTag: String, skipExisting: Boolean = false): Unit = {
+                    ingestTag: String, skipExisting: Boolean = false): Unit =
+    StoreLease.withLease(spark, dir, s"appendVectors:$ingestTag") { lease =>
     require(ingestTag != "base", "'base' is the build's own partition")
     val ix = load(spark, dir)
     val fresh =
@@ -264,11 +272,12 @@ object AnnIndex {
           "tombstones); rebuild first, or pass skipExisting = true to " +
           "drop them from the batch")
     }
+    StoreLease.verify(spark, lease)
     Quantize.pqEncode(fresh, ix.codebooks, id, vec, dim, m)
       .write.mode("overwrite").parquet(ingestDir(dir, "codes", ingestTag))
     Similarity.ivfListsFrom(ix.centroids, fresh, id, vec)
       .write.mode("overwrite").parquet(ingestDir(dir, "lists", ingestTag))
-  }
+    }
 
   /** Compact the per-ingest partitions: fold every COMMITTED
     * `ingest=batch_<k>` partition of codes and lists with k <
@@ -300,7 +309,8 @@ object AnnIndex {
     * the new layout, never to codes and lists folded inconsistently.
     * Returns the number of partitions folded per artifact (0 = nothing
     * to do). */
-  def compactIngests(spark: SparkSession, dir: String, upToBatch: Long): Int = {
+  def compactIngests(spark: SparkSession, dir: String, upToBatch: Long): Int =
+    StoreLease.withLease(spark, dir, "compactIngests") { lease =>
     val fs = fsOf(spark, dir)
     recoverPendingCompaction(fs, dir)
     val foldable = Artifacts.map { artifact =>
@@ -311,7 +321,7 @@ object AnnIndex {
         }
       }
     }.reduce(_ intersect _).toSeq.sorted
-    if (foldable.size < 2) return 0
+    if (foldable.size < 2) 0 else {
     val target = foldable.max
     // stage EVERYTHING first: no original is touched until both
     // artifacts' folds are durably complete
@@ -329,6 +339,9 @@ object AnnIndex {
         new org.apache.hadoop.fs.Path(s"$dir/$artifact/$TmpPrefix$target"),
         foldable)
     }
+    // the deletes below are the destructive phase: the lease must still
+    // be ours (verify-on-commit) before any original partition goes
+    StoreLease.verify(spark, lease)
     Artifacts.foreach { artifact =>
       foldable.foreach { k =>
         val d = new org.apache.hadoop.fs.Path(ingestDir(dir, artifact, s"batch_$k"))
@@ -341,7 +354,8 @@ object AnnIndex {
           "there; re-run compactIngests to complete the swap")
     }
     foldable.size
-  }
+    }
+    }
 
   // Coverage-manifest protocol shared with the incremental-dedup band
   // store — format, atomicity, and truncation discipline documented on
@@ -593,6 +607,38 @@ object AnnIndex {
     if (drifted.nonEmpty)
       buildIvfPq(emb, id, vec, dim, m, k, nCentroids, dir, kmeansIters)
     drifted
+  }
+
+  /** The probe half of the deletion closed loop: standing distinct
+    * tombstoned ids vs the PHYSICAL distinct id count of the codes
+    * artifact (dead rows are masked at serve, but their disk and scan
+    * cost stands until a rebuild purges them — that's what the share
+    * prices). Both sides are column-pruned scans. */
+  final case class TombstoneDecision(deadIds: Long, totalIds: Long,
+                                     share: Double, rebuilt: Boolean)
+
+  /** Close the deletion loop the way `retrainIfDrifted` closes the
+    * drift loop: MEASURE the tombstone share and rebuild only when it
+    * crosses `threshold` — below it, masking stays the right trade
+    * (deletes are instant, the index artifacts are untouched); above
+    * it, the index is carrying too much dead weight (masked rows still
+    * occupy lists and codes, inflating every serve's scan fraction)
+    * and a rebuild on `liveEmb` — the caller's post-delete corpus; the
+    * index stores only codes, so raw vectors must come from outside,
+    * same contract as retrain — purges tombstones and reclaims the
+    * space. Both decision directions are oracle-graded (the auto-purge
+    * and auto-hold queries), mirroring the skew loop's x25/x26. */
+  def rebuildIfTombstoned(spark: SparkSession, dir: String, liveEmb: DataFrame,
+                          id: String, vec: String, dim: Int, m: Int, k: Int,
+                          nCentroids: Int, threshold: Double = 0.2,
+                          kmeansIters: Int = 0): TombstoneDecision = {
+    val dead = loadTombstones(spark, dir).map(_.count()).getOrElse(0L)
+    val total = readArtifact(spark, dir, "codes", servableTags(spark, dir))
+      .select(col(id)).distinct().count()
+    val share = if (total == 0) 0.0 else dead.toDouble / total
+    val fire = share > threshold
+    if (fire) buildIvfPq(liveEmb, id, vec, dim, m, k, nCentroids, dir, kmeansIters)
+    TombstoneDecision(dead, total, share, fire)
   }
 
   /** Batch IVF-PQ serve — the production request shape: a FRAME of

@@ -96,11 +96,14 @@ object Multimodal {
       xxhash64(col("content")).as("blob_key"),
       octet_length(col("content")).cast("long").as("n_bytes"),
       col("content"))
-    addressed.select(col("blob_sha"), col("blob_key"), col("n_bytes"), col("content"))
-      .dropDuplicates("blob_sha")
-      .repartition(nFiles, col("blob_key"))
-      .write.mode("overwrite").parquet(path)
-    Layout.writeBloomSidecar(spark, path, "blob_key")
+    StoreLease.withLease(spark, path, "writeBlobStore") { lease =>
+      StoreLease.verify(spark, lease)
+      addressed.select(col("blob_sha"), col("blob_key"), col("n_bytes"), col("content"))
+        .dropDuplicates("blob_sha")
+        .repartition(nFiles, col("blob_key"))
+        .write.mode("overwrite").parquet(path)
+      Layout.writeBloomSidecar(spark, path, "blob_key")
+    }
     addressed.drop("content")
   }
 
@@ -124,24 +127,29 @@ object Multimodal {
       xxhash64(col("content")).as("blob_key"),
       octet_length(col("content")).cast("long").as("n_bytes"),
       col("content"))
-    val existing = spark.read.parquet(path).select(col("blob_sha"))
-    val fresh = addressed
-      .select(col("blob_sha"), col("blob_key"), col("n_bytes"), col("content"))
-      .dropDuplicates("blob_sha")
-      .join(existing, Seq("blob_sha"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // nothing-new appends (replays, all-dup drops) must write NOTHING:
-      // a whole-empty parquet write still emits one schema-preserving
-      // empty part file, which the sidecar's exact-coverage gate would
-      // then flag on every later pruned read (empty files contribute no
-      // sidecar rows) — and the store/sidecar are already correct anyway
-      if (!fresh.isEmpty) {
-        fresh.repartition(nFiles, col("blob_key"))
-          .write.mode("append").parquet(path)
-        Layout.writeBloomSidecar(spark, path, "blob_key")
-      }
-    } finally { fresh.unpersist(); () }
+    // single-writer contract is ENFORCED, not convention: a concurrent
+    // maintainer (another append, a vacuum) fails at acquire
+    StoreLease.withLease(spark, path, "appendBlobStore") { lease =>
+      val existing = spark.read.parquet(path).select(col("blob_sha"))
+      val fresh = addressed
+        .select(col("blob_sha"), col("blob_key"), col("n_bytes"), col("content"))
+        .dropDuplicates("blob_sha")
+        .join(existing, Seq("blob_sha"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // nothing-new appends (replays, all-dup drops) must write NOTHING:
+        // a whole-empty parquet write still emits one schema-preserving
+        // empty part file, which the sidecar's exact-coverage gate would
+        // then flag on every later pruned read (empty files contribute no
+        // sidecar rows) — and the store/sidecar are already correct anyway
+        if (!fresh.isEmpty) {
+          StoreLease.verify(spark, lease)
+          fresh.repartition(nFiles, col("blob_key"))
+            .write.mode("append").parquet(path)
+          Layout.writeBloomSidecar(spark, path, "blob_key")
+        }
+      } finally { fresh.unpersist(); () }
+    }
     addressed.drop("content")
   }
 
@@ -160,7 +168,12 @@ object Multimodal {
     * completes or discards any interrupted swap from the directory
     * states alone. Single writer, like compaction everywhere else. */
   def vacuumBlobStore(spark: SparkSession, path: String,
-                      livePointers: DataFrame, nFiles: Int): (Long, Long) = {
+                      livePointers: DataFrame, nFiles: Int): (Long, Long) =
+    // the lease is what makes "single writer" enforced: two concurrent
+    // vacuums would otherwise each pass their own crash recovery and
+    // silently lose bytes in the rename crossfire; the second now fails
+    // at acquire, and a stalled first fails at verify before its swap
+    StoreLease.withLease(spark, path, "vacuumBlobStore") { lease =>
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     recoverVacuum(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -187,6 +200,11 @@ object Multimodal {
     val (p, tmp, trash) = (new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.fs.Path(vacuumTmp(path)),
       new org.apache.hadoop.fs.Path(vacuumTrash(path)))
+    // verify-on-commit: the staging write above is invisible to readers;
+    // the FIRST rename is the point of no return, so the lease must
+    // still be ours here (a takeover means we stalled past the TTL and
+    // someone else is maintaining this store NOW)
+    StoreLease.verify(spark, lease)
     require(fs.rename(p, trash),
       s"vacuum failed to move $path aside — store is intact; retry")
     require(fs.rename(tmp, p),
@@ -196,7 +214,7 @@ object Multimodal {
     require(fs.delete(trash, true), s"vacuum failed to clear ${vacuumTrash(path)}")
     Layout.writeBloomSidecar(spark, path, "blob_key")
     (kept, total - kept)
-  }
+    }
 
   /** Complete or discard an interrupted vacuum swap, from directory
     * states alone (no manifest needed — the two-rename protocol makes

@@ -163,6 +163,65 @@ object EventQueries {
         .orderBy(col("k"))
     }),
 
+    // O7's EVOLUTION policy graded end to end (reference:
+    // docs/schema-evolution.md — additive defaults, alias renames,
+    // before-validator coercion): three wire GENERATIONS of the same
+    // event type, derived deterministically from event_id —
+    //   v1 (id%3=0): amount as a STRING (legacy wire type → declared
+    //        coercion) under the RENAMED field `cust` (alias of
+    //        customer_id); a sprinkle of uncastable amounts
+    //        (id%17=5) must flag `_corrupt`, never throw;
+    //   v2 (id%3=1): current wire — amount numeric, customer_id;
+    //   v3 (id%3=2): additive evolution — a new nullable `tier`
+    //        field v1/v2 never sent.
+    // All three parse through ONE registry schema + Evolution
+    // declaration in one codegen'd pass; the oracle replays the same
+    // coercions in SQL. The grade: per customer bucket, row counts,
+    // corrupt counts, the coerced-amount sum over clean rows, and the
+    // additive field's coverage — wrong alias folding, wrong coercion,
+    // or corrupt leakage each shifts a graded value.
+    "o8_schema_evolution" -> ((s, dir) => {
+      import graft.streaming.{Evolution, SchemaRegistry}
+      import org.apache.spark.sql.types.{StructField, StructType, StringType}
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (dec("value") * 100).cast(LongType).as("cents"))
+      val gen = col("event_id") % 3
+      val badAmount = col("event_id") % 17 === 5
+      val payload =
+        when(gen === 0, concat(lit("{\"amount\": \""),
+            when(badAmount, lit("12x")).otherwise(col("cents").cast("string")),
+            lit("\", \"cust\": "), col("user_id"), lit("}")))
+        .when(gen === 1, concat(lit("{\"amount\": "), col("cents"),
+            lit(", \"customer_id\": "), col("user_id"), lit("}")))
+        .otherwise(concat(lit("{\"amount\": "), col("cents"),
+            lit(", \"customer_id\": "), col("user_id"), lit(", \"tier\": \""),
+            when(col("user_id") % 2 === 0, lit("gold")).otherwise(lit("std")),
+            lit("\"}")))
+      val wire = e.select(col("event_id").cast("string").as("event_id"),
+        lit("order").as("event_type"),
+        lit(null).cast("timestamp").as("timestamp"), payload.as("payload"),
+        lit(null).cast("int").as("partition"),
+        lit(null).cast("string").as("offset"))
+      val reg = new SchemaRegistry
+      reg.register("order", StructType(Seq(
+        StructField("amount", LongType), StructField("customer_id", LongType),
+        StructField("tier", StringType))))
+      reg.registerEvolution("order", Evolution(
+        aliases = Map("customer_id" -> Seq("cust")), coerced = Set("amount")))
+      reg.parse(wire)
+        .select(get_json_object(col("parsed"), "$.amount").cast(LongType).as("amount"),
+          get_json_object(col("parsed"), "$.customer_id").cast(LongType).as("customer_id"),
+          get_json_object(col("parsed"), "$.tier").as("tier"),
+          col("_corrupt"))
+        .groupBy((col("customer_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(!col("_corrupt"), col("amount"))).as("sum_amount"),
+          sum(when(col("tier").isNotNull, 1L).otherwise(0L)).as("n_tiered"))
+        .orderBy(col("bucket"))
+    }),
+
     // W8 per-key running state (wordcount analog): final state per user.
     "w8_keyed_state" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -420,6 +479,27 @@ object EventQueries {
     "o7_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // o8: the registry's evolution semantics replayed in SQL — the
+    // generation rules are a pure function of event_id, so the oracle
+    // applies alias folding (cust == customer_id, same value either
+    // way), string→long coercion (NULL + corrupt where uncastable),
+    // and the additive tier field directly.
+    "o8_schema_evolution" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT user_id AS customer_id,
+        |    CASE WHEN event_id % 3 = 0 AND event_id % 17 = 5 THEN NULL
+        |         ELSE cents END AS amount,
+        |    CASE WHEN event_id % 3 = 2 THEN
+        |      CASE WHEN user_id % 2 = 0 THEN 'gold' ELSE 'std' END END AS tier,
+        |    (event_id % 3 = 0 AND event_id % 17 = 5) AS corrupt
+        |  FROM e)
+        |SELECT customer_id % 8 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN NOT corrupt THEN amount END) AS BIGINT) AS sum_amount,
+        |  CAST(SUM(CASE WHEN tier IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tiered
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "w8_keyed_state" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

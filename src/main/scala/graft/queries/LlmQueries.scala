@@ -1216,6 +1216,67 @@ object LlmQueries {
       serve()
     }),
 
+    // The deletion loop CLOSED, rebuild direction (x25's shape for
+    // tombstones): a bulk erasure tombstones ~1/3 of the index; the
+    // tombstone-share probe crosses the 0.2 threshold, so
+    // rebuildIfTombstoned fires — tombstones purged, dead space
+    // reclaimed — and the post-rebuild serve is graded against a
+    // DuckDB recompute of the WHOLE IVF-PQ pipeline over the
+    // post-delete corpus: the green hash row IS the "rebuild equals a
+    // fresh build on the live corpus" claim. In-query requires make
+    // the decision non-vacuous (share measured above threshold,
+    // rebuild fired, deletion state spent).
+    "l81_ann_auto_rebuild" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = graft.Scratch.dir("graft_annar")
+      AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
+      // bulk erasure: every third id (the probe, vec_id 0, survives)
+      val del = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id"))
+      AnnIndex.deleteVectors(s, root, del, "vec_id", ingestTag = "erasure_bulk")
+      val live = emb.filter(col("vec_id") % 3 =!= 0 || col("vec_id") === 0)
+      val d = AnnIndex.rebuildIfTombstoned(s, root, live, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, threshold = 0.2)
+      require(d.rebuilt && d.share > 0.2,
+        s"l81 expects the probe to fire: share ${d.share} (${d.deadIds}/${d.totalIds})")
+      require(AnnIndex.loadTombstones(s, root).isEmpty,
+        "rebuild must purge the tombstone artifacts (deletion state is spent)")
+      AnnIndex.serveIvfPq(AnnIndex.load(s, root),
+        live.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 64, m = 4, nProbe = 4, topK = 10)
+    }),
+
+    // The deletion loop's NEGATIVE direction (x26's shape): a 3-id
+    // erasure is far below the threshold, so the probe REFUSES to
+    // rebuild — masking is the right trade at this share, and the
+    // index artifacts stay untouched (tombstones still standing,
+    // asserted). The serve grades against l76's masked-serve oracle
+    // verbatim: hold-and-mask must be value-identical to what the
+    // eager path produced.
+    "l82_ann_auto_hold" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = graft.Scratch.dir("graft_annah")
+      AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
+      val probe = emb.filter(col("vec_id") === 0)
+      def serve() = AnnIndex.serveIvfPq(AnnIndex.load(s, root), probe,
+        "vec_id", "embedding", dim = 64, m = 4, nProbe = 4, topK = 10)
+      val del = serve().filter(col("vec_id") =!= 0)
+        .orderBy(col("adc_dist"), col("vec_id")).limit(3)
+        .select(col("vec_id"))
+      AnnIndex.deleteVectors(s, root, del, "vec_id", ingestTag = "erasure_1")
+      val d = AnnIndex.rebuildIfTombstoned(s, root, emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, threshold = 0.2)
+      require(!d.rebuilt && d.share > 0 && d.share <= 0.2,
+        s"l82 expects the probe to hold: share ${d.share} (${d.deadIds}/${d.totalIds})")
+      require(AnnIndex.loadTombstones(s, root).exists(_.count() == 3),
+        "hold must leave the standing tombstones untouched")
+      serve()
+    }),
+
     // Incremental artifact refresh — l75's snapshot diff DRIVING the
     // pipeline: the previous cycle's per-doc quality scores are a
     // persisted artifact; the new cycle recomputes ONLY added+changed
@@ -1520,7 +1581,34 @@ object LlmQueries {
       // neighbors as the tombstone set (the same derivation the Spark
       // query runs on its pre-delete serve), and the graded top-10
       // drawn from the survivors.
+      // l81: the WHOLE IVF-PQ pipeline recomputed over the post-delete
+      // corpus — centroids, codebooks, codes, routing and ADC all
+      // re-derived from the live vectors only, exactly what
+      // rebuildIfTombstoned's buildIvfPq does. The corpus substitution
+      // is mechanical (every read of `embeddings` goes through the
+      // filtered CTE), so the oracle IS l55's recompute on the live set.
+      ("l81_ann_auto_rebuild" -> (ivfPqAdcCtes
+        .replace("FROM embeddings", "FROM live_embeddings")
+        .replaceFirst("WITH ",
+          "WITH live_embeddings AS (SELECT * FROM embeddings " +
+            "WHERE vec_id % 3 <> 0 OR vec_id = 0),\n") + "\n" +
+        """SELECT c2.vec_id,
+          |  CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
+          |FROM codes c2 JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code
+          |GROUP BY 1 ORDER BY adc_dist, c2.vec_id LIMIT 10""".stripMargin)) +
       ("l76_ann_tombstone" -> (ivfPqAdcCtes + ",\n" +
+        """adc AS (SELECT c2.vec_id,
+          |    CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
+          |  FROM codes c2 JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code
+          |  GROUP BY 1),
+          |del AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+          |        ORDER BY adc_dist, vec_id LIMIT 3)
+          |SELECT vec_id, adc_dist FROM adc
+          |WHERE vec_id NOT IN (SELECT vec_id FROM del)
+          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)) +
+      // l82 holds-and-masks: the serve contract is l76's masked-serve
+      // oracle verbatim (same 3-nearest-derived deletion, same mask)
+      ("l82_ann_auto_hold" -> (ivfPqAdcCtes + ",\n" +
         """adc AS (SELECT c2.vec_id,
           |    CAST(SUM(CAST(round(d.dsub * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS adc_dist
           |  FROM codes c2 JOIN dtab d ON d.sub = c2.sub AND d.code = c2.code

@@ -254,6 +254,11 @@ object IncrementalDedup {
     val p = new Path(bandStoreDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return 0
+    // enforced single-writer: an out-of-band `ctl bands-compact` racing
+    // the loop's own in-band hook fails at acquire instead of
+    // interleaving deletes with the other's staged swap
+    graft.operators.StoreLease.withLease(spark, bandStoreDir,
+        "compactBandStore") { lease =>
     recoverPendingCompaction(fs, bandStoreDir)
     val olds = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
@@ -264,7 +269,7 @@ object IncrementalDedup {
         case _ => None
       })
       .sortBy(_._1)
-    if (olds.size < 2) return 0
+    if (olds.size < 2) 0 else {
     val target = olds.map(_._1).max
     val merged = spark.read
       .option("basePath", bandStoreDir)
@@ -284,6 +289,8 @@ object IncrementalDedup {
     val tmp = s"$bandStoreDir/$TmpPrefixV2$target"
     merged.write.mode("overwrite").parquet(tmp)
     graft.operators.FoldManifest.write(fs, new Path(tmp), olds.map(_._1))
+    // destructive phase begins here — verify the lease is still ours
+    graft.operators.StoreLease.verify(spark, lease)
     olds.foreach { case (_, d) =>
       require(fs.delete(d, true), s"compaction failed to delete $d")
     }
@@ -299,6 +306,8 @@ object IncrementalDedup {
       s"compaction failed to swap $tmp into place — history is staged " +
         "there; re-run compactBandStore to complete the swap")
     olds.size
+    }
+    }
   }
 
   /** Stage-dir name prefixes. The `2` is a PROTOCOL VERSION stamp, not

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class StoreLeaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a second concurrent maintainer fails loudly at acquire, naming the holder") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lease1").toString + "/s"
+    val h = StoreLease.acquire(spark, store, "vacuum-a")
+    val e = intercept[IllegalArgumentException](
+      StoreLease.acquire(spark, store, "vacuum-b"))
+    assert(e.getMessage.contains("vacuum-a") &&
+      e.getMessage.contains("under maintenance"))
+    StoreLease.release(spark, h)
+    // released → a new maintainer acquires cleanly
+    StoreLease.release(spark, StoreLease.acquire(spark, store, "vacuum-b"))
+  }
+
+  test("an expired lease is taken over with a bumped generation; the stalled holder's verify fails") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lease2").toString + "/s"
+    val stalled = StoreLease.acquire(spark, store, "slow", ttlMs = 1)
+    Thread.sleep(5)
+    val fresh = StoreLease.acquire(spark, store, "takeover")
+    assert(fresh.generation == stalled.generation + 1)
+    // the stalled holder reaches its commit point late: verify-on-commit
+    // refuses by name instead of letting it race the new owner's swap
+    val e = intercept[IllegalArgumentException](StoreLease.verify(spark, stalled))
+    assert(e.getMessage.contains("taken over") && e.getMessage.contains("takeover"))
+    // the new owner's own verify passes, and its release leaves no lease
+    StoreLease.verify(spark, fresh)
+    StoreLease.release(spark, fresh)
+    // a stalled holder's release is a no-op on someone else's lease
+    val again = StoreLease.acquire(spark, store, "third")
+    StoreLease.release(spark, stalled) // not ours — must not delete
+    StoreLease.verify(spark, again)
+    StoreLease.release(spark, again)
+  }
+
+  test("withLease releases on success AND on body failure") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lease3").toString + "/s"
+    assert(StoreLease.withLease(spark, store, "ok")(_ => 42) == 42)
+    intercept[RuntimeException](
+      StoreLease.withLease(spark, store, "boom")(_ => throw new RuntimeException("x")))
+    // both paths released: acquire succeeds immediately
+    StoreLease.release(spark, StoreLease.acquire(spark, store, "after"))
+  }
+
+  test("a second concurrent vacuum fails loudly instead of silently losing bytes") {
+    // the race the lease exists for: maintainer A holds the blob store's
+    // lease (mid-vacuum); maintainer B's vacuumBlobStore must fail at
+    // acquire — before B reads, stages, or renames anything
+    val root = java.nio.file.Files.createTempDirectory("graft_leasevac").toString
+    val all = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val ptr = Multimodal.writeBlobStore(spark,
+      Multimodal.asBinary(all, "doc_id", "text"), s"$root/store", nFiles = 1)
+    val a = StoreLease.acquire(spark, s"$root/store", "vacuum-A")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.vacuumBlobStore(spark, s"$root/store", ptr, nFiles = 1))
+    assert(e.getMessage.contains("vacuum-A"))
+    // appends and rebuilds honor the same lease
+    val e2 = intercept[IllegalArgumentException](Multimodal.appendBlobStore(
+      spark, Multimodal.asBinary(all, "doc_id", "text"), s"$root/store", 1))
+    assert(e2.getMessage.contains("vacuum-A"))
+    StoreLease.release(spark, a)
+    // with the lease free the same vacuum proceeds
+    assert(Multimodal.vacuumBlobStore(spark, s"$root/store", ptr, nFiles = 1)
+      == ((2L, 0L)))
+  }
+
+  test("ANN maintainers share the index lease") {
+    val emb = (0L until 8L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_leaseann").toString + "/ix"
+    AnnIndex.buildIvfPq(emb.filter($"vec_id" < 4), "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 2, dir = dir)
+    val h = StoreLease.acquire(spark, dir, "ops-hold")
+    val e = intercept[IllegalArgumentException](AnnIndex.appendVectors(
+      spark, dir, emb.filter($"vec_id" >= 4), "vec_id", "embedding",
+      dim = 8, m = 2, ingestTag = "batch_0"))
+    assert(e.getMessage.contains("ops-hold"))
+    val e2 = intercept[IllegalArgumentException](AnnIndex.deleteVectors(
+      spark, dir, Seq(1L).toDF("vec_id"), "vec_id", "erase"))
+    assert(e2.getMessage.contains("ops-hold"))
+    StoreLease.release(spark, h)
+    AnnIndex.appendVectors(spark, dir, emb.filter($"vec_id" >= 4),
+      "vec_id", "embedding", dim = 8, m = 2, ingestTag = "batch_0")
+  }
+}
