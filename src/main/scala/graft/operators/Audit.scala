@@ -28,16 +28,17 @@ object Audit {
     * (`AuditSpec` pins the equality), so the SQL-window oracle still
     * grades it bit-for-bit.
     *
-    * Constraint inherited from `Packing.groupRank`: the GROUP
-    * CARDINALITY (distinct groups, not rows) must be broadcast-small —
-    * the per-group offset frame rides a broadcast join. Source/split/
-    * lang-style audit groupings are inherently so; a high-cardinality
-    * group column (e.g. per-document) belongs in a plain window, not
-    * here. */
+    * No cardinality constraint on the caller: ranking dispatches
+    * through `Packing.autoGroupRank`, which MEASURES the distinct
+    * group count and picks the broadcast-offset path (few, possibly
+    * huge groups — the audit norm) or a partitioned window (many
+    * small groups, where a |groups|-row broadcast would not be small
+    * and per-task window work is bounded by the largest group). The
+    * quartile values are identical either way. */
   def groupQuartiles(docs: DataFrame, group: String, id: String,
                      value: Column): DataFrame = {
     val v = docs.select(col(group), col(id), value.cast("long").as("v"))
-    val ranked = Packing.groupRank(v, group, Seq(col("v"), col(id)))
+    val ranked = Packing.autoGroupRank(v, group, Seq(col("v"), col(id)))._1
       .withColumn("rk", col("group_rank") + 1)
       .withColumnRenamed("group_n", "n_docs")
     ranked

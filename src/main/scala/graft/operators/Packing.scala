@@ -221,6 +221,59 @@ object Packing {
       .drop("_rank", "_gstart", "_gkey")
   }
 
+  /** The dispatch record of `autoGroupRank` — which path ran and the
+    * measured group cardinality that chose it (symmetric with
+    * `Skew.SaltDecision`: the probe result travels with the output so
+    * callers and specs can assert the decision, never guess it). */
+  final case class RankDispatch(broadcastPath: Boolean, nGroups: Long,
+                                maxBroadcastGroups: Long)
+
+  /** Probe-driven per-group ranking: MEASURE the group cardinality and
+    * dispatch to the right formulation, removing `groupRank`'s
+    * "caller must know the cardinality or fail at runtime" constraint
+    * (the rank-family sibling of `Skew.autoSaltedSumCount`).
+    *
+    * The two regimes fail in opposite directions, which is why the
+    * dispatch is a cardinality probe:
+    *  - FEW groups (≤ `maxBroadcastGroups`): each group can be huge —
+    *    a window partitioned by the group funnels a dominant group
+    *    through ONE task, so the broadcast-offset path (range shuffle
+    *    over (group, order) jointly + |groups|-row broadcast) is the
+    *    scale path; the offset frame is broadcast-small by the probe.
+    *  - MANY groups: the |groups|-row offset frame is NOT
+    *    broadcast-small, but high cardinality is exactly what makes a
+    *    partitioned window safe — per-task work is bounded by the
+    *    largest group, and groups spread across tasks.
+    * Values are IDENTICAL either way (rank is a pure function of the
+    * per-group total order; the spec pins equality), so downstream
+    * code and oracles cannot tell which plan ran except through the
+    * returned dispatch. The probe is one map-side-combined
+    * count-distinct pass over the group column. Callers must still
+    * make `order` total within each group (unique tiebreak). */
+  def autoGroupRank(df: DataFrame, group: String,
+                    order: Seq[org.apache.spark.sql.Column],
+                    maxBroadcastGroups: Long = 1000000L)
+      : (DataFrame, RankDispatch) = {
+    require(order.nonEmpty, "autoGroupRank requires an ordering")
+    require(maxBroadcastGroups > 0,
+      s"maxBroadcastGroups must be positive, got $maxBroadcastGroups")
+    val n = df.agg(countDistinct(col(group))).head().getLong(0)
+    val dispatch = RankDispatch(n <= maxBroadcastGroups, n, maxBroadcastGroups)
+    val out =
+      if (dispatch.broadcastPath) groupRank(df, group, order)
+      else {
+        requireAbsent(df, "autoGroupRank", "group_rank", "group_n")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(group)).orderBy(order: _*)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(group))
+        df.withColumn("group_rank", row_number().over(w).cast("long") - 1)
+          .withColumn("group_n", count(lit(1)).over(wAll))
+          // match groupRank's column order (input..., group_n, group_rank)
+          .select(df.columns.map(col) :+ col("group_n") :+ col("group_rank"): _*)
+      }
+    (out, dispatch)
+  }
+
   /** Inclusive prefix sum of `weight` under the total order `order` —
     * the distributed form of `SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED
     * PRECEDING)`, which Spark's window would otherwise compute on ONE

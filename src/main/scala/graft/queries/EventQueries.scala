@@ -340,6 +340,84 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // CDC WRITE SUPPRESSION — what w13's ledger exists for (reference
+    // parity: the idempotent sink's skip counter,
+    // pspf/connectors/base.py:55-70): four seq-contiguous drops of
+    // per-user event_type upserts stream through cdcWriteSetTws, and a
+    // foreachBatch sink writes ONLY keys whose end-of-drop payload is
+    // new/changed vs their standing state — unchanged keys are
+    // suppressed (asserted non-vacuous). The graded frame is the
+    // WRITTEN SET itself, per drop; the oracle replays the same
+    // last-per-drop vs previous-drop comparison with one LAG window.
+    // A second in-query gate: the written set, last-write-wins, must
+    // reproduce the stream's final state exactly (snapshotDiff between
+    // the replayed writes and the batch-computed final state is empty)
+    // — suppression never hid a change.
+    "w14_cdc_suppress" -> ((s, dir) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val mx = ev.agg(max(col("event_id"))).head().getLong(0)
+        val root = graft.Scratch.dir("graft_cdcw")
+        // drops are CONTIGUOUS event_id ranges, so each key's seqs are
+        // batch-monotone — the delivery contract under which the CDC
+        // fold equals the total-seq-order replay exactly
+        val drop = (col("event_id") * 4 / lit(mx + 1)).cast(LongType)
+        var emitted = 0L
+        var written = 0L
+        (0 until 4).foreach { k =>
+          ev.filter(drop === k).write.mode("append").parquet(s"$root/src")
+          val typed = s.readStream.schema(ev.schema).parquet(s"$root/src")
+            .as[(Long, Long, String)]
+          val q = graft.streaming.KeyedState.cdcWriteSetTws(typed)
+            .toDF("user_id", "written_type", "changed")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val st = b.persist()
+              try {
+                emitted += st.count()
+                val w = st.filter(col("changed"))
+                  .select(col("user_id"), col("written_type"))
+                written += w.count()
+                w.write.mode("overwrite").parquet(s"$root/out/ingest_batch=$batchId")
+              } finally { st.unpersist(); () }
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val parts = new java.io.File(s"$root/out").listFiles()
+            .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+          require(parts == k + 1,
+            s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
+        }
+        require(written < emitted,
+          s"suppression must be non-vacuous: wrote $written of $emitted emissions")
+        val out = s.read.option("basePath", s"$root/out").parquet(s"$root/out")
+          .select(col("user_id"),
+            col("ingest_batch").cast(LongType).as("ingest_batch"),
+            col("written_type"))
+        val finalWritten = out.groupBy(col("user_id"))
+          .agg(max(struct(col("ingest_batch"), col("written_type"))).as("f"))
+          .select(col("user_id"), col("f.written_type").as("t"))
+        val finalState = ev.groupBy(col("user_id"))
+          .agg(max(struct(col("event_id"), col("event_type"))).as("f"))
+          .select(col("user_id"), col("f.event_type").as("t"))
+        require(graft.operators.Audit
+            .snapshotDiff(finalWritten, finalState, "user_id", col("t")).isEmpty,
+          "the suppressed write set must reproduce the stream's final state exactly")
+        out.orderBy(col("user_id"), col("ingest_batch"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }),
+
     // W12 idempotent dedup: first event per (user_id, event_type) —
     // deterministic min-id representative rather than dropDuplicates'
     // arbitrary row, so the oracle can match it.
@@ -559,6 +637,25 @@ object EventQueries {
         |  (SELECT arg_max(event_type, event_id) FROM events e2
         |   WHERE e2.user_id = o.user_id) AS last_type
         |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // w14: a written row exists for (user, drop) iff the user's
+    // last-in-drop payload is their first sighting or differs from
+    // their previous drop's last payload — one LAG over the per-drop
+    // tails replays the suppression decision exactly.
+    "w14_cdc_suppress" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |e AS (SELECT user_id, event_id, event_type,
+        |    CAST(FLOOR(event_id * 4 / (m + 1)) AS BIGINT) AS drp
+        |  FROM events, mx),
+        |last_in AS (SELECT user_id, drp, event_type FROM (
+        |    SELECT user_id, drp, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, drp ORDER BY event_id DESC) AS rk
+        |    FROM e) WHERE rk = 1),
+        |seq AS (SELECT user_id, drp, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY drp) AS prev
+        |  FROM last_in)
+        |SELECT user_id, drp AS ingest_batch, event_type AS written_type
+        |FROM seq WHERE prev IS NULL OR event_type <> prev
+        |ORDER BY user_id, ingest_batch""".stripMargin,
     "j2_enrich_join" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

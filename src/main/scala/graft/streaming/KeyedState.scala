@@ -299,6 +299,55 @@ object KeyedState {
     ds.groupByKey(_._1).transformWithState(proc, TimeMode.None(), OutputMode.Update())
   }
 
+  /** `changeLogTws` composed for the WRITE-SUPPRESSION sink — the
+    * point of CDC (reference parity: the idempotent sink's skip
+    * counter, pspf/connectors/base.py:55-70 — don't re-write what
+    * didn't change). Emits, per trigger, one row per key THAT
+    * RECEIVED INPUT: (key, lastPayload, changed), where `changed` is
+    * what a last-value-wins upsert sink needs to know — the key is
+    * new, or its end-of-batch payload differs from its batch-start
+    * payload (a→b→a within one batch nets to unchanged: the sink's
+    * standing row is already right). A foreachBatch sink writing only
+    * `changed` rows reproduces the final state exactly while skipping
+    * every no-op write. Same stale-seq discipline as changeLogTws:
+    * state carries the last folded seq; a later batch delivering an
+    * earlier seq is dropped, and delivery that is batch-monotone per
+    * key loses nothing. */
+  def cdcWriteSetTws[K: Encoder](ds: Dataset[(K, Long, String)],
+      maxBatchRowsPerKey: Int = 1 << 20)(
+      implicit sEnc: Encoder[(Long, String, Boolean)],
+      out: Encoder[(K, String, Boolean)]): Dataset[(K, String, Boolean)] = {
+    val stEnc = implicitly[Encoder[(Long, String, Boolean)]]
+    val proc = new StatefulProcessor[K, (K, Long, String), (K, String, Boolean)] {
+      @transient private var st: ValueState[(Long, String, Boolean)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, String, Boolean)](
+          "cdcw", stEnc, TTLConfig.NONE)
+      override def handleInputRows(k: K, rows: Iterator[(K, Long, String)],
+                                   tv: TimerValues)
+          : Iterator[(K, String, Boolean)] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        rows.foreach { r =>
+          buf += ((r._2, r._3))
+          require(buf.length <= maxBatchRowsPerKey,
+            s"cdcWriteSetTws: key $k received more than $maxBatchRowsPerKey " +
+              "upserts in one micro-batch — raise maxBatchRowsPerKey or " +
+              "shrink the trigger interval")
+        }
+        var (lastSeq, last, seen) =
+          if (st.exists()) st.get() else (Long.MinValue, null: String, false)
+        val startLast = last
+        val wasSeen = seen
+        buf.toArray.sortBy(_._1).foreach { case (seq, p) =>
+          if (seq > lastSeq) { last = p; lastSeq = seq; seen = true }
+        }
+        st.update((lastSeq, last, seen))
+        Iterator.single((k, last, !wasSeen || last != startLast))
+      }
+    }
+    ds.groupByKey(_._1).transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
   /** The reference fold callback promoted to a FIRST-CLASS typed
     * aggregate (SURVEY §2.6: fold aggregations → `Aggregator[IN,BUF,
     * OUT]` registered with `udaf`). The difference from the

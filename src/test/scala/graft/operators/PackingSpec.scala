@@ -292,4 +292,29 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 2L), (3L, 1L, 2L),
       (2L, 0L, 2L), (4L, 1L, 2L), (5L, 0L, 1L)))
   }
+
+  test("autoGroupRank dispatches on measured cardinality; both paths are value-identical") {
+    val d = (0L until 120L).map(i => (i, s"g${i % 6}", (i * 37) % 101))
+      .toDF("id", "grp", "v")
+    // 6 distinct groups ≤ default cap → the broadcast-offset path runs
+    val (lo, dLo) = Packing.autoGroupRank(d, "grp", Seq(col("v"), col("id")))
+    assert(dLo.broadcastPath && dLo.nGroups == 6)
+    // same data, cap forced below the cardinality → the window path runs
+    val (hi, dHi) = Packing.autoGroupRank(d, "grp", Seq(col("v"), col("id")),
+      maxBroadcastGroups = 5)
+    assert(!dHi.broadcastPath && dHi.nGroups == 6)
+    // the dispatch must be invisible in the VALUES: identical rows,
+    // identical column names in identical order
+    assert(lo.columns.toSeq == hi.columns.toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id", "grp", "v", "group_rank", "group_n")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(key(lo) == key(hi))
+    // and both must equal the single-task window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val ref = d.withColumn("group_rank", row_number().over(w).cast("long") - 1)
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    assert(key(lo) == key(ref))
+  }
 }

@@ -269,6 +269,38 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcWriteSetTws: changed iff new key or end-of-batch payload differs from batch start") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, String)] // (key, seq, payload)
+      val out = KeyedState.cdcWriteSetTws(in.toDS())
+        .toDF("key", "last", "changed")
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("tws_cdcw_out").start()
+      try {
+        def rows() = spark.table("tws_cdcw_out")
+          .as[(Long, String, Boolean)].collect().toSeq
+        // batch 1: key 1 new (a->b within batch nets to "b", changed);
+        // key 2 new
+        in.addData((1L, 1L, "a"), (1L, 2L, "b"), (2L, 10L, "x"))
+        q.processAllAvailable()
+        assert(rows().toSet == Set((1L, "b", true), (2L, "x", true)))
+        // batch 2: key 1 b->c->b nets UNCHANGED vs batch start (write
+        // suppressed); key 2 x->y changed; key 3 absent (no emission)
+        in.addData((1L, 3L, "c"), (1L, 4L, "b"), (2L, 11L, "y"))
+        q.processAllAvailable()
+        val b2 = rows().diff(Seq((1L, "b", true), (2L, "x", true)))
+        assert(b2.toSet == Set((1L, "b", false), (2L, "y", true)))
+        // batch 3: a stale seq for key 2 (seq 5 < lastSeq 11) is
+        // dropped — emission says unchanged, state keeps "y"
+        in.addData((2L, 5L, "zzz"))
+        q.processAllAvailable()
+        val b3 = rows().diff(Seq((1L, "b", true), (2L, "x", true)) ++ b2)
+        assert(b3 == Seq((2L, "y", false)))
+      } finally q.stop()
+    }
+  }
+
   test("a non-NONE TTL starts (processing-time mode) and folds normally within the TTL window") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

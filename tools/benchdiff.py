@@ -14,10 +14,29 @@ driver's capture format ({"tail": "..."} — per-query times regexed out
 of the possibly-truncated tail). Prints common-suite totals, the
 regression list (>1.5x AND >+0.3s — the round gate), and the biggest
 movers both ways.
+
+Host-drift adjudication: this host drifts up to ~2.4x on unchanged
+code (reboots, cache state), and rounds 10/11 both burned effort
+hand-A/B-ing flags that were host state, not code. The diff now
+computes a DRIFT FACTOR — the median new/old ratio over designated
+ANCHOR queries (operators untouched for many rounds, moderate
+runtimes, historically ~1.0x round-over-round) — and reports
+drift-normalized ratios alongside raw. A regression flag that
+disappears under normalization is auto-annotated "host state" with
+the anchor evidence; one that survives is real and needs a code
+explanation.
 """
 import json
 import re
+import statistics
 import sys
+
+# Untouched-for-rounds, moderate-runtime queries whose only reason to
+# move is the host (r10->r11 ratios 0.98-1.04 across a mid-round
+# reboot). Revisit only if an anchor's operator is deliberately changed
+# — then swap it out here in the same commit.
+ANCHORS = ["l52_lsh_recall", "x14_bloom_lookup", "l22_embed_pairs_lsh",
+           "l12_data_pipeline", "l49_split_leakage"]
 
 
 def load(path):
@@ -108,15 +127,37 @@ def main():
     ratio = f"{t_new / t_old:.2f}x" if t_old > 0 else "n/a"
     print(f"common queries: {len(common)}  old {t_old:.1f}s  new {t_new:.1f}s  "
           f"ratio {ratio}" if common else "no common queries")
+    # host-drift factor from the anchors present on both sides
+    anchors = [(a, new[a] / old[a]) for a in ANCHORS
+               if a in old and a in new and old[a] > 0]
+    drift = statistics.median(r for _, r in anchors) if anchors else 1.0
+    if anchors:
+        detail = ", ".join(f"{a} {r:.2f}x" for a, r in anchors)
+        print(f"host-drift factor (median of {len(anchors)} anchors): "
+              f"{drift:.2f}x  [{detail}]")
+        if t_old > 0:
+            print(f"drift-normalized ratio: {t_new / drift / t_old:.2f}x "
+                  f"(raw {ratio} / drift {drift:.2f}x)")
+    else:
+        print("host-drift factor: n/a (no anchors on both sides)")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print(f"new-only ({len(only_new)}): "
               + ", ".join(f"{k} {new[k]:.2f}s" for k in only_new))
     reg = [(k, old[k], new[k]) for k in common
            if new[k] > 1.5 * old[k] and new[k] - old[k] > 0.3]
-    print(f"regressions (>1.5x and >+0.3s): {len(reg)}")
+    print(f"regressions (>1.5x and >+0.3s, raw): {len(reg)}")
     for k, a, b in sorted(reg, key=lambda x: -(x[2] - x[1])):
-        print(f"  {k:30s} {a:6.2f} -> {b:6.2f}")
+        bn = b / drift
+        if not (bn > 1.5 * a and bn - a > 0.3):
+            # the flag vanishes once the anchors' shared movement is
+            # divided out: the host moved, not this query's code
+            print(f"  {k:30s} {a:6.2f} -> {b:6.2f}  "
+                  f"HOST STATE (normalized {bn:.2f}s clears the gate at "
+                  f"drift {drift:.2f}x)")
+        else:
+            print(f"  {k:30s} {a:6.2f} -> {b:6.2f}  "
+                  f"REAL (survives normalization: {bn:.2f}s at drift {drift:.2f}x)")
     movers = sorted(((k, old[k], new[k]) for k in common),
                     key=lambda x: -abs(x[2] - x[1]))[:8]
     print("biggest movers:")
