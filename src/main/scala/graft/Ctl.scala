@@ -19,6 +19,10 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> trim        <topic> <checkpointDir>   (graftlog retention)
   *   Ctl <root> index-ingests <indexDir>              (ANN index: servable ingest tags)
   *   Ctl <root> index-compact <indexDir> <upToBatch>  (fold committed batch ingests)
+  *   Ctl <root> index-autocompact <indexDir> <maxIngests> <upToBatch> (fold only
+  *                                       past the measured-fragmentation ceiling)
+  *   Ctl <root> lease-status <storeDir>               (who holds the maintenance lease)
+  *   Ctl <root> lease-break  <storeDir> [--force]     (clear an expired/dead holder)
   *   Ctl <root> index-delete <indexDir> <idCol> <id1,id2,...> <tag> (tombstone ids;
   *                                       tokens are cast to the index's id type)
   *   Ctl <root> index-tombstones <indexDir>           (standing dead-id count)
@@ -53,6 +57,9 @@ object Ctl {
       |       Ctl <root> index-delete <indexDir> <idCol> <id1,id2,...> <tag>
       |       Ctl <root> index-tombstones <indexDir>
       |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>
+      |       Ctl <root> index-autocompact <dir> <maxIngests> <upToBatch>
+      |       Ctl <root> lease-status <dir>
+      |       Ctl <root> lease-break <dir> [--force]
       |       Ctl <root> bands-resolve <dir> <discard|complete>
       |       Ctl <root> stats-refresh <dir> <col1,col2,...>
       |       Ctl <root> bloom-refresh <dir> <keyCol>
@@ -124,6 +131,20 @@ object Ctl {
     case ("index-compact", dir :: upTo :: Nil) =>
       parseBatch(upTo).flatMap(b => attempt(
         s"folded=${graft.operators.AnnIndex.compactIngests(spark, s"$root/$dir", b)}"))
+    // the closed-loop form: measure standing fold-eligible ingests and
+    // fold only past the ceiling (cron-safe — a no-op below it)
+    case ("index-autocompact", dir :: maxIng :: upTo :: Nil) =>
+      (parseBatch(maxIng), parseBatch(upTo)) match {
+        case (Right(m), Right(b)) if m >= 1 => attempt {
+          val d = graft.operators.AnnIndex
+            .compactIfFragmented(spark, s"$root/$dir", m.toInt, b)
+          s"standing=${d.standingBatches} ceiling=${d.maxIngests} " +
+            s"compacted=${d.compacted} folded=${d.folded}"
+        }
+        case (Right(m), Right(_)) => Left(s"maxIngests must be >= 1, got $m")
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
+      }
     // right-to-erasure verbs: tombstone ids out of a persisted index
     // (no rebuild — load masks them; the next rebuild purges), and
     // inspect the standing deletion state
@@ -190,6 +211,20 @@ object Ctl {
         }
         s"refreshed _filebloom over $keyCol"
       }
+    // single-writer lease ops: inspect who holds a store's maintenance
+    // lease, and break a dead holder's lease — expired silently (the
+    // TTL contract), live only with --force (logged loudly; the broken
+    // holder's verify-on-commit will refuse, by design)
+    case ("lease-status", dir :: Nil) =>
+      attempt(graft.operators.StoreLease.status(spark, s"$root/$dir") match {
+        case None => "unleased"
+        case Some(st) =>
+          s"owner=${st.owner} generation=${st.generation} " +
+            s"held_ms=${st.heldMs} ttl_ms=${st.ttlMs} expired=${st.expired}"
+      })
+    case ("lease-break", dir :: tl) if tl.isEmpty || tl == List("--force") =>
+      attempt(graft.operators.StoreLease.breakLease(spark, s"$root/$dir",
+        force = tl.nonEmpty))
     // skew probe: the decision input for Skew.saltedSumCount/saltedJoin
     // — the k hottest values of a join/agg key with their share of the
     // table, so "does this key need salting" is a measurement, not a

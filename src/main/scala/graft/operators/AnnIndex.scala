@@ -309,11 +309,14 @@ object AnnIndex {
     * the new layout, never to codes and lists folded inconsistently.
     * Returns the number of partitions folded per artifact (0 = nothing
     * to do). */
-  def compactIngests(spark: SparkSession, dir: String, upToBatch: Long): Int =
-    StoreLease.withLease(spark, dir, "compactIngests") { lease =>
-    val fs = fsOf(spark, dir)
-    recoverPendingCompaction(fs, dir)
-    val foldable = Artifacts.map { artifact =>
+  /** Fold-eligible `batch_<k>` ingests: k < `upToBatch`, committed in
+    * BOTH artifacts — the one definition shared by the compaction
+    * itself and the fragmentation probe, so the probe can never
+    * disagree with what a fold would actually touch. Fails fast on a
+    * torn compaction (via `committedTags`), same as serving. */
+  private def foldableBatches(spark: SparkSession, dir: String,
+                              upToBatch: Long): Seq[Long] =
+    Artifacts.map { artifact =>
       committedTags(spark, dir, artifact).flatMap { t =>
         t match {
           case BatchTagRe(k) if k.toLong < upToBatch => Some(k.toLong)
@@ -321,6 +324,12 @@ object AnnIndex {
         }
       }
     }.reduce(_ intersect _).toSeq.sorted
+
+  def compactIngests(spark: SparkSession, dir: String, upToBatch: Long): Int =
+    StoreLease.withLease(spark, dir, "compactIngests") { lease =>
+    val fs = fsOf(spark, dir)
+    recoverPendingCompaction(fs, dir)
+    val foldable = foldableBatches(spark, dir, upToBatch)
     if (foldable.size < 2) 0 else {
     val target = foldable.max
     // stage EVERYTHING first: no original is touched until both
@@ -639,6 +648,41 @@ object AnnIndex {
     val fire = share > threshold
     if (fire) buildIvfPq(liveEmb, id, vec, dim, m, k, nCentroids, dir, kmeansIters)
     TombstoneDecision(dead, total, share, fire)
+  }
+
+  /** The probe half of the small-files closed loop: how many
+    * fold-eligible `batch_*` ingest partitions are standing vs the
+    * caller's ceiling. Fragmentation is the third thing (after drift
+    * and tombstones) that silently degrades a long-lived index — every
+    * standing partition is an extra directory listing, parquet footer
+    * and task per serve, so a crawl appending thousands of drops pays
+    * O(drops) fixed cost per query until someone folds. */
+  final case class CompactionDecision(standingBatches: Long, maxIngests: Long,
+                                      compacted: Boolean, folded: Int)
+
+  /** Close the fragmentation loop the way `rebuildIfTombstoned` closes
+    * the deletion loop and `retrainIfDrifted` closes the drift loop:
+    * MEASURE the standing fold-eligible ingest count (committed
+    * `batch_<k>` with k < `upToBatch`, in both artifacts — exactly the
+    * set `compactIngests` would fold, computed by the same code) and
+    * fold only when it exceeds `maxIngests` — below it, the fold's
+    * full rewrite of the appended history isn't worth the read-side
+    * savings yet, and the index artifacts stay untouched. The
+    * `upToBatch` replay-safety contract is `compactIngests`'s: pass
+    * the last COMMITTED streaming batch id so the one batch a
+    * checkpoint can replay keeps its own partition. Both decision
+    * directions are oracle-graded (the auto-compact and compact-hold
+    * queries), mirroring the deletion loop's grades. The probe is
+    * file-listing only (no data read); the fold itself takes the
+    * store lease and carries its own crash discipline. */
+  def compactIfFragmented(spark: SparkSession, dir: String, maxIngests: Int,
+                          upToBatch: Long): CompactionDecision = {
+    require(maxIngests >= 1,
+      s"maxIngests must be at least 1, got $maxIngests")
+    val standing = foldableBatches(spark, dir, upToBatch).size
+    val fire = standing > maxIngests
+    val folded = if (fire) compactIngests(spark, dir, upToBatch) else 0
+    CompactionDecision(standing, maxIngests, fire, folded)
   }
 
   /** Batch IVF-PQ serve — the production request shape: a FRAME of

@@ -137,6 +137,53 @@ object StoreLease {
       fs.delete(p, false): Unit
   }
 
+  /** Operator-readable lease state — the `ctl lease-status` view.
+    * `expired` is the takeover-eligibility verdict computed with the
+    * same arithmetic `acquire` uses, so what this reports as expired
+    * is exactly what an acquire would take over. */
+  final case class Status(owner: String, generation: Long, heldMs: Long,
+                          ttlMs: Long, expired: Boolean)
+
+  /** Inspect the standing lease on `storePath`, if any. Read-only. */
+  def status(spark: SparkSession, storePath: String): Option[Status] = {
+    val fs = fsFor(spark, storePath)
+    readFields(fs, new Path(leasePath(storePath))).map { f =>
+      val heldMs = System.currentTimeMillis() -
+        f.getOrElse("acquiredAtMs", "0").toLong
+      val ttl = f.getOrElse("ttlMs", "0").toLong
+      Status(f.getOrElse("owner", "?"),
+        f.getOrElse("generation", "0").toLong, heldMs, ttl, heldMs > ttl)
+    }
+  }
+
+  /** Operationally break a lease: an EXPIRED lease is removed silently
+    * (the holder is dead by the TTL contract); a LIVE lease is refused
+    * unless `force` — forcing is the "the holder is known dead but its
+    * TTL hasn't run out" incident path the acquire error message points
+    * at, and it logs loudly because the broken holder's verify-on-
+    * commit will now fail by design. Returns a printable verdict. */
+  def breakLease(spark: SparkSession, storePath: String,
+                 force: Boolean = false): String = {
+    val fs = fsFor(spark, storePath)
+    val p = new Path(leasePath(storePath))
+    status(spark, storePath) match {
+      case None => s"no lease standing on $storePath"
+      case Some(st) =>
+        require(st.expired || force,
+          s"lease on $storePath is LIVE: held by '${st.owner}' " +
+            s"(generation ${st.generation}, ${st.heldMs} ms of " +
+            s"${st.ttlMs} ms TTL) — refusing to break a live lease " +
+            "without --force")
+        if (!st.expired) System.err.println(
+          s"[StoreLease] FORCE-breaking live lease on $storePath held " +
+            s"by '${st.owner}' (generation ${st.generation}) — its " +
+            "commit will be refused at verify")
+        require(fs.delete(p, false), s"failed to delete ${leasePath(storePath)}")
+        s"broke ${if (st.expired) "expired" else "LIVE"} lease of " +
+          s"'${st.owner}' (generation ${st.generation})"
+    }
+  }
+
   /** Run `body` under the lease: acquire → body (which should call
     * `verify` right before its commit point) → release. On failure the
     * lease is still released if it remains ours — a crashed JVM leaves

@@ -578,6 +578,55 @@ object ExtendedQueries {
       out
     }),
 
+    // Rank auto-dispatch under grading, BROADCAST direction (x25's
+    // shape for the rank family): documents.lang has 5 groups at every
+    // SF, so the cardinality probe picks the broadcast-offset path —
+    // the scale formulation where one dominant language can hold 60 %
+    // of a 100 TB corpus and a partitioned window would funnel it
+    // through ONE task. The top-5-per-language frame grades against
+    // DuckDB's plain ROW_NUMBER window: a green hash row is the proof
+    // the range-shuffle + broadcast-offset plan is value-identical to
+    // the window semantics it replaces. The in-query require makes
+    // "the probe actually measured few groups and chose broadcast" a
+    // loud failure rather than a vacuous pass.
+    "x28_auto_rank_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val (ranked, disp) = graft.operators.Packing.autoGroupRank(
+        d, "lang", Seq(col("n_chars").desc, col("doc_id")))
+      require(disp.broadcastPath && disp.nGroups <= 16,
+        s"x28 expects few groups to pick the broadcast-offset path: $disp")
+      ranked.filter(col("group_rank") < 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          col("group_rank"), col("group_n"))
+        .orderBy(col("lang"), col("group_rank"))
+    }),
+
+    // The NEGATIVE dispatch direction: events.user_id is high-
+    // cardinality (15/150/1500 distinct at sf0.001/0.01/0.1 — above
+    // the 8-group ceiling at every SF), so the probe REFUSES the
+    // broadcast-offset path — the |groups|-row offset frame would not
+    // be broadcast-small at real cardinalities — and the partitioned
+    // window runs, which high cardinality is exactly what makes safe
+    // (groups spread across tasks, per-task work bounded by the
+    // largest group). Per-user argmax event via group_rank = 0, graded
+    // against the same ROW_NUMBER oracle: the two rows together grade
+    // the dispatch in both directions, and either plan must be
+    // value-identical to the other.
+    "x29_auto_rank_argmax" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val (ranked, disp) = graft.operators.Packing.autoGroupRank(
+        e, "user_id", Seq(col("value").desc, col("event_id")),
+        maxBroadcastGroups = 8)
+      require(!disp.broadcastPath && disp.nGroups > 8,
+        s"x29 expects high cardinality to refuse the broadcast path: $disp")
+      ranked.filter(col("group_rank") === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("group_n"))
+        .orderBy(col("user_id"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -688,6 +737,27 @@ object ExtendedQueries {
         |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_chars
         |FROM documents f JOIN dim d USING (source)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // x28: DuckDB's plain window — a green hash row proves the
+    // probe-selected broadcast-offset rank plan is value-identical to
+    // ROW_NUMBER PARTITION BY semantics.
+    "x28_auto_rank_topk" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) - 1
+        |      AS group_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS group_n
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, group_rank, group_n
+        |FROM r WHERE group_rank < 5 ORDER BY lang, group_rank""".stripMargin,
+    // x29: the same window semantics the negative decision must
+    // reproduce through the partitioned-window formulation.
+    "x29_auto_rank_argmax" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) - 1
+        |      AS group_rank,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS group_n
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value, group_n
+        |FROM r WHERE group_rank = 0 ORDER BY user_id""".stripMargin,
     // x12: DuckDB full-scans the original table under the same
     // SF-relative predicate — a green hash row proves the pruned scan
     // (stats-selected files + residual filter) lost nothing.

@@ -1277,6 +1277,71 @@ object LlmQueries {
       serve()
     }),
 
+    // The fragmentation loop CLOSED, fold direction (the small-files
+    // twin of l81's deletion rebuild): the index is BUILT on exactly
+    // the 16 training vectors, then the whole rest of the corpus
+    // arrives as four append drops — the crawl-ingest lifecycle — and
+    // the probe finds three fold-eligible partitions standing (k <
+    // upToBatch = 3; batch_3 is the replay-protected last drop) above
+    // the maxIngests = 2 ceiling, so compactIfFragmented fires and
+    // folds them into one. The post-fold serve grades against l55's
+    // WHOLE-CORPUS recompute oracle verbatim: quantizers trained on
+    // the 16 lowest vec_ids are exactly what the oracle derives, so a
+    // green hash row proves build + 4 appends + fold is bit-identical
+    // to a single-shot index of everything — the append/compact
+    // lifecycle is loss-free end-to-end, with appended vectors LIVE in
+    // the graded top-k (the probe's neighbors come from the appends).
+    "l83_ann_auto_compact" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = graft.Scratch.dir("graft_annacp")
+      AnnIndex.buildIvfPq(emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
+      (0 to 3).foreach { b =>
+        AnnIndex.appendVectors(s, root,
+          emb.filter(col("vec_id") >= 16 && col("vec_id") % 4 === b),
+          "vec_id", "embedding", dim = 64, m = 4, ingestTag = s"batch_$b")
+      }
+      val d = AnnIndex.compactIfFragmented(s, root, maxIngests = 2, upToBatch = 3)
+      require(d.compacted && d.standingBatches == 3 && d.folded == 3,
+        s"l83 expects the probe to fire and fold 3 partitions: $d")
+      require(AnnIndex.servableIngests(s, root) == Seq("base", "batch_2", "batch_3"),
+        "fold must leave exactly base + the folded batch_2 + the excluded batch_3")
+      AnnIndex.serveIvfPq(AnnIndex.load(s, root),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 64, m = 4, nProbe = 4, topK = 10)
+    }),
+
+    // The fragmentation loop's NEGATIVE direction (x26's shape): the
+    // same build-plus-four-drops index, but the ceiling is 8 — three
+    // standing fold-eligible partitions don't justify rewriting the
+    // appended history, so the probe REFUSES to fold and every ingest
+    // partition stays physically untouched (asserted). The serve
+    // grades against the same whole-corpus oracle: hold must be
+    // value-identical to fold, so the two rows differ ONLY in the
+    // asserted decision and the physical layout it preserved.
+    "l84_ann_compact_hold" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = graft.Scratch.dir("graft_annach")
+      AnnIndex.buildIvfPq(emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = root)
+      (0 to 3).foreach { b =>
+        AnnIndex.appendVectors(s, root,
+          emb.filter(col("vec_id") >= 16 && col("vec_id") % 4 === b),
+          "vec_id", "embedding", dim = 64, m = 4, ingestTag = s"batch_$b")
+      }
+      val d = AnnIndex.compactIfFragmented(s, root, maxIngests = 8, upToBatch = 3)
+      require(!d.compacted && d.standingBatches == 3 && d.folded == 0,
+        s"l84 expects the probe to hold at 3 standing <= ceiling 8: $d")
+      require(AnnIndex.servableIngests(s, root) ==
+          Seq("base", "batch_0", "batch_1", "batch_2", "batch_3"),
+        "hold must leave every ingest partition untouched")
+      AnnIndex.serveIvfPq(AnnIndex.load(s, root),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 64, m = 4, nProbe = 4, topK = 10)
+    }),
+
     // Incremental artifact refresh — l75's snapshot diff DRIVING the
     // pipeline: the previous cycle's per-doc quality scores are a
     // persisted artifact; the new cycle recomputes ONLY added+changed
@@ -1456,6 +1521,14 @@ object LlmQueries {
     // bit-exactly, so its contract is l55's recompute oracle verbatim
     base +
       ("l62_ann_index_serve" -> base("l55_ivf_pq")) +
+      // l83/l84 grow the index from the 16 training vectors by four
+      // appends, then fold (l83) or hold (l84): the quantizers are the
+      // 16 lowest vec_ids either way — exactly what l55's recompute
+      // derives — so both directions' serve contract is l55's
+      // whole-corpus oracle verbatim; the decisions are pinned by
+      // in-query requires on the probe and the physical layout
+      ("l83_ann_auto_compact" -> base("l55_ivf_pq")) +
+      ("l84_ann_compact_hold" -> base("l55_ivf_pq")) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

@@ -220,6 +220,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.compactIngests(spark, dir, upToBatch = 3L) == 0)
   }
 
+  test("compactIfFragmented folds only past the ceiling, and both directions serve identically") {
+    val dir = Files.createTempDirectory("annix_autocompact").toString
+    buildWithDrops(dir)
+    val before = serveAll(dir)
+
+    // HOLD: 2 fold-eligible batches (0, 1) <= ceiling 2 — artifacts untouched
+    val hold = AnnIndex.compactIfFragmented(spark, dir, maxIngests = 2, upToBatch = 2L)
+    assert(!hold.compacted && hold.standingBatches == 2 && hold.folded == 0)
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(dir, a) ==
+        Set("ingest=base", "ingest=batch_0", "ingest=batch_1", "ingest=batch_2"))
+    }
+    assert(serveAll(dir) == before)
+
+    // FIRE: the same 2 standing exceed ceiling 1 — folded into batch_1
+    val fire = AnnIndex.compactIfFragmented(spark, dir, maxIngests = 1, upToBatch = 2L)
+    assert(fire.compacted && fire.standingBatches == 2 && fire.folded == 2)
+    Seq("codes", "lists").foreach { a =>
+      assert(ingestDirs(dir, a) ==
+        Set("ingest=base", "ingest=batch_1", "ingest=batch_2"))
+    }
+    assert(serveAll(dir) == before)
+
+    // a zero ceiling is a config error, not "always fold"
+    intercept[IllegalArgumentException](
+      AnnIndex.compactIfFragmented(spark, dir, maxIngests = 0, upToBatch = 3L))
+  }
+
   test("a torn compaction stage fails serving fast and is discarded, not served") {
     val dir = Files.createTempDirectory("annix_compact_torn").toString
     buildWithDrops(dir)

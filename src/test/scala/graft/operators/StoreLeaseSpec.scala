@@ -48,6 +48,29 @@ class StoreLeaseSpec extends AnyFunSuite {
     StoreLease.release(spark, StoreLease.acquire(spark, store, "after"))
   }
 
+  test("status reports the holder and expiry; breakLease refuses live without --force") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lease_st").toString + "/s"
+    assert(StoreLease.status(spark, store).isEmpty)
+    assert(StoreLease.breakLease(spark, store).contains("no lease standing"))
+
+    val h = StoreLease.acquire(spark, store, "vacuum-a")
+    val live = StoreLease.status(spark, store).get
+    assert(live.owner == "vacuum-a" && live.generation == 1 && !live.expired)
+    // live lease: refused without force, holder named
+    val e = intercept[IllegalArgumentException](StoreLease.breakLease(spark, store))
+    assert(e.getMessage.contains("LIVE") && e.getMessage.contains("vacuum-a"))
+    // forced break clears it, and the broken holder's verify refuses
+    assert(StoreLease.breakLease(spark, store, force = true).contains("LIVE lease"))
+    intercept[IllegalArgumentException](StoreLease.verify(spark, h))
+
+    // expired lease: broken without force
+    StoreLease.acquire(spark, store, "slow", ttlMs = 1)
+    Thread.sleep(5)
+    assert(StoreLease.status(spark, store).exists(_.expired))
+    assert(StoreLease.breakLease(spark, store).contains("expired"))
+    assert(StoreLease.status(spark, store).isEmpty)
+  }
+
   test("a second concurrent vacuum fails loudly instead of silently losing bytes") {
     // the race the lease exists for: maintainer A holds the blob store's
     // lease (mid-vacuum); maintainer B's vacuumBlobStore must fail at

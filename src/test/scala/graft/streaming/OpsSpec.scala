@@ -121,6 +121,26 @@ class OpsSpec extends AnyFunSuite {
     // a typo'd index path is an ERROR, not an empty-but-healthy report
     assert(graft.Ctl.run(spark, root, "index-ingests", Array("no_such_ix")).isLeft)
 
+    // closed-loop compaction verb: after the fold above, one eligible
+    // batch stands — below ceiling 2, the cron-safe verb holds
+    assert(graft.Ctl.run(spark, root, "index-autocompact", Array("ix", "2", "2")) ==
+      Right("standing=1 ceiling=2 compacted=false folded=0"))
+    assert(graft.Ctl.run(spark, root, "index-autocompact", Array("ix", "0", "2")).isLeft)
+
+    // lease ops verbs: inspect the holder, refuse to break live
+    // without --force, forced break clears it
+    assert(graft.Ctl.run(spark, root, "lease-status", Array("ix")) ==
+      Right("unleased"))
+    graft.operators.StoreLease.acquire(spark, s"$root/ix", "cron-vacuum")
+    val st = graft.Ctl.run(spark, root, "lease-status", Array("ix")).toOption.get
+    assert(st.startsWith("owner=cron-vacuum generation=1") &&
+      st.endsWith("expired=false"))
+    assert(graft.Ctl.run(spark, root, "lease-break", Array("ix")).isLeft)
+    assert(graft.Ctl.run(spark, root, "lease-break", Array("ix", "--force"))
+      .toOption.get.contains("LIVE"))
+    assert(graft.Ctl.run(spark, root, "lease-status", Array("ix")) ==
+      Right("unleased"))
+
     // right-to-erasure verbs: tombstone two ids, inspect the standing
     // deletion state, and confirm serving masks them
     assert(graft.Ctl.run(spark, root, "index-tombstones", Array("ix")) ==
