@@ -27,6 +27,8 @@ import org.apache.spark.sql.SparkSession
   *                                       tokens are cast to the index's id type)
   *   Ctl <root> index-tombstones <indexDir>           (standing dead-id count)
   *   Ctl <root> bands-compact <bandStoreDir> <upToBatch> (fold dedup band store)
+  *   Ctl <root> bands-autocompact <bandStoreDir> <maxPartitions> <upToBatch>
+  *                                       (fold only past the fragmentation ceiling)
   *   Ctl <root> bands-resolve <bandStoreDir> <discard|complete> (ambiguous stage)
   *   Ctl <root> stats-refresh <storeDir> <col1,col2,...> (rebuild _filestats sidecar)
   *   Ctl <root> bloom-refresh <storeDir> <keyCol>        (rebuild _filebloom sidecar)
@@ -58,6 +60,7 @@ object Ctl {
       |       Ctl <root> index-tombstones <indexDir>
       |       Ctl <root> <index-compact|bands-compact> <dir> <upToBatch>
       |       Ctl <root> index-autocompact <dir> <maxIngests> <upToBatch>
+      |       Ctl <root> bands-autocompact <dir> <maxPartitions> <upToBatch>
       |       Ctl <root> lease-status <dir>
       |       Ctl <root> lease-break <dir> [--force]
       |       Ctl <root> bands-resolve <dir> <discard|complete>
@@ -174,6 +177,19 @@ object Ctl {
     case ("bands-compact", dir :: upTo :: Nil) =>
       parseBatch(upTo).flatMap(b => attempt(
         s"folded=${graft.streaming.IncrementalDedup.compactBandStore(spark, s"$root/$dir", b)}"))
+    // the closed-loop form, symmetric with index-autocompact
+    case ("bands-autocompact", dir :: maxParts :: upTo :: Nil) =>
+      (parseBatch(maxParts), parseBatch(upTo)) match {
+        case (Right(m), Right(b)) if m >= 1 => attempt {
+          val d = graft.streaming.IncrementalDedup
+            .compactBandStoreIfFragmented(spark, s"$root/$dir", m.toInt, b)
+          s"standing=${d.standingPartitions} ceiling=${d.maxPartitions} " +
+            s"compacted=${d.compacted} folded=${d.folded}"
+        }
+        case (Right(m), Right(_)) => Left(s"maxPartitions must be >= 1, got $m")
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
+      }
     // the manual-resolution verb the ambiguous-stage fail-fast points
     // at: executes the operator's discard/complete decision with
     // content-verified safety checks (stop the ingest loop first)

@@ -249,6 +249,62 @@ object IncrementalDedup {
     * own just-written partition is excluded by the strict <) or
     * out-of-band with no knowledge of the checkpoint's commit state.
     * Returns the number of partitions folded (0 = nothing to do). */
+  /** Fold-eligible band partitions: committed (`_SUCCESS`) and
+    * strictly below `upToBatch` — the one definition shared by the
+    * fold and the fragmentation probe, so they can never disagree.
+    * Fails fast on a standing compaction stage (part of the history
+    * may live only there — same discipline as `seenBands`); complete
+    * or discard it via `compactBandStore` / `Ctl bands-resolve`. */
+  private def foldableBandPartitions(fs: org.apache.hadoop.fs.FileSystem,
+                                     bandStoreDir: String,
+                                     upToBatch: Long): Seq[Long] = {
+    val p = new Path(bandStoreDir)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val ls = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      val pending = ls.filter(s => isStageName(s.getPath.getName))
+      require(pending.isEmpty,
+        s"$bandStoreDir has an unfinished compaction " +
+          s"(${pending.map(_.getPath.getName).mkString(", ")}) — " +
+          "run compactBandStore (or Ctl bands-resolve) before probing")
+      ls.map(_.getPath).flatMap(d => d.getName match {
+        case BatchDirRe(b) if b.toLong < upToBatch &&
+          fs.exists(new Path(s"$d/_SUCCESS")) => Some(b.toLong)
+        case _ => None
+      }).sorted
+    }
+  }
+
+  /** The band-store fragmentation decision — the dedup-crawl twin of
+    * `AnnIndex.CompactionDecision`, probe result traveling with the
+    * outcome so callers and specs assert the decision, never guess. */
+  final case class BandCompactionDecision(standingPartitions: Long,
+                                          maxPartitions: Long,
+                                          compacted: Boolean, folded: Int)
+
+  /** Close the band-store small-files loop the way
+    * `AnnIndex.compactIfFragmented` closes the ANN one: MEASURE the
+    * standing committed fold-eligible partition count and fold only
+    * past `maxPartitions` — the cron-safe out-of-band form for crawl
+    * loops that don't own compaction via `compactEvery` (whose fixed
+    * cadence remains the right in-loop policy: there the loop IS the
+    * single writer and the fold cost amortizes by construction). The
+    * probe is file-listing only; the fold takes the store lease and
+    * carries the staged-swap crash discipline. */
+  def compactBandStoreIfFragmented(spark: SparkSession, bandStoreDir: String,
+                                   maxPartitions: Int, upToBatch: Long)
+      : BandCompactionDecision = {
+    require(maxPartitions >= 1,
+      s"maxPartitions must be at least 1, got $maxPartitions")
+    val fs = new Path(bandStoreDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val standing = foldableBandPartitions(fs, bandStoreDir, upToBatch).size
+    val fire = standing > maxPartitions
+    val folded =
+      if (fire) compactBandStore(spark, bandStoreDir, upToBatch) else 0
+    BandCompactionDecision(standing, maxPartitions, fire, folded)
+  }
+
   def compactBandStore(spark: SparkSession, bandStoreDir: String,
                        upToBatch: Long): Int = {
     val p = new Path(bandStoreDir)
@@ -260,15 +316,9 @@ object IncrementalDedup {
     graft.operators.StoreLease.withLease(spark, bandStoreDir,
         "compactBandStore") { lease =>
     recoverPendingCompaction(fs, bandStoreDir)
-    val olds = fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .flatMap(d => d.getName match {
-        case BatchDirRe(b) if b.toLong < upToBatch &&
-          fs.exists(new Path(s"$d/_SUCCESS")) => Some((b.toLong, d))
-        case _ => None
-      })
-      .sortBy(_._1)
+    // recovery just ran, so the shared lister's stage fail-fast passes
+    val olds = foldableBandPartitions(fs, bandStoreDir, upToBatch)
+      .map(b => (b, new Path(batchDir(bandStoreDir, b))))
     if (olds.size < 2) 0 else {
     val target = olds.map(_._1).max
     val merged = spark.read

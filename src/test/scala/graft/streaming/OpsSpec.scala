@@ -176,8 +176,16 @@ class OpsSpec extends AnyFunSuite {
     graft.streaming.IncrementalDedup.run(
       spark.readStream.schema(docs.schema).parquet(s"$root/src"),
       cfg, s"$root/bands", s"$root/out", s"$root/ckpt").awaitTermination()
+    // closed-loop verb first: 2 standing <= ceiling 2 → hold, untouched
+    assert(graft.Ctl.run(spark, root, "bands-autocompact", Array("bands", "2", "2")) ==
+      Right("standing=2 ceiling=2 compacted=false folded=0"))
+    // past the ceiling it folds — the same fold the manual verb runs
+    assert(graft.Ctl.run(spark, root, "bands-autocompact", Array("bands", "1", "2")) ==
+      Right("standing=2 ceiling=1 compacted=true folded=2"))
+    assert(graft.Ctl.run(spark, root, "bands-autocompact", Array("bands", "0", "2")).isLeft)
+    // nothing left for the manual verb after the loop's fold
     assert(graft.Ctl.run(spark, root, "bands-compact", Array("bands", "2")) ==
-      Right("folded=2"))
+      Right("folded=0"))
   }
 
   test("Ctl sidecar-refresh verbs heal a drifted store without rewriting data") {
