@@ -656,4 +656,59 @@ object Dedup {
         expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), (8 - p) * 4 + b) ELSE 0 END").as("term"))
       .groupBy(col(id))
       .agg(sum(col("term")).as("simhash32"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm; reference capability: span-level copy
+    * detection, the exact-substring complement of the set-based
+    * shingle/minhash family above): hash every k-token gram in
+    * POSITION order, slide a w-gram window, keep each window's MINIMUM
+    * hash as a fingerprint, then distinct per document. Guarantee: any
+    * shared token run of length >= k + w - 1 contributes at least one
+    * IDENTICAL fingerprint to both documents, while storage compresses
+    * to ~|grams|/w fingerprints per doc — the property that lets a
+    * 100 TB corpus keep an O(n/w) span index instead of O(n) grams.
+    *
+    * Determinism: min over a fixed window of md5-derived 40-bit hashes
+    * (the minhash family's h1 construction) — no tie rule needed, the
+    * VALUE is the fingerprint (robust winnowing's rightmost-position
+    * tie-break only matters when positions are reported). Documents
+    * with fewer than w grams keep one fingerprint (the min over what
+    * exists) via the pos <= max(ng - w, 0) full-window gate.
+    *
+    * Plan shape: narrow posexplode → ONE doc-partitioned running-min
+    * window (bounded frame, no one-task funnel) → distinct on
+    * (id, fp). The text never shuffles — only 16-byte (id, fp) rows. */
+  def winnowFingerprints(docs: DataFrame, id: String, text: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram size k must be positive, got $k")
+    require(w >= 1, s"window w must be positive, got $w")
+    val grams = docs.select(col(id), tokens(col(text)).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col(id), (size(col("ws")) - k + 1).as("ng"),
+        posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
+      .select(col(id), col("pos"), col("ng"),
+        conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams.withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
+      .select(col(id), col("fp"))
+      .distinct()
+  }
+
+  /** Document pairs sharing >= `minShared` winnowing fingerprints —
+    * the copy-detection report over `winnowFingerprints`. Same bucketed
+    * self-join shape as every dedup variant: pairs materialize only
+    * per fingerprint bucket, never all-pairs; a boilerplate fingerprint
+    * shared by half the corpus would be df-capped or salted at scale,
+    * exactly like a hot shingle in `ngramJaccardPairs`. */
+  def winnowedSpanPairs(docs: DataFrame, id: String, text: String,
+                        k: Int, w: Int, minShared: Long): DataFrame = {
+    val fps = winnowFingerprints(docs, id, text, k, w)
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("da"), col(s"b.$id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

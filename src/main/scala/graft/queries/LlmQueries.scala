@@ -1342,6 +1342,22 @@ object LlmQueries {
         dim = 64, m = 4, nProbe = 4, topK = 10)
     }),
 
+    // Winnowing span detection (Schleimer et al., the MOSS algorithm):
+    // the exact-substring complement of the shingle/minhash set family
+    // — any shared token run of length >= k + w - 1 (here 8) lands at
+    // least one identical fingerprint in both docs, while each doc
+    // stores only ~1/w of its gram hashes. Pairs sharing >= 2
+    // fingerprints, graded against a DuckDB replay of the identical
+    // pipeline (same md5-derived 40-bit hash, same full-window min,
+    // same distinct). At 100 TB the fingerprint index is the O(n/w)
+    // artifact that makes cross-corpus span search tractable at all.
+    "l85_winnow_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.winnowedSpanPairs(docs, "doc_id", "text",
+          k = 5, w = 4, minShared = 2)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // Incremental artifact refresh — l75's snapshot diff DRIVING the
     // pipeline: the previous cycle's per-doc quality scores are a
     // persisted artifact; the new cycle recomputes ONLY added+changed
@@ -1529,6 +1545,31 @@ object LlmQueries {
       // in-query requires on the probe and the physical layout
       ("l83_ann_auto_compact" -> base("l55_ivf_pq")) +
       ("l84_ann_compact_hold" -> base("l55_ivf_pq")) +
+      // l85: the same winnowing pipeline replayed in SQL — positioned
+      // 5-token grams, the minhash family's 40-bit md5 hash, min over
+      // each full 4-gram window (pos 0-based on both sides; docs with
+      // fewer than w grams keep their single truncated-window min via
+      // the greatest(ng-w, 0) gate), distinct per doc, pair join
+      ("l85_winnow_pairs" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |              FROM documents),
+          |g AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |wm AS (SELECT doc_id, pos, ng,
+          |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |       FROM g),
+          |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+          |        WHERE pos <= greatest(ng-4, 0)),
+          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+          |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2)
+          |SELECT da, db, n_shared FROM pairs WHERE n_shared >= 2
+          |ORDER BY da, db""".stripMargin) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

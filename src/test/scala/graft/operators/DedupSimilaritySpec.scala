@@ -36,6 +36,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("winnowing guarantees a shared fingerprint for spans >= k+w-1 and compresses grams") {
+    // k=3, w=2: any shared run of >= 4 tokens must land a common
+    // fingerprint (the winnowing guarantee), entirely disjoint vocab
+    // must land none. Docs 1 and 2 share the 4-token run "p q r s"
+    // embedded in otherwise different text; doc 3 is disjoint.
+    val d = docs(
+      (1L, "a1 a2 p q r s a3 a4 a5 a6"),
+      (2L, "b1 p q r s b2 b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", k = 3, w = 2)
+    val byDoc = fps.groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // compression: each doc has 8 grams (10 tokens, k=3 → 8; doc 3 has
+    // 7) but strictly fewer fingerprints than grams
+    assert(byDoc.values.forall(_ >= 1) && byDoc(1L) < 8 && byDoc(3L) < 7)
+    val pairs = Dedup.winnowedSpanPairs(d, "doc_id", "text",
+        k = 3, w = 2, minShared = 1)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "a shared >= k+w-1 span must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint vocab must not pair")
+
+    // a doc with >= k tokens but fewer than w grams still fingerprints
+    // once (the truncated-window gate)
+    val short = docs((9L, "x y z")) // exactly one 3-gram, ng=1 < w=2
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text", 3, 2)
+      .count() == 1)
+  }
+
   test("connected components collapse transitive near-dup chains into one group") {
     // chain 1-2-3 (1~3 never paired directly) + island 5-6 + 7-8 via 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 9L), (8L, 9L))
