@@ -138,6 +138,19 @@ def main():
         if t_old > 0:
             print(f"drift-normalized ratio: {t_new / drift / t_old:.2f}x "
                   f"(raw {ratio} / drift {drift:.2f}x)")
+        # The anchors never agree perfectly; their spread IS the error
+        # bar on the normalized ratio (r12 measured the same r11d
+        # comparison at 1.00x and 1.07x normalized purely from anchor
+        # dispersion across runs). Report it so a small normalized
+        # delta is read against the instrument's own noise floor,
+        # not over-interpreted.
+        rs = [r for _, r in anchors]
+        spread = max(rs) / min(rs) if min(rs) > 0 else float("inf")
+        half = (spread - 1.0) / 2.0
+        print(f"anchor dispersion: {min(rs):.2f}x..{max(rs):.2f}x "
+              f"(spread {spread:.2f}x) -> normalized ratio is "
+              f"trustworthy to ~±{half:.0%}; deltas inside that band "
+              f"are noise, not verdicts")
     else:
         print("host-drift factor: n/a (no anchors on both sides)")
     only_new = sorted(set(new) - set(old))
