@@ -679,6 +679,25 @@ object AnnIndex {
                           upToBatch: Long): CompactionDecision = {
     require(maxIngests >= 1,
       s"maxIngests must be at least 1, got $maxIngests")
+    // Cron-safety vs our own prior crash: a fold that died mid-stage
+    // leaves a pending stage that trips the probe's committedTags
+    // fail-fast — and the fold's own recovery never runs because the
+    // probe fails BEFORE deciding to fold. Heal first, so the verb
+    // survives its own crashes. Recovery is destructive (discard or
+    // complete a staged swap), so it runs under the store lease; the
+    // common clean-store case stays listing-only and lease-free. The
+    // lease is released before compactIngests re-acquires it (the
+    // lease is not reentrant) — both windows are independently guarded.
+    val fs = fsOf(spark, dir)
+    val hasStage = Artifacts.exists { artifact =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(TmpPrefix))
+    }
+    if (hasStage)
+      StoreLease.withLease(spark, dir, "compactIfFragmented.recover") { _ =>
+        recoverPendingCompaction(fs, dir)
+      }
     val standing = foldableBatches(spark, dir, upToBatch).size
     val fire = standing > maxIngests
     val folded = if (fire) compactIngests(spark, dir, upToBatch) else 0

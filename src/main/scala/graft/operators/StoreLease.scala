@@ -40,6 +40,15 @@ object StoreLease {
   final case class Held(storePath: String, owner: String,
                         generation: Long, nonce: String)
 
+  /** Expiry is judged by the READER's clock against `acquiredAtMs`
+    * written by a possibly different host, so cross-host clock skew
+    * eats into (or extends) the effective TTL: a reader whose clock
+    * runs ahead by more than the remaining TTL will take over a live,
+    * healthy maintainer — whose in-flight work is then aborted at
+    * verify rather than never started (loud, not lost, but wasted).
+    * Size TTLs with a skew margin: DefaultTtlMs assumes NTP-grade
+    * skew (seconds) against a 15-minute window; under worse skew,
+    * grow the TTL so skew stays a small fraction of it. */
   val DefaultTtlMs: Long = 15L * 60 * 1000
 
   def leasePath(storePath: String): String = s"$storePath.lease"
@@ -77,6 +86,7 @@ object StoreLease {
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     val fs = fsFor(spark, storePath)
     val p = new Path(leasePath(storePath))
+    val nonce = java.util.UUID.randomUUID().toString
     val (gen, takeover) = readFields(fs, p) match {
       case Some(f) =>
         val ageMs = System.currentTimeMillis() -
@@ -89,8 +99,17 @@ object StoreLease {
             s"${heldTtl} ms TTL) — refusing a second concurrent " +
             "maintainer; wait for release/expiry or remove " +
             s"${leasePath(storePath)} if the holder is known dead")
-        require(fs.delete(p, false),
-          s"failed to clear expired lease ${leasePath(storePath)}")
+        // Takeover atomicity: the expired lease is removed by RENAMING
+        // it to a tombstone unique to this acquire. rename's source-
+        // must-exist semantics mean exactly ONE of two racing takeovers
+        // wins; the loser fails loudly HERE instead of blindly deleting
+        // the winner's freshly created lease (the delete-then-create
+        // interleave that could mint two concurrent holders).
+        val tomb = new Path(s"${leasePath(storePath)}.expired.$nonce")
+        require(fs.rename(p, tomb),
+          s"lost the expired-lease takeover race for $storePath — " +
+            "another maintainer claimed the expired lease concurrently")
+        fs.delete(tomb, false): Unit
         (f.getOrElse("generation", "0").toLong + 1, Some(f.getOrElse("owner", "?")))
       case None => (1L, None)
     }
@@ -98,7 +117,6 @@ object StoreLease {
       s"[StoreLease] taking over EXPIRED lease on $storePath from " +
         s"'$prev' as '$owner' (generation $gen) — the previous " +
         "maintainer stalled past its TTL; its commit will be refused"))
-    val nonce = java.util.UUID.randomUUID().toString
     try writeFields(fs, p, Map(
       "owner" -> owner, "generation" -> gen.toString, "nonce" -> nonce,
       "acquiredAtMs" -> System.currentTimeMillis().toString,
@@ -108,6 +126,14 @@ object StoreLease {
         s"lost the acquire race for $storePath — another maintainer " +
           s"created ${leasePath(storePath)} concurrently", e)
     }
+    // Create-then-confirm: local/posix create(overwrite=false) is
+    // check-then-act rather than truly atomic, so re-read the lease and
+    // require it still carries THIS acquire's nonce before reporting
+    // Held — a racer that slipped between the check and the write is
+    // detected here, and exactly one contender can confirm.
+    require(readFields(fs, p).exists(_.get("nonce").contains(nonce)),
+      s"lost the acquire race for $storePath — another maintainer's " +
+        s"lease stands at ${leasePath(storePath)} after our create")
     Held(storePath, owner, gen, nonce)
   }
 

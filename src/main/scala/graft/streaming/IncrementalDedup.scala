@@ -298,6 +298,23 @@ object IncrementalDedup {
       s"maxPartitions must be at least 1, got $maxPartitions")
     val fs = new Path(bandStoreDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // Cron-safety vs our own prior crash: a fold that died mid-stage
+    // trips foldableBandPartitions' fail-fast before the fold's own
+    // recovery would run, wedging this verb permanently. Heal first,
+    // under the lease (recovery discards or completes a staged swap);
+    // the clean-store case stays listing-only and lease-free. One
+    // irreducible manual case remains: a LEGACY (pre-manifest) stage
+    // with _SUCCESS but no `_FOLDED` manifest is ambiguous — recovery
+    // fails fast naming `ctl bands-resolve`, by design (the stage may
+    // be the only copy of folded history).
+    val root = new Path(bandStoreDir)
+    val hasStage = fs.exists(root) && fs.listStatus(root).exists(s =>
+      s.isDirectory && isStageName(s.getPath.getName))
+    if (hasStage)
+      graft.operators.StoreLease.withLease(spark, bandStoreDir,
+          "compactBandStoreIfFragmented.recover") { _ =>
+        recoverPendingCompaction(fs, bandStoreDir)
+      }
     val standing = foldableBandPartitions(fs, bandStoreDir, upToBatch).size
     val fire = standing > maxPartitions
     val folded =

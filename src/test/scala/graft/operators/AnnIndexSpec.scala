@@ -248,6 +248,32 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.compactIfFragmented(spark, dir, maxIngests = 0, upToBatch = 3L))
   }
 
+  test("index-autocompact self-heals a crashed prior fold before probing") {
+    val dir = Files.createTempDirectory("annix_heal_probe").toString
+    buildWithDrops(dir)
+    val before = serveAll(dir)
+    // crash WHILE STAGING a prior fold: a stage dir without _SUCCESS.
+    // The probe used to fail fast on it (through committedTags) while
+    // only the fold itself ran recovery — so the cron verb wedged
+    // permanently on its own prior crash until a manual compactIngests.
+    def tear(): java.io.File = {
+      val torn = new java.io.File(s"$dir/codes/.compact_tmp_1")
+      assert(torn.mkdir())
+      java.nio.file.Files.write(torn.toPath.resolve("part-torn.parquet"), Array[Byte](1))
+      torn
+    }
+    val torn = tear()
+    val hold = AnnIndex.compactIfFragmented(spark, dir, maxIngests = 2, upToBatch = 2L)
+    assert(!hold.compacted && hold.standingBatches == 2 && hold.folded == 0)
+    assert(!torn.exists(), "the unarmed stage must be discarded by the heal")
+    assert(serveAll(dir) == before)
+    // and the fire direction folds normally after healing a fresh tear
+    val torn2 = tear()
+    val fire = AnnIndex.compactIfFragmented(spark, dir, maxIngests = 1, upToBatch = 2L)
+    assert(fire.compacted && fire.folded == 2 && !torn2.exists())
+    assert(serveAll(dir) == before)
+  }
+
   test("a torn compaction stage fails serving fast and is discarded, not served") {
     val dir = Files.createTempDirectory("annix_compact_torn").toString
     buildWithDrops(dir)

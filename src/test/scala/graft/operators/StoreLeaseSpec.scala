@@ -39,6 +39,45 @@ class StoreLeaseSpec extends AnyFunSuite {
     StoreLease.release(spark, again)
   }
 
+  test("racing takeovers of one expired lease mint exactly one holder") {
+    // the delete-then-create interleave this guards against: A deletes
+    // the expired lease, A creates; B deletes A's FRESH lease, B
+    // creates — two live holders staging into the same tmp paths. The
+    // rename-to-tombstone takeover + create-then-confirm must let
+    // exactly ONE racer return Held per round, every round.
+    val store = java.nio.file.Files.createTempDirectory("graft_leaserace")
+      .toString + "/s"
+    for (round <- 1 to 10) {
+      StoreLease.acquire(spark, store, s"stall-$round", ttlMs = 1)
+      Thread.sleep(3) // expire it
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, StoreLease.Held]]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val racers = (1 to 2).map { t =>
+        new Thread(() => {
+          gate.await()
+          results.add(
+            try Right(StoreLease.acquire(spark, store, s"racer-$t-$round"))
+            catch { case e: Throwable => Left(e) })
+        })
+      }
+      racers.foreach(_.start()); gate.countDown(); racers.foreach(_.join())
+      val all = results.toArray(Array.empty[Either[Throwable, StoreLease.Held]])
+      val winners = all.collect { case Right(h) => h }
+      assert(winners.length == 1,
+        s"round $round minted ${winners.length} holders: $all")
+      // the loser failed loudly (require/IOException paths all throw);
+      // the winner's verify passes and its release clears the lease
+      StoreLease.verify(spark, winners.head)
+      StoreLease.release(spark, winners.head)
+      assert(StoreLease.status(spark, store).isEmpty)
+    }
+    // takeovers leave no tombstone litter beside the lease
+    val dir = new java.io.File(store).getParentFile
+    assert(dir.listFiles().forall(!_.getName.contains(".expired.")),
+      s"tombstones left behind: ${dir.listFiles().map(_.getName).mkString(",")}")
+  }
+
   test("withLease releases on success AND on body failure") {
     val store = java.nio.file.Files.createTempDirectory("graft_lease3").toString + "/s"
     assert(StoreLease.withLease(spark, store, "ok")(_ => 42) == 42)

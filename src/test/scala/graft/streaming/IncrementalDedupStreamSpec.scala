@@ -151,6 +151,38 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert((v30.getLong(0), v30.getLong(1), v30.getBoolean(2)) == ((1L, 3L, true)))
   }
 
+  test("bands-autocompact self-heals its own prior crash before probing") {
+    val root = Files.createTempDirectory("graft_incr_healprobe").toString
+    val src = s"$root/src"; val bands = s"$root/bands"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit =
+      IncrementalDedup.run(spark.readStream.schema(schema).parquet(src),
+        cfg, bands, out, ckpt).awaitTermination()
+    drop(1L -> "the quick brown fox jumps over the lazy dog every single day")
+    runOnce()
+    drop(2L -> "completely unrelated words describing some other topic entirely here")
+    runOnce()
+    // crashed prior fold: an UNARMED v2 stage (no _SUCCESS — staging
+    // died before the manifest armed the swap). The probe used to fail
+    // fast on it forever (foldableBandPartitions' stage check) while
+    // only the fold itself ran recovery — the cron verb wedged on its
+    // own prior crash until a manual compactBandStore.
+    val torn = Paths.get(s"$bands/.compact_tmp2_1")
+    Files.createDirectory(torn)
+    val hold = IncrementalDedup.compactBandStoreIfFragmented(
+      spark, bands, maxPartitions = 2, upToBatch = 2)
+    assert(!hold.compacted && hold.standingPartitions == 2 && hold.folded == 0)
+    assert(!Files.exists(torn), "the unarmed stage must be discarded by the heal")
+    // fire direction after a fresh tear also heals then folds
+    Files.createDirectory(torn)
+    val fire = IncrementalDedup.compactBandStoreIfFragmented(
+      spark, bands, maxPartitions = 1, upToBatch = 2)
+    assert(fire.compacted && fire.folded == 2 && !Files.exists(torn))
+  }
+
   test("in-loop compaction (compactEvery) folds history inside the stream; verdicts unchanged") {
     val root = Files.createTempDirectory("graft_incr_autoc").toString
     val src = s"$root/src"; val bands = s"$root/bands"

@@ -117,6 +117,32 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTws fails loudly by name when one key exceeds maxBatchRowsPerKey in a trigger") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Double)]
+      val ds = in.toDF().toDF("key", "sec")
+        .select(col("key"), timestamp_seconds(col("sec")).as("ts"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("key"), (unix_micros(col("ts")) / 1000).cast("long").as("ms"))
+        .as[(String, Long)]
+      val q = KeyedState.sessionizeTws(ds, gap = 10000, maxBatchRowsPerKey = 2)
+        .toDF("key", "start_ms", "end_ms", "n")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_bound").start()
+      try {
+        in.addData(("hot", 10.0), ("hot", 11.0), ("hot", 12.0)) // 3 > bound 2
+        val e = intercept[Exception](q.processAllAvailable())
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil else t.getMessage +: chain(t.getCause)
+        val msgs = chain(e).filter(_ != null)
+        assert(msgs.exists(m => m.contains("sessionizeTws") &&
+          m.contains("maxBatchRowsPerKey") && m.contains("hot")),
+          s"expected the named per-key bound failure, got: $msgs")
+      } finally q.stop()
+    }
+  }
+
   test("sessionizeTws equals a reference sessionizer on randomized workloads (all sessions closed)") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
