@@ -109,6 +109,23 @@ object StoreLease {
         require(fs.rename(p, tomb),
           s"lost the expired-lease takeover race for $storePath — " +
             "another maintainer claimed the expired lease concurrently")
+        // Steal check: rename moves WHATEVER stands at the lease path.
+        // If a faster takeover already replaced the expired lease with
+        // its own fresh one, the rename just moved a LIVE lease aside —
+        // content is the truth: the tombstone must still carry the
+        // expired lease's nonce. On mismatch, put the displaced lease
+        // back (only if nothing re-occupied the path — never clobber a
+        // third acquirer) and lose loudly; the displaced holder aborts
+        // at verify if we were too late to restore.
+        val tombFields = readFields(fs, tomb)
+        if (!tombFields.exists(_.get("nonce") == f.get("nonce"))) {
+          if (fs.exists(p)) fs.delete(tomb, false): Unit
+          else fs.rename(tomb, p): Unit
+          throw new IllegalStateException(
+            s"lost the expired-lease takeover race for $storePath — a " +
+              "concurrent maintainer re-acquired before our takeover; " +
+              "its lease was restored")
+        }
         fs.delete(tomb, false): Unit
         (f.getOrElse("generation", "0").toLong + 1, Some(f.getOrElse("owner", "?")))
       case None => (1L, None)

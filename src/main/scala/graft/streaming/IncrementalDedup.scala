@@ -191,20 +191,36 @@ object IncrementalDedup {
     * inside a previous turn's fold leaves a stage that every band-store
     * read fails fast on — including the replayed batch's own
     * `seenBands` — so each turn first completes or discards any pending
-    * stage (safe: this loop is the single writer). Without that, a
-    * mid-compaction crash would wedge the stream behind exactly the
-    * out-of-band intervention in-loop compaction exists to remove. */
+    * stage, under the store's single-writer LEASE (an out-of-band
+    * compactor mid-staging makes the turn fail loudly at acquire
+    * rather than discard the compactor's live stage). Without the
+    * recovery, a mid-compaction crash would wedge the stream behind
+    * exactly the out-of-band intervention in-loop compaction exists to
+    * remove. */
   def run(source: DataFrame, cfg: Config, bandStoreDir: String,
           resultDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.AvailableNow(),
           compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        if (compactEvery > 0)
-          recoverPendingCompaction(
-            new Path(bandStoreDir)
-              .getFileSystem(b.sparkSession.sessionState.newHadoopConf()),
-            bandStoreDir)
+        if (compactEvery > 0) {
+          // Recovery under the store LEASE, not under the "this loop is
+          // the single writer" prose: if an out-of-band `ctl
+          // bands-compact` is mid-staging when this turn starts, the
+          // loop fails loudly at acquire instead of discarding the
+          // compactor's live stage as a "crash". The clean-store case
+          // (every turn, in steady state) stays listing-only.
+          val fs = new Path(bandStoreDir)
+            .getFileSystem(b.sparkSession.sessionState.newHadoopConf())
+          val root = new Path(bandStoreDir)
+          val hasStage = fs.exists(root) && fs.listStatus(root).exists(s =>
+            s.isDirectory && isStageName(s.getPath.getName))
+          if (hasStage)
+            graft.operators.StoreLease.withLease(b.sparkSession,
+                bandStoreDir, "ingest-loop.recover") { _ =>
+              recoverPendingCompaction(fs, bandStoreDir)
+            }
+        }
         ingestBatch(b, id, cfg, bandStoreDir, resultDir)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
           compactBandStore(b.sparkSession, bandStoreDir, upToBatch = id): Unit
@@ -517,6 +533,12 @@ object IncrementalDedup {
     val p = new Path(bandStoreDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"no band store under $bandStoreDir")
+    // Destructive resolution is a store MAINTENANCE pass like the folds
+    // it finishes: single-writer lease, verify-on-commit before each
+    // delete/rename — a resolve racing a running compactor (or a second
+    // resolve) fails loudly at acquire instead of interleaving renames.
+    graft.operators.StoreLease.withLease(spark, bandStoreDir,
+        "bands-resolve") { lease =>
     val ls = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
     val ambiguous = ls.filter(d => isStageName(d.getName) &&
       fs.exists(new Path(s"$d/_SUCCESS")) &&
@@ -553,6 +575,7 @@ object IncrementalDedup {
         s"$missing stage rows are ABSENT from the live partitions — the " +
           "crashed fold's deletes already ran and the stage is the only copy " +
           "of that history; discarding would destroy it. Resolve with complete")
+      graft.operators.StoreLease.verify(spark, lease)
       require(fs.delete(stage, true), s"failed to discard stage $stage")
       s"discarded ${stage.getName}: all stage rows verified present in " +
         s"live partitions [${live.map(_._1).mkString(", ")}]"
@@ -574,6 +597,7 @@ object IncrementalDedup {
           "every stage row is still present in the live partitions and none " +
             "is subsumed — completing would duplicate intact history; " +
             "resolve with discard")
+      graft.operators.StoreLease.verify(spark, lease)
       subsumed.foreach { case (_, d) =>
         require(fs.delete(d, true), s"failed to delete subsumed partition $d")
       }
@@ -602,6 +626,7 @@ object IncrementalDedup {
         (if (subsumed.size < live.size)
           s"; kept unsubsumed [${live.map(_._1).diff(subsumed.map(_._1)).mkString(", ")}]"
         else "")
+    }
     }
   }
 }

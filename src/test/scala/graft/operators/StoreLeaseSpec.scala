@@ -64,13 +64,23 @@ class StoreLeaseSpec extends AnyFunSuite {
       racers.foreach(_.start()); gate.countDown(); racers.foreach(_.join())
       val all = results.toArray(Array.empty[Either[Throwable, StoreLease.Held]])
       val winners = all.collect { case Right(h) => h }
-      assert(winners.length == 1,
+      // the mutual-exclusion contract: NEVER two concurrent holders.
+      // Zero holders is a legal (rare) outcome — a steal detected and
+      // restored after the displaced racer already aborted leaves the
+      // restored lease standing with no live holder; it self-resolves
+      // by TTL (here: cleared for the next round).
+      assert(winners.length <= 1,
         s"round $round minted ${winners.length} holders: $all")
-      // the loser failed loudly (require/IOException paths all throw);
-      // the winner's verify passes and its release clears the lease
-      StoreLease.verify(spark, winners.head)
-      StoreLease.release(spark, winners.head)
-      assert(StoreLease.status(spark, store).isEmpty)
+      winners.headOption match {
+        case Some(h) =>
+          // the loser failed loudly; the winner's verify passes and its
+          // release clears the lease
+          StoreLease.verify(spark, h)
+          StoreLease.release(spark, h)
+          assert(StoreLease.status(spark, store).isEmpty)
+        case None =>
+          StoreLease.breakLease(spark, store, force = true): Unit
+      }
     }
     // takeovers leave no tombstone litter beside the lease
     val dir = new java.io.File(store).getParentFile
@@ -130,6 +140,48 @@ class StoreLeaseSpec extends AnyFunSuite {
     // with the lease free the same vacuum proceeds
     assert(Multimodal.vacuumBlobStore(spark, s"$root/store", ptr, nFiles = 1)
       == ((2L, 0L)))
+  }
+
+  test("every ctl store-maintenance verb refuses to run against a held store") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ctl_lease").toString
+    // one store per family, built BEFORE the holds (builders take the lease)
+    val emb = (0L until 8L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 3 + d) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 2, dir = s"$root/ix")
+    // a torn stage makes the AUTOCOMPACT probes need recovery — the
+    // leased path; without one the probes are read-only by design.
+    // index-delete gets a CLEAN index (ix2): its id-type lookup fails
+    // fast on a torn stage before ever reaching the lease.
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, nCentroids = 2, dir = s"$root/ix2")
+    assert(new java.io.File(s"$root/ix/codes/.compact_tmp_1").mkdirs())
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/bands"))
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$root/bands/.compact_tmp2_1"))
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$root/store")
+
+    val holds = Seq(s"$root/ix", s"$root/ix2", s"$root/bands", s"$root/store")
+      .map(p => StoreLease.acquire(spark, p, "ops-hold"))
+    val verbs = Seq(
+      "index-compact" -> Array("ix", "9"),
+      "index-autocompact" -> Array("ix", "1", "9"),
+      "index-delete" -> Array("ix2", "vec_id", "1,2", "erase"),
+      "bands-compact" -> Array("bands", "9"),
+      "bands-autocompact" -> Array("bands", "1", "9"),
+      "bands-resolve" -> Array("bands", "discard"),
+      "stats-refresh" -> Array("store", "k"),
+      "bloom-refresh" -> Array("store", "k"))
+    verbs.foreach { case (verb, args) =>
+      graft.Ctl.run(spark, root, verb, args) match {
+        case Left(err) => assert(
+          err.contains("ops-hold") && err.contains("under maintenance"),
+          s"$verb must refuse naming the holder, got: $err")
+        case Right(out) => fail(s"$verb ran against a held store: $out")
+      }
+    }
+    holds.foreach(StoreLease.release(spark, _))
   }
 
   test("ANN maintainers share the index lease") {

@@ -183,6 +183,39 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(fire.compacted && fire.folded == 2 && !Files.exists(torn))
   }
 
+  test("the crawl loop's recovery refuses to discard a live out-of-band compactor's stage") {
+    val root = Files.createTempDirectory("graft_incr_leaseloop").toString
+    val src = s"$root/src"; val bands = s"$root/bands"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit =
+      IncrementalDedup.run(spark.readStream.schema(schema).parquet(src),
+        cfg, bands, out, ckpt, compactEvery = 4).awaitTermination()
+    drop(1L -> "the quick brown fox jumps over the lazy dog every single day")
+    runOnce()
+    // an out-of-band compactor is MID-STAGING: its stage dir stands and
+    // it holds the store lease. The loop's old unleased recovery would
+    // have discarded the live stage as a "crash"; now the turn fails
+    // loudly at acquire, naming the holder.
+    Files.createDirectory(Paths.get(s"$bands/.compact_tmp2_0"))
+    val h = graft.operators.StoreLease.acquire(spark, bands, "oob-compactor")
+    drop(2L -> "completely unrelated words describing some other topic entirely here")
+    val e = intercept[Exception](runOnce())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).filter(_ != null).exists(m =>
+      m.contains("oob-compactor") && m.contains("under maintenance")),
+      s"expected a loud lease refusal, got: ${chain(e)}")
+    // compactor done: lease released, stage (unarmed) left to recovery —
+    // the replayed turn heals it under its own lease and proceeds
+    graft.operators.StoreLease.release(spark, h)
+    runOnce()
+    assert(!Files.exists(Paths.get(s"$bands/.compact_tmp2_0")))
+    assert(IncrementalDedup.results(spark, out).count() == 2)
+  }
+
   test("in-loop compaction (compactEvery) folds history inside the stream; verdicts unchanged") {
     val root = Files.createTempDirectory("graft_incr_autoc").toString
     val src = s"$root/src"; val bands = s"$root/bands"
