@@ -59,7 +59,9 @@ object Dedup {
     * difference between joining the tail and not at 100 TB; on small or
     * low-entropy corpora the extra df-count shuffle costs more than it
     * saves (measured +1.5 s at sf0.1's 30-word vocab), so it's opt-in.
-    * Remaining hot shingles would be salted (Skew.saltedJoin) at scale. */
+    * Hot shingles (boilerplate shared by many documents) are the
+    * measured, capped concern of `ngramJaccardPairsCapped` — use that
+    * form on real crawls. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int, threshold: Double,
                         prefilterSingletons: Boolean = false): DataFrame = {
@@ -682,33 +684,185 @@ object Dedup {
                          k: Int, w: Int): DataFrame = {
     require(k >= 1, s"gram size k must be positive, got $k")
     require(w >= 1, s"window w must be positive, got $w")
-    val grams = docs.select(col(id), tokens(col(text)).as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col(id), (size(col("ws")) - k + 1).as("ng"),
-        posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
-      .select(col(id), col("pos"), col("ng"),
-        conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("h"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("pos")).rowsBetween(0, w - 1)
-    grams.withColumn("fp", min(col("h")).over(win))
+    positionedGramHashes(docs, id, text, k)
+      .withColumn("fp", min(col("h")).over(win))
       .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
       .select(col(id), col("fp"))
       .distinct()
   }
 
+  /** (id, pos, ng, h): every k-token gram in position order with its
+    * 40-bit md5-derived hash — the shared front half of the winnowing
+    * family (value-only fingerprints above, positioned spans below). */
+  private def positionedGramHashes(docs: DataFrame, id: String,
+                                   text: String, k: Int): DataFrame =
+    docs.select(col(id), tokens(col(text)).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col(id), (size(col("ws")) - k + 1).as("ng"),
+        posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
+      .select(col(id), col("pos"), col("ng"),
+        conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("h"))
+
+  /** POSITIONED winnowing selection — the MOSS-report half the
+    * value-only form above deliberately drops: per window the minimum
+    * hash is selected WITH the position it sits at, ties on the hash
+    * value broken to the RIGHTMOST position (Schleimer et al. §4's
+    * tie rule — deterministic, stateless, and exactly replayable in
+    * SQL, unlike the stateful prefer-previous refinement). Output is
+    * the distinct (id, spos, fp) selections: where each surviving
+    * fingerprint sits in the token stream, the input to span reports.
+    *
+    * Same plan as `winnowFingerprints` — one doc-partitioned bounded
+    * window, text never shuffles — the selection struct just carries
+    * the position along; selecting by min(struct(h, -pos)) is the
+    * argmin-with-rightmost-tie in one ordered comparison. */
+  def winnowSpans(docs: DataFrame, id: String, text: String,
+                  k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram size k must be positive, got $k")
+    require(w >= 1, s"window w must be positive, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    positionedGramHashes(docs, id, text, k)
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
+      .select(col(id), (-col("sel.np")).cast("long").as("spos"),
+        col("sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** Matched span offsets per document pair — the report a MOSS user
+    * actually reads: for every fingerprint two documents share, WHERE
+    * it sits in each (token offset of the selected gram). One bucketed
+    * self-join over the positioned selections; `winnowedSpanPairs`
+    * says who matched, this says where. Returns
+    * (da, db, fp, pa, pb), one row per (pair, shared fp, position
+    * combination) — a fingerprint selected at several positions in one
+    * document reports each. */
+  def winnowedSpanOffsets(docs: DataFrame, id: String, text: String,
+                          k: Int, w: Int): DataFrame = {
+    val sel = winnowSpans(docs, id, text, k, w)
+    sel.as("a").join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("da"), col(s"b.$id").as("db"),
+        col("a.fp").as("fp"), col("a.spos").as("pa"), col("b.spos").as("pb"))
+  }
+
   /** Document pairs sharing >= `minShared` winnowing fingerprints —
     * the copy-detection report over `winnowFingerprints`. Same bucketed
     * self-join shape as every dedup variant: pairs materialize only
-    * per fingerprint bucket, never all-pairs; a boilerplate fingerprint
-    * shared by half the corpus would be df-capped or salted at scale,
-    * exactly like a hot shingle in `ngramJaccardPairs`. */
+    * per fingerprint bucket, never all-pairs. A boilerplate fingerprint
+    * shared by a large slice of the corpus makes ITS bucket's self-join
+    * quadratic in the hot count — on a real crawl, use
+    * `winnowedSpanPairsCapped`, which measures and drops such buckets
+    * (the MOSS noise-threshold move) instead of documenting them. */
   def winnowedSpanPairs(docs: DataFrame, id: String, text: String,
-                        k: Int, w: Int, minShared: Long): DataFrame = {
-    val fps = winnowFingerprints(docs, id, text, k, w)
+                        k: Int, w: Int, minShared: Long): DataFrame =
+    sharedFpPairs(winnowFingerprints(docs, id, text, k, w), id, minShared)
+
+  private def sharedFpPairs(fps: DataFrame, id: String,
+                            minShared: Long): DataFrame =
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
       .groupBy(col(s"a.$id").as("da"), col(s"b.$id").as("db"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  // ------------------------------------------------------------------
+  // Hot-bucket document-frequency cap: the guard every pair-generating
+  // bucket self-join needs at crawl scale. One license header shared
+  // by 10 % of a corpus puts 10 % of documents into ONE fingerprint/
+  // shingle bucket, and that bucket's self-join is quadratic in the
+  // hot count — the one shape that does not survive 100 TB. The MOSS
+  // answer (Schleimer et al. §5, "too common" fingerprints) is to
+  // DROP such buckets: content shared by more than `maxDf` documents
+  // is boilerplate by definition, not copy evidence. Same measured
+  // probe → threshold → dispatch contract as Skew.autoSaltedJoin and
+  // the ANN lifecycle loops: the decision travels with the result so
+  // callers ASSERT what happened.
+  // ------------------------------------------------------------------
+
+  /** What the df probe measured and what the cap did. `dropped` is the
+    * number of distinct buckets pruned (0 = output identical to the
+    * uncapped plan); `hottestDf` is the largest bucket's document
+    * frequency — the quantity that would have priced the self-join. */
+  final case class HotBucketDecision(capped: Boolean, dropped: Long,
+                                     hottestDf: Long, maxDf: Long,
+                                     totalBuckets: Long)
+
+  /** Measure the per-bucket document frequency of `units` (one row per
+    * (document, bucket) — a shingle set, a fingerprint set) and drop
+    * every bucket with df > `maxDf`, loudly. The probe is one
+    * map-side-combined count aggregate returning ONE driver row; the
+    * prune is a broadcast anti-join (the hot set is tiny by Zipf — it
+    * IS the corpus's repeated content — and bounded by |units|/maxDf,
+    * so the broadcast can never exceed rows/maxDf entries). Below the
+    * threshold the input is returned UNTOUCHED — no anti-join stage at
+    * all, the same "don't pay for the guard when the data is clean"
+    * posture as autoSaltedJoin's plain branch. */
+  def capHotBuckets(units: DataFrame, id: String, bucket: String,
+                    maxDf: Long): (DataFrame, HotBucketDecision) = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val dfc = units.groupBy(col(bucket)).agg(count(lit(1)).as("_df"))
+    val row = dfc.agg(
+      count(when(col("_df") > maxDf, lit(1))).as("n_hot"),
+      coalesce(max(col("_df")), lit(0L)).as("hottest"),
+      count(lit(1)).as("total")).head()
+    val d = HotBucketDecision(row.getLong(0) > 0, row.getLong(0),
+      row.getLong(1), maxDf, row.getLong(2))
+    if (d.capped) System.err.println(
+      s"[Dedup] hot-bucket cap FIRED on '$bucket': dropping ${d.dropped} " +
+        s"bucket(s) with df > $maxDf of ${d.totalBuckets} (hottest " +
+        s"${d.hottestDf}) — boilerplate by the df contract; no pairs " +
+        "are generated within them")
+    val out =
+      if (!d.capped) units
+      else units.join(
+        broadcast(dfc.filter(col("_df") > maxDf).select(col(bucket))),
+        Seq(bucket), "left_anti")
+    (out, d)
+  }
+
+  /** `winnowedSpanPairs` with the measured hot-bucket cap: fingerprints
+    * held by more than `maxDf` documents are dropped (loudly, with the
+    * decision returned) before the pair join, so one boilerplate
+    * fingerprint can never make a bucket's self-join quadratic in the
+    * corpus. With no bucket above the threshold the output is
+    * bit-identical to `winnowedSpanPairs` and the plan pays only the
+    * probe aggregate. */
+  def winnowedSpanPairsCapped(docs: DataFrame, id: String, text: String,
+                              k: Int, w: Int, minShared: Long,
+                              maxDf: Long): (DataFrame, HotBucketDecision) = {
+    val fps = winnowFingerprints(docs, id, text, k, w)
+    val (kept, d) = capHotBuckets(fps, id, "fp", maxDf)
+    (sharedFpPairs(kept, id, minShared), d)
+  }
+
+  /** `ngramJaccardPairs` with the measured hot-shingle cap. Semantics:
+    * shingles above `maxDf` are removed from the SHINGLE UNIVERSE —
+    * both the intersection evidence and the per-document set sizes —
+    * i.e. Jaccard over the corpus with its boilerplate n-grams erased
+    * (they carry no similarity signal by the df contract; leaving them
+    * in the union but not the intersection would systematically
+    * depress every hot-bucket pair instead). With no shingle above the
+    * threshold the output is bit-identical to the uncapped form. */
+  def ngramJaccardPairsCapped(docs: DataFrame, id: String, text: String,
+                              n: Int, threshold: Double,
+                              maxDf: Long): (DataFrame, HotBucketDecision) = {
+    val sh = shingleSet(docs, id, text, n)
+    val (kept, d) = capHotBuckets(sh, id, "s", maxDf)
+    val cnt = kept.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col(s"a.s") === col(s"b.s") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("da"), col(s"b.$id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(cnt.select(col(id).as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col(id).as("db"), col("n_sh").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") > threshold)
+    (out, d)
   }
 }

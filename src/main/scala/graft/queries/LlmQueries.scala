@@ -1358,6 +1358,56 @@ object LlmQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Hot-bucket df-cap, FIRE direction: a third of the corpus gets a
+    // shared boilerplate suffix (a 10-token license line — one
+    // guaranteed common fingerprint per doc, df ≈ n/3 vs natural max 4)
+    // and the measured cap drops every bucket with df > 8 BEFORE the
+    // pair self-join — the MOSS "too common" move, without which that
+    // one bucket's join is quadratic in n/3 at crawl scale. In-query
+    // requires pin the decision; the oracle replays the identical
+    // pipeline WITH the df cap in SQL, so the green hash row proves
+    // the capped pair set, not just that something was dropped.
+    "l86_winnow_hot_cap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" standard license header text " +
+              "appended by the crawler pipeline every run")))
+            .otherwise(col("text")).as("text"))
+      val (pairs, d) = Dedup.winnowedSpanPairsCapped(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 8)
+      require(d.capped && d.dropped >= 1 && d.hottestDf > 8,
+        s"l86 expects the injected boilerplate to FIRE the cap: $d")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
+    // Hot-bucket df-cap, HOLD direction: the natural corpus's hottest
+    // fingerprint (df <= 4 at every shipped SF) stays below the same
+    // ceiling, the prune is a no-op by construction (no anti-join
+    // stage is even planned), and the output is bit-identical to
+    // l85's uncapped pairs — graded against l85's oracle verbatim.
+    "l87_winnow_cap_hold" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val (pairs, d) = Dedup.winnowedSpanPairsCapped(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 8)
+      require(!d.capped && d.dropped == 0 && d.hottestDf <= 8,
+        s"l87 expects the natural corpus to HOLD below the cap: $d")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
+    // Positioned winnowing spans — the MOSS report a reviewer reads:
+    // not just WHO shares fingerprints (l85) but WHERE each shared
+    // fingerprint sits in both documents (token offsets of the
+    // selected grams, min-hash per window with the rightmost tie-break
+    // so the selection is deterministic and SQL-replayable). Same
+    // single doc-partitioned bounded window as l85; the struct min
+    // carries the position along for free.
+    "l88_winnow_spans" -> ((s, dir) => {
+      Dedup.winnowedSpanOffsets(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4)
+        .orderBy(col("da"), col("db"), col("fp"), col("pa"), col("pb"))
+    }),
+
     // Incremental artifact refresh — l75's snapshot diff DRIVING the
     // pipeline: the previous cycle's per-doc quality scores are a
     // persisted artifact; the new cycle recomputes ONLY added+changed
@@ -1531,6 +1581,31 @@ object LlmQueries {
        |$finalSelect""".stripMargin
   }
 
+  /** The winnowing pair pipeline in DuckDB — shared verbatim by l85
+    * (the uncapped generator) and l87 (the capped generator holding
+    * below its df ceiling on the natural corpus: identical output by
+    * the hold contract). */
+  private val winnowPairsSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+      |              FROM documents),
+      |g AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |wm AS (SELECT doc_id, pos, ng,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM g),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+      |        WHERE pos <= greatest(ng-4, 0)),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da, db, n_shared FROM pairs WHERE n_shared >= 2
+      |ORDER BY da, db""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // l62 serves from the PERSISTED index; floats round-trip parquet
@@ -1550,9 +1625,26 @@ object LlmQueries {
       // each full 4-gram window (pos 0-based on both sides; docs with
       // fewer than w grams keep their single truncated-window min via
       // the greatest(ng-w, 0) gate), distinct per doc, pair join
-      ("l85_winnow_pairs" ->
-        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
-          |              FROM documents),
+      ("l85_winnow_pairs" -> winnowPairsSql) +
+      // l87 runs the CAPPED pair generator on the natural corpus: the
+      // measured hottest fingerprint (df <= 4 at every shipped SF)
+      // holds below the df-8 ceiling, the prune is a structural no-op
+      // (no anti-join stage is planned), and the contract is l85's
+      // uncapped oracle verbatim; the hold decision is pinned by the
+      // in-query require
+      ("l87_winnow_cap_hold" -> winnowPairsSql) +
+      // l86: the same pipeline over the boilerplate-injected corpus,
+      // WITH the df cap replayed in SQL (buckets with df > 8 erased
+      // before the pair join) — the green hash row proves the capped
+      // pair set matches, not merely that the cap fired
+      ("l86_winnow_hot_cap" ->
+        """WITH docs2 AS (SELECT doc_id,
+          |        CASE WHEN doc_id % 3 = 0
+          |             THEN text || ' standard license header text appended by the crawler pipeline every run'
+          |             ELSE text END AS text
+          |      FROM documents),
+          |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |         FROM docs2),
           |g AS (SELECT doc_id, i-1 AS pos,
           |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
           |          AS BIGINT) AS h,
@@ -1565,11 +1657,38 @@ object LlmQueries {
           |       FROM g),
           |fps AS (SELECT DISTINCT doc_id, fp FROM wm
           |        WHERE pos <= greatest(ng-4, 0)),
+          |dfx AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),
+          |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfx USING (fp)
+          |         WHERE df <= 8),
           |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
-          |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
           |          GROUP BY 1, 2)
           |SELECT da, db, n_shared FROM pairs WHERE n_shared >= 2
           |ORDER BY da, db""".stripMargin) +
+      // l88: positioned selection — per window the struct min
+      // {h, -pos} is argmin-by-hash with the RIGHTMOST position on
+      // ties, exactly the Spark side's min(struct(h, -pos)); offsets
+      // join per shared fingerprint
+      ("l88_winnow_spans" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |              FROM documents),
+          |g AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |wm AS (SELECT doc_id, pos, ng,
+          |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          |       FROM g),
+          |sels AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
+          |           sel.h AS fp
+          |         FROM wm WHERE pos <= greatest(ng-4, 0))
+          |SELECT a.doc_id AS da, b.doc_id AS db, a.fp AS fp,
+          |  a.spos AS pa, b.spos AS pb
+          |FROM sels a JOIN sels b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |ORDER BY da, db, fp, pa, pb""".stripMargin) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

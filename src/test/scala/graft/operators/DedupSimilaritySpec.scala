@@ -65,6 +65,90 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("hot-bucket cap: fires on boilerplate (pairs from it vanish), holds leave output identical") {
+    // docs 1-4 share a 6-token boilerplate run (>= k+w-1 = 4, so it
+    // lands a common fingerprint in ALL FOUR — df 4); docs 1 and 2
+    // also share a genuine 4-token copied span (df 2).
+    val boiler = "l1 l2 l3 l4 l5 l6"
+    val d = docs(
+      (1L, s"a1 a2 p q r s $boiler"),
+      (2L, s"b1 p q r s b2 $boiler"),
+      (3L, s"c1 c2 c3 c4 c5 $boiler"),
+      (4L, s"e1 e2 e3 e4 e5 $boiler"))
+    // HOLD: ceiling 4 >= every df — decision holds, output identical
+    // to the uncapped generator
+    val (heldPairs, hold) = Dedup.winnowedSpanPairsCapped(
+      d, "doc_id", "text", k = 3, w = 2, minShared = 1, maxDf = 4)
+    assert(!hold.capped && hold.dropped == 0 && hold.hottestDf == 4)
+    val uncapped = Dedup.winnowedSpanPairs(d, "doc_id", "text", 3, 2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(heldPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == uncapped)
+    // FIRE: ceiling 3 < the boilerplate df 4 — its buckets drop, so
+    // pairs that existed only through boilerplate (e.g. 3-4) vanish
+    // while the genuine copied span (1-2) survives
+    val (cappedPairs, fire) = Dedup.winnowedSpanPairsCapped(
+      d, "doc_id", "text", k = 3, w = 2, minShared = 1, maxDf = 3)
+    assert(fire.capped && fire.dropped >= 1 && fire.hottestDf == 4)
+    val got = cappedPairs.select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "the genuine copied span must survive the cap")
+    assert(!got.contains((3L, 4L)), "a boilerplate-only pair must be capped away")
+  }
+
+  test("capped ngram jaccard: hold is bit-identical to uncapped; fire erases boilerplate shingles from the universe") {
+    val boiler = "l1 l2 l3"
+    val d = docs(
+      (1L, s"p q r s $boiler"),
+      (2L, s"p q r s z2 $boiler"),
+      (3L, s"c1 c2 c3 c4 c5 $boiler"),
+      (4L, s"e1 e2 e3 e4 e5 $boiler"))
+    val (held, hold) = Dedup.ngramJaccardPairsCapped(
+      d, "doc_id", "text", n = 3, threshold = 0.1, maxDf = 4)
+    assert(!hold.capped && hold.dropped == 0)
+    val uncapped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(held.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == uncapped)
+
+    val (capped, fire) = Dedup.ngramJaccardPairsCapped(
+      d, "doc_id", "text", n = 3, threshold = 0.1, maxDf = 3)
+    assert(fire.capped && fire.dropped >= 1)
+    val got = capped.select($"da", $"db").as[(Long, Long)].collect().toSet
+    // 3 and 4 were similar ONLY through the shared boilerplate trigram
+    // ("l1 l2 l3" — df 4 > 3): erased from the universe, they no
+    // longer pair; 1 and 2 still pair on the genuine "p q r s" overlap
+    assert(got.contains((1L, 2L)) && !got.contains((3L, 4L)))
+  }
+
+  test("winnowSpans: rightmost tie-break, positions point at the selected gram, value-set matches winnowFingerprints") {
+    // a doc of one repeated token: every gram hashes identically, so
+    // every window is an all-tie — rightmost tie-break must select the
+    // LAST gram of each window, i.e. positions advance one per window
+    val rep = docs((7L, "t t t t t t")) // 4 grams (k=3), w=2 → 3 windows
+    val sel = Dedup.winnowSpans(rep, "doc_id", "text", k = 3, w = 2)
+      .select($"spos").as[Long].collect().toSet
+    assert(sel == Set(1L, 2L, 3L),
+      s"all-tie windows must select their rightmost gram, got $sel")
+
+    // on real-ish text the selected VALUES are exactly the value-only
+    // fingerprints (same windows, same minima — positions added)
+    val d = docs(
+      (1L, "a1 a2 p q r s a3 a4 a5 a6"),
+      (2L, "b1 p q r s b2 b3 b4 b5 b6"))
+    val vals = Dedup.winnowSpans(d, "doc_id", "text", 3, 2)
+      .select($"doc_id", $"fp").distinct()
+      .as[(Long, Long)].collect().toSet
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", 3, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(vals == fps)
+    // offsets for the shared "p q r s" run: docs 1 and 2 must report
+    // at least one matched offset pair, with the positions in-range
+    val offs = Dedup.winnowedSpanOffsets(d, "doc_id", "text", 3, 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(offs.nonEmpty && offs.forall { case (da, db, _, pa, pb) =>
+      da == 1L && db == 2L && pa >= 0 && pa < 8 && pb >= 0 && pb < 8 })
+  }
+
   test("connected components collapse transitive near-dup chains into one group") {
     // chain 1-2-3 (1~3 never paired directly) + island 5-6 + 7-8 via 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 9L), (8L, 9L))
