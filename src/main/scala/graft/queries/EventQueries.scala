@@ -222,6 +222,96 @@ object EventQueries {
         .orderBy(col("bucket"))
     }),
 
+    // S2/O9 — the graftlog broker END TO END, oracle-graded: a
+    // deterministic event slice produced THROUGH GraftLogConnector
+    // (distributed produce, one writer task per log partition), read
+    // back as a batch frame, graded on payload + partition + dense
+    // offset + consumer lag against a DuckDB replay of the segment
+    // files' logical contract (reference: Valkey streams backend,
+    // pspf/connectors/valkey.py:147-196,270-293). The SQL-replayable
+    // trick: single-character keys make the reference partitioner
+    // (Java String.hashCode % N) pure arithmetic — a 1-char string's
+    // hashCode IS its code point, so partition = (48 + user_id % 8) % 4
+    // = user_id % 4 on both sides. Wall-clock broker ids "<ms>-<seq>"
+    // are pinned by in-query requires (format + seq == offset in the
+    // first drop), not hashed. The lag column is MEASURED from the log
+    // and the checkpoint (latest - committed per partition) after a
+    // second drop lands uncommitted; the oracle recounts that drop.
+    // One DLQ move rides along, pinned: the second drop's error events
+    // go to the side topic with the _error metadata folded into the
+    // payload JSON (the reference's DLQ message shape).
+    "o9_graftlog_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val np = 4
+      val root = graft.Scratch.dir("graft_o9")
+      val topic = "orders"
+      val logDir = s"$root/$topic"
+      val conn = new graft.streaming.GraftLogConnector(root, numPartitions = np)
+      def slice(rem: Int) = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 20 === rem)
+        .select(expr("chr(48 + user_id % 8)").as("key"),
+          col("event_type"), col("event_id").cast("string").as("value"),
+          col("event_id"))
+        .repartition(1).sortWithinPartitions(col("event_id"))
+        .select("key", "event_type", "value")
+      val s1 = slice(0)
+      val n1 = s1.count()
+      conn.writeBatch(s1, topic)
+
+      // the consumer group IS the Spark checkpoint: drain, commit
+      val ckpt = s"$root/ckpt"
+      conn.readStream(s, topic).writeStream
+        .option("checkpointLocation", ckpt).format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      require(graft.sources.GraftLog.lag(logDir, ckpt) == 0L,
+        "a fully drained log must show zero lag against its checkpoint")
+
+      // a second drop lands AFTER the commit: XPENDING-style lag
+      val n2 = slice(10).count()
+      conn.writeBatch(slice(10), topic)
+      require(graft.sources.GraftLog.lag(logDir, ckpt) == n2,
+        s"lag must equal the uncommitted drop's $n2 records")
+
+      // one DLQ move: the new drop's error events to the side topic,
+      // metadata folded into the payload JSON
+      val errs = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 20 === 10 && col("event_type") === "error")
+        .select(expr("chr(48 + user_id % 8)").as("key"), col("event_type"),
+          col("event_id").cast("string").as("value"),
+          lit("handler exploded").as("_error"))
+      val nErr = errs.count()
+      conn.writeBatch(errs, s"$topic-dlq")
+      val dlq = conn.readBatch(s, s"$topic-dlq")
+      require(dlq.count() == nErr &&
+        dlq.filter(get_json_object(col("value"), "$._error")
+          === "handler exploded").count() == nErr,
+        "every DLQ'd event must land once, carrying _error in its payload")
+
+      val committed = graft.sources.GraftLog.committedOffsets(ckpt)
+      val latest = graft.sources.GraftLog.latestOffsets(logDir)
+      val lagDf = latest.toSeq
+        .map { case (p, hi) => (p, hi - committed.getOrElse(p, 0L)) }
+        .toDF("part", "lag")
+      val committedDf = committed.toSeq.toDF("part", "hi")
+
+      // graded rows = exactly the consumer-acked prefix of each
+      // partition (offset < committed), straight from the batch read
+      val rows = conn.readBatch(s, topic)
+        .select(col("partition").as("part"), col("offset").as("log_offset"),
+          col("id"), col("key"), col("event_type"), col("value").as("payload"))
+        .join(broadcast(committedDf), Seq("part"))
+        .filter(col("log_offset") < col("hi")).drop("hi")
+      val badIds = rows.filter(!col("id").rlike("^[0-9]+-[0-9]+$") ||
+        split(col("id"), "-").getItem(1).cast(LongType) =!= col("log_offset")).count()
+      require(badIds == 0,
+        "broker ids must be <ms>-<seq> with seq == offset across the first drop")
+      require(rows.count() == n1,
+        s"the committed prefix must be exactly the first drop's $n1 records")
+      rows.drop("id").join(broadcast(lagDf), Seq("part"))
+        .orderBy(col("part"), col("log_offset"))
+    }),
+
     // W8 per-key running state (wordcount analog): final state per user.
     "w8_keyed_state" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -578,6 +668,28 @@ object EventQueries {
         |  CAST(SUM(CASE WHEN NOT corrupt THEN amount END) AS BIGINT) AS sum_amount,
         |  CAST(SUM(CASE WHEN tier IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tiered
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // o9: the segment files' logical contract replayed from the events
+    // table — routing is pure arithmetic on the 1-char key (hashCode of
+    // a 1-char string is its code point; 48 % 4 = 0 so partition =
+    // user_id % 4), offsets are the dense per-partition row numbers in
+    // produce order (event_id order — the produce sorts the frame), and
+    // lag recounts the second, uncommitted drop per partition.
+    "o9_graftlog_roundtrip" ->
+      """WITH s1 AS (SELECT event_id, event_type, user_id FROM events
+        |            WHERE event_id % 20 = 0),
+        |s2 AS (SELECT CAST(user_id % 4 AS INT) AS part, COUNT(*) AS lag
+        |       FROM events WHERE event_id % 20 = 10 GROUP BY 1),
+        |r AS (SELECT CAST(user_id % 4 AS INT) AS part,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 4
+        |                                ORDER BY event_id) - 1 AS BIGINT) AS log_offset,
+        |        chr(CAST(48 + user_id % 8 AS INT)) AS key,
+        |        event_type,
+        |        CAST(event_id AS VARCHAR) AS payload
+        |      FROM s1)
+        |SELECT r.part AS part, r.log_offset, r.key, r.event_type, r.payload,
+        |  COALESCE(l.lag, 0) AS lag
+        |FROM r LEFT JOIN s2 l ON l.part = r.part
+        |ORDER BY r.part, r.log_offset""".stripMargin,
     "w8_keyed_state" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
