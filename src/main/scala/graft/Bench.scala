@@ -78,16 +78,31 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
       }
     }
-    val results = queries.map { case (name, fn) =>
+    val timed = queries.map { case (name, fn) =>
       // a transiently-failing run must not discard an honest other
       // measurement: failed only when ALL runs threw
-      val runs = (1 to 3).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+      name -> (1 to 3).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+    }
+    val results = timed.map { case (name, runs) =>
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     } ++ probes.collect { case (n, f) if only.forall(_.contains(n)) => n -> f() }
+    // In-process variance column: max/min over the query's own timed
+    // runs, reported when >= 2x. The min-of-3 headline shields the
+    // TOTALS from host flaps, but a single-run driver capture can
+    // still show a maintenance query at many times its committed
+    // median (l78 hit 13x once) — this column makes that worst case a
+    // recorded measurement the round adjudication can quote, instead
+    // of hand-analysis across artifacts.
+    val spread = timed.collect {
+      case (n, runs) if runs.size >= 2 && runs.min > 0 &&
+        runs.max / runs.min >= 2.0 => n -> runs.max / runs.min
+    }
+    val spreadJson = spread.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","spread":$spreadJson}"""
     println(line)
     // The stdout line is the driver's contract, but a tail-capture of a
     // long run can truncate it (BENCH_r05 lost 23 queries' timings that

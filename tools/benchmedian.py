@@ -51,6 +51,23 @@ def main():
     failed = sorted(k for k in appeared
                     if failed_in.get(k, 0) == appeared[k])
     flaky = sorted(k for k in failed_in if k not in failed)
+    # Variance column (the round protocol's worst-case bound): per
+    # query, the worse of (a) cross-run max/median over the merged runs
+    # and (b) any single run's own in-process spread (Bench's "spread"
+    # field — max/min over its 3 timed executions). Recorded at >= 2x,
+    # FLAGGED at >= 3x: a driver capture showing a maintenance query at
+    # many times the committed median is then adjudicated against this
+    # recorded bound, not hand-analysis.
+    spread = {}
+    for k, v in times.items():
+        if len(v) >= 2 and min(v) > 0:
+            s = max(v) / statistics.median(v)
+            if s >= 2.0:
+                spread[k] = round(s, 2)
+    for r in runs:
+        for k, s in (r.get("spread") or {}).items():
+            if float(s) >= 2.0:
+                spread[k] = max(spread.get(k, 0.0), round(float(s), 2))
     artifact = {
         "metric": "total",
         "value": round(sum(med.values()), 3),
@@ -63,11 +80,18 @@ def main():
     }
     if flaky:
         artifact["flaky"] = flaky
+    if spread:
+        artifact["spread"] = dict(sorted(spread.items()))
     json.dump(artifact, open(out_path, "w"), indent=1)
+    hi_var = sorted((k, s) for k, s in spread.items() if s >= 3.0)
     print(f"wrote {out_path}: {len(med)} queries, total {artifact['value']}s "
           f"(median of {len(runs)} runs)"
           + (f", FLAKY: {', '.join(flaky)}" if flaky else "")
           + (f", failed: {', '.join(failed)}" if failed else ""))
+    if hi_var:
+        print("VARIANCE >= 3x (worst single run vs median — adjudicate "
+              "any driver-capture spike against these): "
+              + ", ".join(f"{k} {s:.1f}x" for k, s in hi_var))
 
 
 if __name__ == "__main__":
