@@ -1395,6 +1395,40 @@ object LlmQueries {
       pairs.orderBy(col("da"), col("db"))
     }),
 
+    // The hot-bucket cap on the OTHER pair generator — ngram Jaccard,
+    // both directions. FIRE: the injected license suffix puts ~n/3
+    // documents into each of its shingle buckets (df far above the
+    // natural max of 25); the cap erases those shingles from the
+    // UNIVERSE (intersection evidence AND set sizes — boilerplate
+    // carries no similarity signal), and the oracle replays the same
+    // erasure. Without the cap each hot bucket's self-join is
+    // quadratic in n/3.
+    "l89_jaccard_hot_cap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" standard license header text " +
+              "appended by the crawler pipeline every run")))
+            .otherwise(col("text")).as("text"))
+      val (pairs, d) = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 50)
+      require(d.capped && d.dropped >= 1 && d.hottestDf > 50,
+        s"l89 expects the injected boilerplate to FIRE the cap: $d")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
+    // HOLD: the natural corpus's hottest shingle (df <= 25 at every
+    // shipped SF) stays below the same ceiling; output is bit-identical
+    // to l5's uncapped pairs and graded against l5's oracle verbatim.
+    "l90_jaccard_cap_hold" -> ((s, dir) => {
+      val (pairs, d) = Dedup.ngramJaccardPairsCapped(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 50)
+      require(!d.capped && d.dropped == 0 && d.hottestDf <= 50,
+        s"l90 expects the natural corpus to HOLD below the cap: $d")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
     // Positioned winnowing spans — the MOSS report a reviewer reads:
     // not just WHO shares fingerprints (l85) but WHERE each shared
     // fingerprint sits in both documents (token offsets of the
@@ -1664,6 +1698,34 @@ object LlmQueries {
           |          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
           |          GROUP BY 1, 2)
           |SELECT da, db, n_shared FROM pairs WHERE n_shared >= 2
+          |ORDER BY da, db""".stripMargin) +
+      // l90 runs the capped Jaccard generator holding below its df-50
+      // ceiling on the natural corpus (hottest shingle df 25): output
+      // contract is l5's uncapped oracle verbatim, hold pinned in-query
+      ("l90_jaccard_cap_hold" -> base("l5_dedup_ngram")) +
+      // l89: l5's pipeline over the boilerplate-injected corpus with
+      // the df cap erasing hot shingles from the universe (both the
+      // intersection and the per-doc set sizes) before the pair join
+      ("l89_jaccard_hot_cap" ->
+        """WITH docs2 AS (SELECT doc_id,
+          |        CASE WHEN doc_id % 3 = 0
+          |             THEN text || ' standard license header text appended by the crawler pipeline every run'
+          |             ELSE text END AS text
+          |      FROM documents),
+          |d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM docs2),
+          |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+          |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+          |       WHERE len(ws) >= 3),
+          |dfx AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+          |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfx USING (s)
+          |         WHERE df <= 50),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2)
+          |SELECT da, db, CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) AS jaccard
+          |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.8
           |ORDER BY da, db""".stripMargin) +
       // l88: positioned selection — per window the struct min
       // {h, -pos} is argmin-by-hash with the RIGHTMOST position on
