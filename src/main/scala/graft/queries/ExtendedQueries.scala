@@ -627,6 +627,52 @@ object ExtendedQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Heavy hitters — the FREQUENCY member of the sketch triad (x6
+    // grades HLL distinct counts + the quantile sketch): every 3-gram
+    // shingle occurring >= 8 times in the corpus (boilerplate n-gram
+    // detection — the same content the df-cap in l86/l89 drops, found
+    // WITHOUT a full shingle frequency table). The Misra–Gries pass
+    // emits only per-partition survivor KEYS (a guaranteed superset of
+    // the true heavy hitters — at most partitions*m rows leave the
+    // executors, the raw shingles never shuffle), and pass 2's exact
+    // count over the broadcast candidates makes the output EXACT, so
+    // the oracle is a plain GROUP BY ... HAVING. The in-query require
+    // pins that the sketch path actually ran at every SF.
+    "x30_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, shingles}
+      val sh = Tables.load(s, dir, "documents")
+        .select(tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(shingles(col("ws"), 3)).as("s"))
+      val (hh, dec) = graft.operators.Frequency.heavyHitters(
+        sh, "s", minFreq = 8L)
+      require(dec.sketched && dec.counters >= 1,
+        s"x30 expects the MG sketch path to fire at every SF: $dec")
+      hh.orderBy(col("s"))
+    }),
+
+    // The NEGATIVE dispatch direction: a full frequency table
+    // (minFreq=2) implies a counter budget of ~N/2 per partition —
+    // far beyond the caller's 64-counter ceiling, at which point the
+    // MG superset guarantee is unaffordable and the operator must
+    // REFUSE the sketch and run the plain two-phase groupBy (which a
+    // low distinct-to-row ratio is exactly what makes safe: the
+    // map-side partial agg collapses the multiset before the
+    // shuffle). Same HAVING oracle; the two rows grade the dispatch
+    // in both directions and either path must be value-identical.
+    "x31_heavy_exact_hold" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, shingles}
+      val sh = Tables.load(s, dir, "documents")
+        .select(tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(shingles(col("ws"), 3)).as("s"))
+      val (hh, dec) = graft.operators.Frequency.heavyHitters(
+        sh, "s", minFreq = 2L, maxCounters = 64)
+      require(!dec.sketched && dec.counters == 0,
+        s"x31 expects the budget ceiling to refuse the sketch: $dec")
+      hh.orderBy(col("s"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -758,6 +804,24 @@ object ExtendedQueries {
         |  FROM events)
         |SELECT user_id, event_id, event_type, value, group_n
         |FROM r WHERE group_rank = 0 ORDER BY user_id""".stripMargin,
+    // x30: the sketch prunes candidates but never touches the counts —
+    // the contract IS "exact GROUP BY ... HAVING", so the oracle is one
+    "x30_heavy_hitters" ->
+      """WITH d AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3)
+        |SELECT s, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM sh GROUP BY s HAVING COUNT(*) >= 8 ORDER BY s""".stripMargin,
+    // x31: same contract at the exact-path threshold — either dispatch
+    // direction must reproduce the plain HAVING semantics
+    "x31_heavy_exact_hold" ->
+      """WITH d AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |sh AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, greatest(len(ws)-2, 0))) t(i)
+        |       WHERE len(ws) >= 3)
+        |SELECT s, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM sh GROUP BY s HAVING COUNT(*) >= 2 ORDER BY s""".stripMargin,
     // x12: DuckDB full-scans the original table under the same
     // SF-relative predicate — a green hash row proves the pruned scan
     // (stats-selected files + residual filter) lost nothing.
