@@ -749,6 +749,48 @@ object Dedup {
         col("a.fp").as("fp"), col("a.spos").as("pa"), col("b.spos").as("pb"))
   }
 
+  /** Contiguous matched SPAN INTERVALS per document pair — the line a
+    * MOSS report actually draws: "tokens 120–168 of A match tokens
+    * 840–888 of B". `winnowedSpanOffsets` emits the raw matched
+    * fingerprint positions; an exactly copied region produces selected
+    * fingerprints at ALIGNED offsets — pa − pb constant along the run
+    * (the classic dot-plot diagonal) — so grouping matches by
+    * (pair, diagonal) and merging runs whose consecutive selections
+    * sit within `maxGap` tokens yields maximal matched intervals.
+    * Spurious single-fingerprint coincidences land on their own
+    * diagonals and are dropped by `minFps`.
+    *
+    * Interval ends cover the full k-gram (`+ k − 1`): the last
+    * selected gram's tokens all matched. Plan shape: the offsets
+    * join (bucketed by fingerprint), then ONE pair-local window
+    * (partitioned by (da, db, diagonal) — never wider than a pair's
+    * match list) and a groupBy on the same key: nothing funnels, and
+    * the window key inherits the pair join's distribution. */
+  def winnowMatchedIntervals(docs: DataFrame, id: String, text: String,
+                             k: Int, w: Int, maxGap: Int,
+                             minFps: Long): DataFrame = {
+    require(maxGap >= 1, s"maxGap must be positive, got $maxGap")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+    val run = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    winnowedSpanOffsets(docs, id, text, k, w)
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("brk",
+        when(col("pa") - lag(col("pa"), 1).over(ord) <= maxGap, lit(0))
+          .otherwise(lit(1))) // first row of a diagonal: lag is null → 1
+      .withColumn("isl", sum(col("brk")).over(run))
+      .groupBy(col("da"), col("db"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("a_start"),
+        (max(col("pa")) + lit(k - 1).cast("long")).as("a_end"),
+        min(col("pb")).as("b_start"),
+        (max(col("pb")) + lit(k - 1).cast("long")).as("b_end"),
+        count(lit(1)).as("n_fps"))
+      .filter(col("n_fps") >= minFps)
+      .select(col("da"), col("db"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"), col("n_fps"))
+  }
+
   /** Document pairs sharing >= `minShared` winnowing fingerprints —
     * the copy-detection report over `winnowFingerprints`. Same bucketed
     * self-join shape as every dedup variant: pairs materialize only

@@ -1442,6 +1442,22 @@ object LlmQueries {
         .orderBy(col("da"), col("db"), col("fp"), col("pa"), col("pb"))
     }),
 
+    // Contiguous matched intervals — l88's raw matched positions
+    // merged into the line a MOSS report draws ("tokens 2–41 of A
+    // match tokens 2–41 of B"): an exactly copied region puts its
+    // selected fingerprints on ONE dot-plot diagonal (pa − pb
+    // constant), so islands of consecutive selections within 8 tokens
+    // on a (pair, diagonal) merge into maximal spans; one-fingerprint
+    // coincidences die at minFps=2. One pair-local window after the
+    // bucketed offsets join — nothing funnels wider than a pair's
+    // match list — graded against a DuckDB replay of the identical
+    // diagonal/island pipeline.
+    "l91_winnow_intervals" -> ((s, dir) => {
+      Dedup.winnowMatchedIntervals(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4, maxGap = 8, minFps = 2)
+        .orderBy(col("da"), col("db"), col("a_start"), col("b_start"))
+    }),
+
     // Incremental artifact refresh — l75's snapshot diff DRIVING the
     // pipeline: the previous cycle's per-doc quality scores are a
     // persisted artifact; the new cycle recomputes ONLY added+changed
@@ -1751,6 +1767,41 @@ object LlmQueries {
           |  a.spos AS pa, b.spos AS pb
           |FROM sels a JOIN sels b ON a.fp = b.fp AND a.doc_id < b.doc_id
           |ORDER BY da, db, fp, pa, pb""".stripMargin) +
+      // l91: l88's positioned selections joined per fingerprint, then
+      // the SAME diagonal/island merge replayed in SQL — constant
+      // pa−pb groups, islands split where consecutive selections sit
+      // more than 8 tokens apart, interval ends covering the full
+      // 5-gram (+4)
+      ("l91_winnow_intervals" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |              FROM documents),
+          |g AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |wm AS (SELECT doc_id, pos, ng,
+          |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          |       FROM g),
+          |sels AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
+          |           sel.h AS fp
+          |         FROM wm WHERE pos <= greatest(ng-4, 0)),
+          |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.spos AS pa,
+          |        b.spos AS pb, a.spos - b.spos AS diag
+          |      FROM sels a JOIN sels b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+          |br AS (SELECT *, CASE WHEN pa - LAG(pa) OVER (PARTITION BY da, db, diag
+          |                        ORDER BY pa) <= 8
+          |                      THEN 0 ELSE 1 END AS brk FROM m),
+          |isl AS (SELECT *, SUM(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          |        FROM br)
+          |SELECT da, db, MIN(pa) AS a_start, MAX(pa)+4 AS a_end,
+          |  MIN(pb) AS b_start, MAX(pb)+4 AS b_end,
+          |  CAST(COUNT(*) AS BIGINT) AS n_fps
+          |FROM isl GROUP BY da, db, diag, isl HAVING COUNT(*) >= 2
+          |ORDER BY da, db, a_start, b_start""".stripMargin) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

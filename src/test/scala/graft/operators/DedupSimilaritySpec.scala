@@ -149,6 +149,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       da == 1L && db == 2L && pa >= 0 && pa < 8 && pb >= 0 && pb < 8 })
   }
 
+  test("winnowMatchedIntervals merges diagonal runs into spans and splits distinct regions") {
+    // two copied regions (12 tokens each) at DIFFERENT relative offsets
+    // — distinct dot-plot diagonals — separated by unrelated middles:
+    // must yield exactly two intervals, each inside its region's token
+    // range in both docs; the unrelated text must contribute none.
+    val run1 = (1 to 12).map(i => s"p$i").mkString(" ")
+    val run2 = (1 to 12).map(i => s"f$i").mkString(" ")
+    val d = docs(
+      (1L, s"x1 x2 $run1 ${(1 to 10).map(i => s"a$i").mkString(" ")} $run2 x3 x4"),
+      (2L, s"y1 y2 y3 $run1 ${(1 to 4).map(i => s"b$i").mkString(" ")} $run2 y4"))
+    val got = Dedup.winnowMatchedIntervals(d, "doc_id", "text",
+        k = 3, w = 2, maxGap = 4, minFps = 2)
+      .orderBy($"a_start")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 2, s"expected one interval per copied region, got ${got.mkString(";")}")
+    val Array(i1, i2) = got
+    // doc1: run1 spans tokens [2, 13], run2 spans [24, 35]
+    // doc2: run1 spans tokens [3, 14], run2 spans [19, 30]
+    assert(i1._1 == 1L && i1._2 == 2L && i1._3 >= 2 && i1._4 <= 13 &&
+      i1._5 >= 3 && i1._6 <= 14, s"run1 interval out of range: $i1")
+    assert(i2._3 >= 24 && i2._4 <= 35 && i2._5 >= 19 && i2._6 <= 30,
+      s"run2 interval out of range: $i2")
+    // the diagonal alignment must hold inside each interval
+    assert(i1._3 - i1._5 == i1._4 - i1._6 && i2._3 - i2._5 == i2._4 - i2._6)
+
+    // single shared fingerprints (a lone k-gram coincidence) die at
+    // minFps=2: a pair sharing only one 4-token run yields at most one
+    // selected fingerprint per window run — below the floor
+    val lone = docs(
+      (3L, "c1 c2 c3 m n o q c4 c5 c6 c7 c8"),
+      (4L, "d1 m n o q d2 d3 d4 d5 d6 d7 d8"))
+    val loneGot = Dedup.winnowMatchedIntervals(lone, "doc_id", "text",
+      k = 3, w = 2, maxGap = 4, minFps = 2).count()
+    val loneRaw = Dedup.winnowMatchedIntervals(lone, "doc_id", "text",
+      k = 3, w = 2, maxGap = 4, minFps = 1).count()
+    assert(loneRaw >= 1, "the shared 4-token run must still match at minFps=1")
+    assert(loneGot == 0, "a lone fingerprint coincidence must die at minFps=2")
+  }
+
   test("connected components collapse transitive near-dup chains into one group") {
     // chain 1-2-3 (1~3 never paired directly) + island 5-6 + 7-8 via 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 9L), (8L, 9L))
