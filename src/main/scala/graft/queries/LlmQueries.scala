@@ -45,6 +45,28 @@ object LlmQueries {
     }
   }
 
+  /** `runCrawlDrops`' twin for the winnow span-ingest loop: same four
+    * doc_id % 4 drops, same one-batch-per-drop trigger contract
+    * enforced executably after every drop. */
+  private def runWinnowDrops(s: SparkSession, docs: DataFrame,
+                             root: String): Unit = {
+    import graft.streaming.IncrementalDedup
+    val cfg = IncrementalDedup.WinnowConfig("doc_id", "text",
+      k = 5, w = 4, minShared = 2)
+    (0 until 4).foreach { k =>
+      docs.filter(col("doc_id") % 4 === k)
+        .write.mode("append").parquet(s"$root/src")
+      IncrementalDedup.runWinnow(
+        s.readStream.schema(docs.schema).parquet(s"$root/src"),
+        cfg, s"$root/fps", s"$root/out", s"$root/ckpt")
+        .awaitTermination()
+      val parts = new java.io.File(s"$root/out").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      require(parts == k + 1,
+        s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text quality features (all codegen'd built-ins, no UDFs).
     "l1_text_stats" -> ((s, dir) => {
@@ -1458,6 +1480,26 @@ object LlmQueries {
         .orderBy(col("da"), col("db"), col("a_start"), col("b_start"))
     }),
 
+    // The winnow family run FOR REAL as a streaming ingest loop — the
+    // exact-substring complement of l61's minhash loop, on the same
+    // store machinery: four crawl drops (doc_id % 4) land one at a
+    // time; each fingerprints ONLY its own docs, reports span-copy
+    // pairs against the PERSISTED fingerprint store of every earlier
+    // drop, and appends its own fingerprints — checkpoint-resumed,
+    // history never re-tokenized. The oracle replays the whole-corpus
+    // winnow pair join relationally and keeps exactly the cross-batch
+    // (earlier-drop, later-drop) pairs the loop probes, so the
+    // accumulated verdicts are hash-graded end to end.
+    "l92_stream_winnow" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = graft.Scratch.dir("graft_incr_wn")
+      runWinnowDrops(s, docs, root)
+      graft.streaming.IncrementalDedup.results(s, s"$root/out")
+        .select(col("new_id"), col("seen_id"), col("n_shared"),
+          col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("new_id"), col("seen_id"))
+    }),
+
     // Incremental artifact refresh — l75's snapshot diff DRIVING the
     // pipeline: the previous cycle's per-doc quality scores are a
     // persisted artifact; the new cycle recomputes ONLY added+changed
@@ -1802,6 +1844,34 @@ object LlmQueries {
           |  CAST(COUNT(*) AS BIGINT) AS n_fps
           |FROM isl GROUP BY da, db, diag, isl HAVING COUNT(*) >= 2
           |ORDER BY da, db, a_start, b_start""".stripMargin) +
+      // l92: the whole-corpus winnow pair join (l85's CTE chain),
+      // restricted to the cross-batch pairs the loop probes — the doc
+      // in the LATER doc_id%4 drop is the prober (new_id), the earlier
+      // one is the seen corpus; same-drop pairs are never probed
+      ("l92_stream_winnow" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |              FROM documents),
+          |g AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |wm AS (SELECT doc_id, pos, ng,
+          |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |       FROM g),
+          |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+          |        WHERE pos <= greatest(ng-4, 0)),
+          |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+          |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2)
+          |SELECT CASE WHEN da % 4 > db % 4 THEN da ELSE db END AS new_id,
+          |  CASE WHEN da % 4 > db % 4 THEN db ELSE da END AS seen_id,
+          |  n_shared,
+          |  CAST(greatest(da % 4, db % 4) AS BIGINT) AS ingest_batch
+          |FROM pr WHERE da % 4 <> db % 4 AND n_shared >= 2
+          |ORDER BY new_id, seen_id""".stripMargin) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

@@ -229,6 +229,73 @@ object IncrementalDedup {
       .trigger(trigger)
       .start()
 
+  // ------------------------------------------------------------------
+  // Winnow ingest loop — the exact-substring complement of the minhash
+  // loop above, over the same store machinery: where the band store
+  // answers "which earlier docs are SET-similar to this drop", the
+  // fingerprint store answers "which earlier docs share a COPIED SPAN
+  // with it" (Dedup.winnowFingerprints' >= k+w-1 guarantee). The store
+  // layout, strictly-before read guard, _SUCCESS torn-batch masking,
+  // checkpoint replay semantics, compaction (compactBandStore /
+  // compactBandStoreIfFragmented are schema-agnostic partition folds)
+  // and lease discipline are all SHARED — a crawl runs both loops
+  // side by side on two store roots.
+  // ------------------------------------------------------------------
+
+  /** Winnowing parameters of the span-ingest loop; must stay constant
+    * for the lifetime of a fingerprint store (mixed-k/w fingerprints
+    * don't collide meaningfully). `minShared` floors the reported
+    * pairs the way `Dedup.winnowedSpanPairs` does. At crawl scale,
+    * compose the probe with `Dedup.capHotBuckets` on the store side
+    * (boilerplate fingerprints make a probe bucket quadratic in the
+    * hot count — the l86-graded cap applies verbatim to the
+    * accumulated store). */
+  case class WinnowConfig(id: String = "doc_id", text: String = "text",
+                          k: Int = 5, w: Int = 4, minShared: Long = 2)
+
+  /** One turn of the winnow ingest loop (the foreachBatch body):
+    * fingerprint the drop ONCE, report (new_id, seen_id, n_shared)
+    * span-copy pairs against the accumulated store of every earlier
+    * drop — history is never re-tokenized — and append the drop's own
+    * fingerprints. Same-drop pairs are deliberately not probed (the
+    * batch composition step, `storedCandidatePairs`-style, covers
+    * them); the strictly-before read keeps a replayed batch from
+    * seeing its own earlier partial write. */
+  def ingestWinnowBatch(batch: DataFrame, batchId: Long, cfg: WinnowConfig,
+                        fpStoreDir: String, resultDir: String): Unit = {
+    val spark = batch.sparkSession
+    // consumed twice (store append + probe join) — stage the one
+    // tokenize/winnow pass instead of running it per consumer
+    val fps = Dedup.winnowFingerprints(batch, cfg.id, cfg.text, cfg.k, cfg.w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seen = seenBands(spark, fpStoreDir, batchId)
+        .map(_.drop("ingest_batch"))
+        .getOrElse(fps.limit(0))
+      val pairs = fps.as("n").join(seen.as("s"), col("n.fp") === col("s.fp"))
+        .groupBy(col(s"n.${cfg.id}").as("new_id"),
+          col(s"s.${cfg.id}").as("seen_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= cfg.minShared)
+      pairs.write.mode("overwrite").parquet(batchDir(resultDir, batchId))
+      fps.write.mode("overwrite").parquet(batchDir(fpStoreDir, batchId))
+    } finally fps.unpersist(blocking = false)
+  }
+
+  /** Start the winnow span-ingest loop — same trigger/checkpoint
+    * contract as `run` (AvailableNow drains one drop per run; the
+    * checkpoint carries source progress), same store guards. */
+  def runWinnow(source: DataFrame, cfg: WinnowConfig, fpStoreDir: String,
+                resultDir: String, checkpointDir: String,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestWinnowBatch(b, id, cfg, fpStoreDir, resultDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** All per-document verdicts written so far, with their
     * `ingest_batch` partition column. Reads only partitions whose
     * parquet _SUCCESS marker committed: a crashed batch's torn verdict

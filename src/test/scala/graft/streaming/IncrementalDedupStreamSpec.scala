@@ -96,6 +96,66 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       s"drop-2 doc must match docs 1 and 10 via stored bands: $afterDrop2")
   }
 
+  test("winnow loop: drops span-match against the persisted fingerprint store; replay idempotent") {
+    val root = Files.createTempDirectory("graft_incr_wn_spec").toString
+    val src = s"$root/src"; val fps = s"$root/fps"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val wcfg = IncrementalDedup.WinnowConfig("doc_id", "text",
+      k = 3, w = 2, minShared = 2)
+    val run = (1 to 16).map(i => s"r$i").mkString(" ") // >= k+w-1 by far
+
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit =
+      IncrementalDedup.runWinnow(
+        spark.readStream.schema(schema).parquet(src),
+        wcfg, fps, out, ckpt).awaitTermination()
+    def pairs(): Set[(Long, Long, Long)] =
+      IncrementalDedup.results(spark, out)
+        .select(col("new_id"), col("seen_id"), col("n_shared"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // drop 0: the span's origin + an unrelated doc — nothing earlier
+    // to match, so the verdict partition commits EMPTY
+    drop(
+      1L -> s"a1 a2 $run a3 a4 a5",
+      2L -> "completely unrelated words describing some other topic entirely here")
+    runOnce()
+    assert(pairs().isEmpty)
+
+    // history is now only the fingerprint store: delete the ingested
+    // source files — a loop that re-tokenized batches 1..N breaks here
+    Files.list(Paths.get(src)).forEach(f => deleteRecursively(f))
+
+    // drop 1: doc 10 copies the span into different surrounding text
+    drop(
+      10L -> s"b1 $run b2 b3 b4 b5 b6",
+      11L -> "novel sentences that match nothing previously ingested at all anywhere")
+    runOnce()
+    val afterDrop1 = pairs()
+    assert(afterDrop1.exists(p => p._1 == 10L && p._2 == 1L && p._3 >= 2),
+      s"the copied span must pair (10 -> 1) via the stored fingerprints: $afterDrop1")
+    assert(!afterDrop1.exists(p => p._1 == 11L || p._2 == 2L),
+      s"unrelated docs must not pair: $afterDrop1")
+
+    // crash replay of micro-batch 1: batchId-keyed overwrites + the
+    // strictly-before store read make it idempotent (a replay that saw
+    // its own earlier fingerprint write would double n_shared)
+    assert(Files.deleteIfExists(Paths.get(s"$ckpt/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$ckpt/commits/.1.crc"))
+    runOnce()
+    assert(pairs() == afterDrop1, "replay must be idempotent")
+
+    // drop 2 composes against BOTH earlier drops' stored fingerprints
+    drop(20L -> s"c1 c2 c3 $run")
+    runOnce()
+    val afterDrop2 = pairs()
+    assert(afterDrop2.exists(p => p._1 == 20L && p._2 == 1L && p._3 >= 2) &&
+      afterDrop2.exists(p => p._1 == 20L && p._2 == 10L && p._3 >= 2),
+      s"drop-2 doc must span-match docs 1 and 10: $afterDrop2")
+  }
+
   test("band-store compaction folds history; verdicts continue unchanged; interrupted swap recovers") {
     val root = Files.createTempDirectory("graft_incr_compact").toString
     val src = s"$root/src"; val bands = s"$root/bands"
