@@ -284,13 +284,33 @@ object IncrementalDedup {
 
   /** Start the winnow span-ingest loop — same trigger/checkpoint
     * contract as `run` (AvailableNow drains one drop per run; the
-    * checkpoint carries source progress), same store guards. */
+    * checkpoint carries source progress), same store guards, and the
+    * same in-loop compaction: `compactEvery` > 0 folds the fingerprint
+    * store every that many batches (the partition fold is
+    * schema-agnostic), with the identical lease-guarded recovery of a
+    * prior turn's crashed stage — the small-files problem the band
+    * loop manages for itself would otherwise reopen verbatim here. */
   def runWinnow(source: DataFrame, cfg: WinnowConfig, fpStoreDir: String,
                 resultDir: String, checkpointDir: String,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                trigger: Trigger = Trigger.AvailableNow(),
+                compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
+        if (compactEvery > 0) {
+          val fs = new Path(fpStoreDir)
+            .getFileSystem(b.sparkSession.sessionState.newHadoopConf())
+          val root = new Path(fpStoreDir)
+          val hasStage = fs.exists(root) && fs.listStatus(root).exists(s =>
+            s.isDirectory && isStageName(s.getPath.getName))
+          if (hasStage)
+            graft.operators.StoreLease.withLease(b.sparkSession,
+                fpStoreDir, "winnow-loop.recover") { _ =>
+              recoverPendingCompaction(fs, fpStoreDir)
+            }
+        }
         ingestWinnowBatch(b, id, cfg, fpStoreDir, resultDir)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compactBandStore(b.sparkSession, fpStoreDir, upToBatch = id): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

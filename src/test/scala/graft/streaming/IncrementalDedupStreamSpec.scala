@@ -156,6 +156,49 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       s"drop-2 doc must span-match docs 1 and 10: $afterDrop2")
   }
 
+  test("winnow loop compactEvery folds the fingerprint store in-loop; pairs unchanged; stage self-heals") {
+    val root = Files.createTempDirectory("graft_incr_wn_autoc").toString
+    val src = s"$root/src"; val fps = s"$root/fps"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val wcfg = IncrementalDedup.WinnowConfig("doc_id", "text",
+      k = 3, w = 2, minShared = 2)
+    val run = (1 to 16).map(i => s"r$i").mkString(" ")
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit =
+      IncrementalDedup.runWinnow(spark.readStream.schema(schema).parquet(src),
+        wcfg, fps, out, ckpt, compactEvery = 2).awaitTermination()
+    def partDirs(): Seq[String] =
+      Files.list(Paths.get(fps)).map[String](_.getFileName.toString)
+        .filter(_.startsWith("ingest_batch=")).sorted.toArray.map(_.toString).toSeq
+
+    drop(1L -> s"a1 a2 $run a3"); runOnce()             // batch 0
+    drop(10L -> s"b1 $run b2"); runOnce()               // batch 1: off-cadence
+    assert(partDirs() == Seq("ingest_batch=0", "ingest_batch=1"))
+    drop(20L -> s"c1 c2 $run"); runOnce()               // batch 2: appends, folds {0, 1}
+    assert(partDirs() == Seq("ingest_batch=1", "ingest_batch=2"),
+      "the winnow loop must fold its own store in-loop")
+    val after = IncrementalDedup.results(spark, out)
+      .select(col("new_id"), col("seen_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((10L, 1L), (20L, 1L), (20L, 10L)),
+      s"folding must not change the span verdicts: $after")
+
+    // self-heal: a torn stage from a crashed prior fold must be cleared
+    // by the next turn itself, under the store lease, then ingest
+    val stage = Paths.get(s"$fps/.compact_tmp_9")
+    Files.createDirectory(stage)
+    Files.write(stage.resolve("part-torn.parquet"), Array[Byte](1))
+    drop(30L -> s"d1 $run d2"); runOnce()               // batch 3: recovers, ingests
+    assert(!Files.exists(stage), "the torn stage must be discarded by the loop")
+    val v30 = IncrementalDedup.results(spark, out)
+      .filter(col("new_id") === 30L)
+      .select(col("seen_id")).collect().map(_.getLong(0)).toSet
+    assert(v30 == Set(1L, 10L, 20L),
+      s"post-recovery drop must probe the full folded history: $v30")
+  }
+
   test("band-store compaction folds history; verdicts continue unchanged; interrupted swap recovers") {
     val root = Files.createTempDirectory("graft_incr_compact").toString
     val src = s"$root/src"; val bands = s"$root/bands"
