@@ -1500,6 +1500,40 @@ object LlmQueries {
         .orderBy(col("new_id"), col("seen_id"))
     }),
 
+    // The VECTOR store loop run for real — AnnIndex.runIngest was
+    // spec-verified (AnnIndexSpec, the scale rehearsal) but carried no
+    // CORRECTNESS row; this grades it end to end: base index built on
+    // the 16 training vectors, four embedding drops driven through the
+    // actual checkpoint-resumed streaming loop (one AvailableNow run
+    // per drop, tag = batch id), the in-loop fold collapsing
+    // {batch_0, batch_1} at the cadence point, and the final serve
+    // graded against l55's whole-corpus recompute oracle VERBATIM —
+    // stream-built == batch-built, bit for bit. In-query requires pin
+    // the loop's physical behavior (one partition per drop, the fold
+    // actually fired in-loop).
+    "l93_stream_ann_ingest" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.load(s, dir, "embeddings")
+      val root = graft.Scratch.dir("graft_annstr")
+      AnnIndex.buildIvfPq(emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, nCentroids = 16, dir = s"$root/ix")
+      (0 to 3).foreach { b =>
+        emb.filter(col("vec_id") >= 16 && col("vec_id") % 4 === b)
+          .write.mode("append").parquet(s"$root/src")
+        AnnIndex.runIngest(
+          s.readStream.schema(emb.schema).parquet(s"$root/src"),
+          s"$root/ix", "vec_id", "embedding", dim = 64, m = 4,
+          checkpointDir = s"$root/ckpt", compactEvery = 2)
+          .awaitTermination()
+      }
+      require(AnnIndex.servableIngests(s, s"$root/ix") ==
+          Seq("base", "batch_1", "batch_2", "batch_3"),
+        "the loop must append one partition per drop and fold {0,1} in-loop")
+      AnnIndex.serveIvfPq(AnnIndex.load(s, s"$root/ix"),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 64, m = 4, nProbe = 4, topK = 10)
+    }),
+
     // Incremental artifact refresh — l75's snapshot diff DRIVING the
     // pipeline: the previous cycle's per-doc quality scores are a
     // persisted artifact; the new cycle recomputes ONLY added+changed
@@ -1712,6 +1746,11 @@ object LlmQueries {
       // in-query requires on the probe and the physical layout
       ("l83_ann_auto_compact" -> base("l55_ivf_pq")) +
       ("l84_ann_compact_hold" -> base("l55_ivf_pq")) +
+      // l93 drives the same append/fold lifecycle through the REAL
+      // streaming loop (checkpointed AvailableNow drops, in-loop fold);
+      // the quantizers are still the 16 training vectors, so the
+      // stream-built index must serve l55's oracle verbatim
+      ("l93_stream_ann_ingest" -> base("l55_ivf_pq")) +
       // l85: the same winnowing pipeline replayed in SQL — positioned
       // 5-token grams, the minhash family's 40-bit md5 hash, min over
       // each full 4-gram window (pos 0-based on both sides; docs with
