@@ -33,6 +33,8 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> stats-refresh <storeDir> <col1,col2,...> (rebuild _filestats sidecar)
   *   Ctl <root> bloom-refresh <storeDir> <keyCol>        (rebuild _filebloom sidecar)
   *   Ctl <root> topkeys <parquetDir> <col> [k]           (skew probe: hot join/agg keys)
+  *   Ctl <root> hotvalues <parquetDir> <col> <minFreq>   (every value >= minFreq occurrences,
+  *                                       Misra-Gries-pruned — no full frequency table)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -66,7 +68,8 @@ object Ctl {
       |       Ctl <root> bands-resolve <dir> <discard|complete>
       |       Ctl <root> stats-refresh <dir> <col1,col2,...>
       |       Ctl <root> bloom-refresh <dir> <keyCol>
-      |       Ctl <root> topkeys <dir> <col> [k]""".stripMargin
+      |       Ctl <root> topkeys <dir> <col> [k]
+      |       Ctl <root> hotvalues <dir> <col> <minFreq>""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -258,6 +261,26 @@ object Ctl {
             .limit(k))
         }
       }
+    // topkeys ranks the top-k by full groupBy; hotvalues answers the
+    // THRESHOLD question ("everything over N occurrences") through the
+    // Misra–Gries candidate pass — at corpus scale the full frequency
+    // table is exactly what an ops probe can't afford, and the sketch
+    // path never shuffles the raw values (x30's graded plan).
+    case ("hotvalues", dir :: colName :: minFreqS :: Nil) =>
+      minFreqS.toLongOption.filter(_ >= 1)
+        .toRight(s"minFreq must be a positive integer, got '$minFreqS'")
+        .flatMap { minFreq =>
+          attempt {
+            import org.apache.spark.sql.functions.col
+            val (hh, dec) = graft.operators.Frequency.heavyHitters(
+              spark.read.parquet(s"$root/$dir"), colName, minFreq)
+            val path = if (dec.sketched)
+              s"sketched (m=${dec.counters}, candidates=${dec.candidates})"
+            else "exact groupBy (counter budget over ceiling)"
+            s"path: $path over ${dec.totalRows} rows\n" +
+              showRows(hh.orderBy(col("freq").desc, col(colName)))
+          }
+        }
     case _ =>
       Left(s"unknown command or arguments: $cmd ${rest.mkString(" ")}")
   }

@@ -233,4 +233,26 @@ class OpsSpec extends AnyFunSuite {
     // bad column takes the usage path, not a stack trace
     assert(graft.Ctl.run(spark, root, "topkeys", Array("events", "no_such_col")).isLeft)
   }
+
+  test("Ctl hotvalues answers the threshold question through the MG sketch path") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ctl_hotv").toString
+    // 600 hot + 300 warm + scattered cold: minFreq 200 keeps exactly two
+    spark.range(1000).select(
+        when(col("id") < 600, lit("hot"))
+          .when(col("id") < 900, lit("warm"))
+          .otherwise(concat(lit("k"), col("id") % 40)).as("user"))
+      .write.parquet(s"$root/events")
+    val out = graft.Ctl.run(spark, root, "hotvalues", Array("events", "user", "200"))
+    assert(out.isRight, out.toString)
+    val text = out.toOption.get
+    assert(text.startsWith("path: sketched"), text.linesIterator.next())
+    val lines = text.split("\n")
+    assert(lines.length == 4, text) // path line + header + 2 rows
+    assert(lines(2).contains("hot") && lines(2).contains("600"))
+    assert(lines(3).contains("warm") && lines(3).contains("300"))
+    // malformed threshold and bad column both take the usage path
+    assert(graft.Ctl.run(spark, root, "hotvalues", Array("events", "user", "zero")).isLeft)
+    assert(graft.Ctl.run(spark, root, "hotvalues", Array("events", "no_col", "5")).isLeft)
+  }
 }
