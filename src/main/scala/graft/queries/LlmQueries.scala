@@ -1501,6 +1501,19 @@ object LlmQueries {
         .orderBy(col("new_id"), col("seen_id"))
     }),
 
+    // Containment-scored span pairs — the asymmetric verdict the
+    // symmetric scores miss: a short document copied whole into a long
+    // one shares ALL its fingerprints (containment 1.0) while its
+    // Jaccard dilutes toward |short|/|long|; crawl dedup kills such
+    // subset-copies on containment, not Jaccard. n_shared over the
+    // SMALLER doc's fingerprint count (Broder containment, oriented at
+    // the likelier copy), one IEEE division on exact integer inputs.
+    "l96_winnow_containment" -> ((s, dir) => {
+      Dedup.winnowContainmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4, minContainment = 0.8)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
     // third document carries the injected license suffix (one
     // guaranteed common fingerprint), so at EVERY turn the accumulated
@@ -1969,6 +1982,33 @@ object LlmQueries {
       // in the LATER doc_id%4 drop is the prober (new_id), the earlier
       // one is the seen corpus; same-drop pairs are never probed
       ("l92_stream_winnow" -> streamWinnowSql) +
+      // l96: the winnow pair join with per-doc fingerprint counts and
+      // the containment division replayed — exact BIGINT inputs, one
+      // correctly-rounded division per pair on both engines
+      ("l96_winnow_containment" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |              FROM documents),
+          |g AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |wm AS (SELECT doc_id, pos, ng,
+          |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |       FROM g),
+          |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+          |        WHERE pos <= greatest(ng-4, 0)),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+          |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+          |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2)
+          |SELECT da, db, n_shared,
+          |  CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) AS containment
+          |FROM pr JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          |WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.8
+          |ORDER BY da, db""".stripMargin) +
       // l95 arms the cap on the natural corpus: every turn's df stays
       // under the ceiling (prefix df <= full-corpus df <= 4), the
       // probe is a no-op, so the contract is l92's uncapped oracle

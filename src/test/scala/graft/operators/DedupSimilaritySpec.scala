@@ -188,6 +188,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(loneGot == 0, "a lone fingerprint coincidence must die at minFps=2")
   }
 
+  test("winnowContainmentPairs scores subset-copies at 1.0 where jaccard dilutes") {
+    // doc 4 is doc 3's 12-token core copied WHOLE into 24 tokens of
+    // fresh text: every fingerprint of 3 appears in 4 → containment
+    // 1.0, while shingle-jaccard dilutes toward ~1/3
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")
+    val pad = (1 to 24).map(i => s"p$i").mkString(" ")
+    val d = docs((3L, core), (4L, s"$pad $core"), (5L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+    val got = Dedup.winnowContainmentPairs(d, "doc_id", "text",
+        k = 3, w = 2, minContainment = 0.9)
+      .select($"da", $"db", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._1 == 3L && got.head._2 == 4L &&
+      got.head._3 == 1.0,
+      s"the whole-copy must score containment 1.0 and nothing else pairs: ${got.mkString(";")}")
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.0)
+      .filter($"da" === 3L && $"db" === 4L)
+      .select($"jaccard").as[Double].collect().head
+    assert(jac < 0.5, s"jaccard must dilute on the subset-copy, got $jac")
+  }
+
   test("connected components collapse transitive near-dup chains into one group") {
     // chain 1-2-3 (1~3 never paired directly) + island 5-6 + 7-8 via 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 9L), (8L, 9L))
