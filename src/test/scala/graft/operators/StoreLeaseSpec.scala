@@ -53,7 +53,7 @@ class StoreLeaseSpec extends AnyFunSuite {
       val results =
         new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, StoreLease.Held]]()
       val gate = new java.util.concurrent.CountDownLatch(1)
-      val racers = (1 to 2).map { t =>
+      val racers = (1 to 3).map { t =>
         new Thread(() => {
           gate.await()
           results.add(
