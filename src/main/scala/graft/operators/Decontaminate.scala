@@ -200,4 +200,59 @@ object Decontaminate {
       .select(col(id))
     train.join(clean, Seq(id), "left_semi")
   }
+
+  /** SPAN-level decontamination — the exact-substring complement of the
+    * n-gram (`overlapStats`) and embedding (`semanticOverlapStats`)
+    * checks, completing the triad: a benchmark passage quoted verbatim
+    * inside a long training document barely moves the doc's n-gram
+    * overlap FRACTION (the quote is a sliver of a big doc) and its
+    * embedding not at all, but winnowing guarantees any shared token
+    * run of length >= k + w - 1 lands at least one IDENTICAL
+    * fingerprint in both documents (Schleimer et al., SIGMOD'03). Per
+    * train doc: its fingerprint count, how many of those fingerprints
+    * the eval corpus also selected, and `contaminated` = n_overlap >=
+    * `minShared` (an ABSOLUTE evidence count, not a fraction — one
+    * copied benchmark item is leakage no matter how long the training
+    * doc is; >= 2 kills single-fingerprint hash coincidences).
+    *
+    * Scale shape mirrors `overlapStats`: the eval side is
+    * benchmark-sized against a 100 TB corpus, so its distinct
+    * fingerprint set (~|eval grams|/w rows of one BIGINT) broadcasts
+    * and the whole check is ONE pass over the train fingerprints —
+    * a broadcast left join marking hits, then a single groupBy(id)
+    * for both counts. Train text never shuffles (winnowing emits
+    * 16-byte (id, fp) rows); with a huge eval side the same plan
+    * degrades to a shuffle-on-fp join by dropping the hint. Docs with
+    * fewer than k tokens select no fingerprints — they surface with
+    * n_fp = 0, clean (nothing to leak), never silently dropped. */
+  def spanOverlapStats(train: DataFrame, eval: DataFrame, id: String,
+                       text: String, k: Int, w: Int,
+                       minShared: Long): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val trainFp = Dedup.winnowFingerprints(train, id, text, k, w)
+    val evalFp = Dedup.winnowFingerprints(eval, id, text, k, w)
+      .select(col("fp")).distinct()
+    val stats = trainFp
+      .join(broadcast(evalFp.withColumn("hit", lit(1))), Seq("fp"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_overlap"))
+    train.select(col(id))
+      .join(stats, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  /** The filtering form of the span check — train rows sharing fewer
+    * than `minShared` winnow fingerprints with the eval corpus,
+    * metadata intact. Same broadcast join shape. */
+  def spanDecontaminate(train: DataFrame, eval: DataFrame, id: String,
+                        text: String, k: Int, w: Int,
+                        minShared: Long): DataFrame = {
+    val clean = spanOverlapStats(train, eval, id, text, k, w, minShared)
+      .filter(!col("contaminated"))
+      .select(col(id))
+    train.join(clean, Seq(id), "left_semi")
+  }
 }

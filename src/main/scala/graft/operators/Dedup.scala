@@ -829,6 +829,42 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Containment KEEP-BEST — the action l96's verdict exists for:
+    * collapse subset-copies by dropping, from every pair with
+    * containment >= `minContainment`, the CONTAINED side (the doc with
+    * the smaller fingerprint set — the likelier copy; on equal counts
+    * the larger id dies, so the earlier-crawled doc survives, the same
+    * deterministic keep rule as `dedupExact`). Survivors are returned
+    * with all input columns intact via one anti-join on the distinct
+    * contained-id set. A container that is itself contained in a yet
+    * larger doc still dies — contained-ness is evidence the content
+    * lives elsewhere, independent of what happens to the container
+    * (the same non-transitive drop rule as the minhash keep-best's
+    * per-pair verdicts before grouping).
+    *
+    * Scale shape: the pair join is the bucketed fingerprint self-join
+    * (never all-pairs; cap hot buckets upstream on a real crawl), the
+    * contained set is |pairs|-bounded and distinct, and the final
+    * anti-join shuffles only (id) against it — document text never
+    * moves until the survivors are written. */
+  def containmentDedup(docs: DataFrame, id: String, text: String,
+                       k: Int, w: Int,
+                       minContainment: Double): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val fps = winnowFingerprints(docs, id, text, k, w)
+    val cnt = fps.groupBy(col(id)).agg(count(lit(1)).as("n_fp"))
+    val contained = sharedFpPairs(fps, id, minShared = 1L)
+      .join(cnt.select(col(id).as("da"), col("n_fp").as("na")), "da")
+      .join(cnt.select(col(id).as("db"), col("n_fp").as("nb")), "db")
+      .filter(col("n_shared").cast("double") / least(col("na"), col("nb"))
+        >= minContainment)
+      .select(when(col("na") < col("nb"), col("da"))
+        .otherwise(col("db")).as(id))
+      .distinct()
+    docs.join(contained, Seq(id), "left_anti")
+  }
+
   private def sharedFpPairs(fps: DataFrame, id: String,
                             minShared: Long): DataFrame =
     fps.as("a").join(fps.as("b"),

@@ -1514,6 +1514,50 @@ object LlmQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // Containment KEEP-BEST — l96's verdict turned into the action a
+    // crawl pipeline takes: from every pair at containment >= 0.8 the
+    // CONTAINED side dies (smaller fingerprint set = the likelier
+    // copy; equal counts drop the larger id, keeping the earlier
+    // crawl). Survivors keep their metadata via one anti-join on the
+    // distinct contained-id set — text never moves until the write.
+    "l97_containment_dedup" -> ((s, dir) => {
+      Dedup.containmentDedup(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4, minContainment = 0.8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SPAN-level decontamination — the exact-substring leg the n-gram
+    // (l28) / bloom (l47) / semantic (l73) checks miss: a benchmark
+    // item quoted verbatim inside a LONG training doc barely moves the
+    // doc's n-gram overlap FRACTION, but winnowing guarantees any
+    // shared run >= k+w-1 tokens lands an identical fingerprint in
+    // both corpora. Flag = an ABSOLUTE evidence count (n_overlap >= 2),
+    // not a fraction — one copied benchmark item is leakage no matter
+    // how long the training doc is. Eval fp set broadcasts (benchmarks
+    // are MBs against 100 TB); one pass over the train fingerprints.
+    "l98_span_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.spanOverlapStats(
+          train = docs.filter(col("doc_id") % 50 =!= 0),
+          eval = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 5, w = 4, minShared = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The span check's FILTERING form — what the pipeline writes out:
+    // train rows sharing fewer than 2 winnow fingerprints with the
+    // benchmark corpus, metadata intact. Same broadcast join shape.
+    "l99_span_decontaminate_filter" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.spanDecontaminate(
+          train = docs.filter(col("doc_id") % 50 =!= 0),
+          eval = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 5, w = 4, minShared = 2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
     // third document carries the injected license suffix (one
     // guaranteed common fingerprint), so at EVERY turn the accumulated
@@ -1826,6 +1870,43 @@ object LlmQueries {
       |FROM pr WHERE da % 4 <> db % 4 AND n_shared >= 2
       |ORDER BY new_id, seen_id""".stripMargin
 
+  /** Shared train/eval winnow CTE chain for the span-decontamination
+    * pair (l98 stats / l99 filter): the l85 winnowing replay run on
+    * BOTH sides of the doc_id % 50 benchmark split, ending in `tfp`
+    * (train (doc_id, fp)), `efp` (the eval corpus's distinct
+    * fingerprints) and `hits` (per-train-doc overlap counts). */
+  private val spanDecontamCtes: String =
+    """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |ttk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM tr),
+      |tg AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM ttk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |twm AS (SELECT doc_id, pos, ng,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM tg),
+      |tfp AS (SELECT DISTINCT doc_id, fp FROM twm
+      |        WHERE pos <= greatest(ng-4, 0)),
+      |etk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM ev),
+      |eg AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM etk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |ewm AS (SELECT doc_id, pos, ng,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM eg),
+      |efp AS (SELECT DISTINCT fp FROM ewm
+      |        WHERE pos <= greatest(ng-4, 0)),
+      |hits AS (SELECT t.doc_id, COUNT(*) AS n_overlap
+      |         FROM tfp t JOIN efp e USING (fp) GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // l62 serves from the PERSISTED index; floats round-trip parquet
@@ -2058,6 +2139,58 @@ object LlmQueries {
           |  CAST(new_id % 4 AS BIGINT) AS ingest_batch
           |FROM pr WHERE n_shared >= 2
           |ORDER BY new_id, seen_id""".stripMargin) +
+      // l97: the l96 containment pipeline extended with the keep-best
+      // action replayed — per pair at containment >= 0.8 the smaller
+      // fingerprint set is the contained side (ties drop the larger
+      // id), the distinct contained set anti-joins the corpus
+      ("l97_containment_dedup" ->
+        """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          |              FROM documents),
+          |g AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM toks, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |wm AS (SELECT doc_id, pos, ng,
+          |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |       FROM g),
+          |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+          |        WHERE pos <= greatest(ng-4, 0)),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+          |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+          |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2),
+          |contained AS (SELECT DISTINCT
+          |    CASE WHEN ca.n_fp < cb.n_fp THEN da ELSE db END AS doc_id
+          |  FROM pr JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          |  WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.8)
+          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+          |WHERE d.doc_id NOT IN (SELECT doc_id FROM contained)
+          |ORDER BY doc_id""".stripMargin) +
+      // l98: the winnowing replay on both sides of the benchmark
+      // split; per train doc its fingerprint count and how many of
+      // those the eval corpus also selected; flag = absolute evidence
+      // count >= 2 (docs under k tokens surface with n_fp 0, clean)
+      ("l98_span_decontaminate" -> (spanDecontamCtes +
+        """,
+          |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM tfp GROUP BY 1)
+          |SELECT tr.doc_id,
+          |  COALESCE(cnt.n_fp, 0) AS n_fp,
+          |  COALESCE(hits.n_overlap, 0) AS n_overlap,
+          |  COALESCE(hits.n_overlap, 0) >= 2 AS contaminated
+          |FROM tr LEFT JOIN cnt ON cnt.doc_id = tr.doc_id
+          |        LEFT JOIN hits ON hits.doc_id = tr.doc_id
+          |ORDER BY tr.doc_id""".stripMargin)) +
+      // l99: the filtering form — train rows below the evidence
+      // threshold, metadata intact
+      ("l99_span_decontaminate_filter" -> (spanDecontamCtes +
+        """
+          |SELECT d.doc_id, d.lang, d.n_chars
+          |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+          |WHERE d.doc_id % 50 <> 0 AND COALESCE(h.n_overlap, 0) < 2
+          |ORDER BY d.doc_id""".stripMargin)) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

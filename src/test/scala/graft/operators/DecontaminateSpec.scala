@@ -163,4 +163,33 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept.columns.toSeq == Seq("vec_id", "embedding", "extra"))
     assert(kept.select("vec_id").as[Long].collect().toSet == Set(2L, 3L))
   }
+
+  test("span check: a verbatim quoted run flags; fresh and sub-k docs stay clean") {
+    val eval = df((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"))
+    val train = df(
+      (1L, "t1 t2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 t3 t4"), // quotes the benchmark whole
+      (2L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"), // fresh text, same length
+      (3L, "s1 s2")) // under k tokens: no grams at all
+    val out = Decontaminate.spanOverlapStats(train, eval, "doc_id", "text",
+        k = 3, w = 2, minShared = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect()
+    assert(out(0)._3 >= 2 && out(0)._4,
+      s"the verbatim quote must land >= 2 shared fingerprints: ${out(0)}")
+    assert(out(1)._2 > 0 && out(1)._3 == 0 && !out(1)._4,
+      s"fresh text must share nothing: ${out(1)}")
+    assert(out(2) == ((3L, 0L, 0L, false)),
+      s"a sub-k doc has nothing to leak: ${out(2)}")
+  }
+
+  test("spanDecontaminate keeps exactly the clean rows with original columns") {
+    val eval = df((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"))
+    val train = df(
+      (1L, "t1 t2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 t3 t4"),
+      (2L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"))
+      .withColumn("extra", col("doc_id") * 10)
+    val kept = Decontaminate.spanDecontaminate(train, eval, "doc_id", "text",
+      k = 3, w = 2, minShared = 2)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "extra"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
 }

@@ -208,6 +208,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(jac < 0.5, s"jaccard must dilute on the subset-copy, got $jac")
   }
 
+  test("containmentDedup drops the contained side, keeps container and bystanders") {
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")
+    val pad = (1 to 24).map(i => s"p$i").mkString(" ")
+    val d = docs((3L, core), (4L, s"$pad $core"),
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+    val kept = Dedup.containmentDedup(d, "doc_id", "text",
+      k = 3, w = 2, minContainment = 0.9)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"),
+      "survivors must keep every input column")
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(4L, 5L),
+      "the contained core dies, the container and the bystander survive")
+  }
+
+  test("containmentDedup tie rule: identical docs keep the smaller id") {
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")
+    val d = docs((9L, core), (7L, core))
+    val kept = Dedup.containmentDedup(d, "doc_id", "text",
+        k = 3, w = 2, minContainment = 0.9)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(7L),
+      s"equal fingerprint counts must drop the larger id, got $kept")
+  }
+
   test("connected components collapse transitive near-dup chains into one group") {
     // chain 1-2-3 (1~3 never paired directly) + island 5-6 + 7-8 via 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 9L), (8L, 9L))
