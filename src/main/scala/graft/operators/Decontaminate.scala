@@ -244,6 +244,39 @@ object Decontaminate {
         (coalesce(col("n_overlap"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** The LEAK-SPAN report — not just WHO leaked (`spanOverlapStats`)
+    * but WHERE: for every (train doc, eval doc) pair, the maximal
+    * contiguous token intervals their positioned winnow selections
+    * align on. A verbatim quoted region puts its selected fingerprints
+    * on ONE dot-plot diagonal (train_pos − eval_pos constant), so the
+    * same diagonal/island merge the MOSS-style intra-corpus report
+    * uses (`Dedup.winnowMatchedIntervals`) draws the line "tokens
+    * t_start–t_end of the training doc match tokens e_start–e_end of
+    * the benchmark" — the evidence a curation reviewer needs to
+    * confirm a flag, and the offsets a surgical span-REDACTION (rather
+    * than whole-doc drop) would cut.
+    *
+    * Scale shape: the eval side's positioned selections broadcast
+    * (benchmark-sized), the match join is per-fingerprint, and the
+    * island merge is one pair-local window partitioned by
+    * (train, eval, diagonal) — nothing funnels, train text never
+    * shuffles. */
+  def spanLeakReport(train: DataFrame, eval: DataFrame, id: String,
+                     text: String, k: Int, w: Int, maxGap: Int,
+                     minFps: Long): DataFrame = {
+    val ts = Dedup.winnowSpans(train, id, text, k, w)
+    val es = Dedup.winnowSpans(eval, id, text, k, w)
+    val offsets = ts.as("t").join(broadcast(es.as("e")),
+        col("t.fp") === col("e.fp"))
+      .select(col(s"t.$id").as("da"), col(s"e.$id").as("db"),
+        col("t.spos").as("pa"), col("e.spos").as("pb"))
+    Dedup.mergeDiagonalIslands(offsets, k, maxGap, minFps)
+      .select(col("da").as("train_id"), col("db").as("eval_id"),
+        col("a_start").as("t_start"), col("a_end").as("t_end"),
+        col("b_start").as("e_start"), col("b_end").as("e_end"),
+        col("n_fps"))
+  }
+
   /** The filtering form of the span check — train rows sharing fewer
     * than `minShared` winnow fingerprints with the eval corpus,
     * metadata intact. Same broadcast join shape. */

@@ -768,13 +768,25 @@ object Dedup {
     * the window key inherits the pair join's distribution. */
   def winnowMatchedIntervals(docs: DataFrame, id: String, text: String,
                              k: Int, w: Int, maxGap: Int,
-                             minFps: Long): DataFrame = {
+                             minFps: Long): DataFrame =
+    mergeDiagonalIslands(winnowedSpanOffsets(docs, id, text, k, w),
+      k, maxGap, minFps)
+
+  /** The diagonal/island merge shared by `winnowMatchedIntervals`
+    * (self-join offsets) and the cross-corpus leak report
+    * (`Decontaminate.spanLeakReport`): expects (da, db, pa, pb)
+    * matched-position rows, returns maximal matched intervals per
+    * pair. One pair-local window partitioned by (da, db, diagonal) —
+    * never wider than a pair's match list. */
+  private[operators] def mergeDiagonalIslands(offsets: DataFrame, k: Int,
+                                              maxGap: Int,
+                                              minFps: Long): DataFrame = {
     require(maxGap >= 1, s"maxGap must be positive, got $maxGap")
     val ord = org.apache.spark.sql.expressions.Window
       .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
     val run = ord.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    winnowedSpanOffsets(docs, id, text, k, w)
+    offsets
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("brk",
         when(col("pa") - lag(col("pa"), 1).over(ord) <= maxGap, lit(0))

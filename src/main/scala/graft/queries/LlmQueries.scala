@@ -1558,6 +1558,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The LEAK-SPAN report — l98 says WHO leaked, this says WHERE:
+    // per (train doc, eval doc) pair, the maximal token intervals
+    // their positioned winnow selections align on (one dot-plot
+    // diagonal per verbatim quote) — the evidence a reviewer reads to
+    // confirm a flag, and the offsets a span-level redaction would
+    // cut. Eval selections broadcast; one pair-local island window.
+    "l100_leak_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.spanLeakReport(
+          train = docs.filter(col("doc_id") % 50 =!= 0),
+          eval = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 5, w = 4, maxGap = 8, minFps = 2)
+        .orderBy(col("train_id"), col("eval_id"),
+          col("t_start"), col("e_start"))
+    }),
+
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
     // third document carries the injected license suffix (one
     // guaranteed common fingerprint), so at EVERY turn the accumulated
@@ -2191,6 +2207,56 @@ object LlmQueries {
           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
           |WHERE d.doc_id % 50 <> 0 AND COALESCE(h.n_overlap, 0) < 2
           |ORDER BY d.doc_id""".stripMargin)) +
+      // l100: the l91 positioned-selection + diagonal/island chain run
+      // on both sides of the benchmark split — the same struct-min
+      // (argmin-by-hash, rightmost tie) replay, matches joined
+      // cross-corpus, islands merged per (pair, diagonal)
+      ("l100_leak_spans" ->
+        """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+          |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+          |ttk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM tr),
+          |tg AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM ttk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |twm AS (SELECT doc_id, pos, ng,
+          |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          |       FROM tg),
+          |tsel AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
+          |           sel.h AS fp
+          |         FROM twm WHERE pos <= greatest(ng-4, 0)),
+          |etk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM ev),
+          |eg AS (SELECT doc_id, i-1 AS pos,
+          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+          |          AS BIGINT) AS h,
+          |        len(ws)-4 AS ng
+          |      FROM etk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+          |      WHERE len(ws) >= 5),
+          |ewm AS (SELECT doc_id, pos, ng,
+          |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          |       FROM eg),
+          |esel AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
+          |           sel.h AS fp
+          |         FROM ewm WHERE pos <= greatest(ng-4, 0)),
+          |m AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+          |        t.spos AS pa, e.spos AS pb, t.spos - e.spos AS diag
+          |      FROM tsel t JOIN esel e ON t.fp = e.fp),
+          |br AS (SELECT *, CASE WHEN pa - LAG(pa) OVER (PARTITION BY train_id,
+          |                        eval_id, diag ORDER BY pa) <= 8
+          |                      THEN 0 ELSE 1 END AS brk FROM m),
+          |isl AS (SELECT *, SUM(brk) OVER (PARTITION BY train_id, eval_id, diag
+          |          ORDER BY pa
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          |        FROM br)
+          |SELECT train_id, eval_id, MIN(pa) AS t_start, MAX(pa)+4 AS t_end,
+          |  MIN(pb) AS e_start, MAX(pb)+4 AS e_end,
+          |  CAST(COUNT(*) AS BIGINT) AS n_fps
+          |FROM isl GROUP BY train_id, eval_id, diag, isl HAVING COUNT(*) >= 2
+          |ORDER BY train_id, eval_id, t_start, e_start""".stripMargin) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

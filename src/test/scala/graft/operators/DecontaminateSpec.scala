@@ -181,6 +181,24 @@ class DecontaminateSpec extends AnyFunSuite {
       s"a sub-k doc has nothing to leak: ${out(2)}")
   }
 
+  test("spanLeakReport draws the quoted interval at the right offsets on one diagonal") {
+    val eval = df((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"))
+    val train = df(
+      (1L, "t1 t2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 t3 t4"), // quote at token offsets 2..11
+      (2L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"))
+    val out = Decontaminate.spanLeakReport(train, eval, "doc_id", "text",
+        k = 3, w = 2, maxGap = 4, minFps = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1, s"exactly the quoted pair must report: ${out.mkString(";")}")
+    val (tid, eid, ts, te, es, ee, n) = out.head
+    assert(tid == 1L && eid == 100L && n >= 2)
+    // the quote sits 2 tokens into the train doc: the matched interval
+    // must sit on the diag-2 diagonal, inside both docs' quoted region
+    assert(ts - es == 2 && te - ee == 2,
+      s"interval must align on the +2 diagonal: ($ts,$te) vs ($es,$ee)")
+    assert(ts >= 2 && te <= 13 && es >= 0 && ee <= 11)
+  }
+
   test("spanDecontaminate keeps exactly the clean rows with original columns") {
     val eval = df((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"))
     val train = df(
