@@ -277,6 +277,47 @@ object Decontaminate {
         col("n_fps"))
   }
 
+  /** Span REDACTION — the surgical alternative to dropping a whole
+    * training doc for one quoted benchmark passage: cut exactly the
+    * leaked token intervals `spanLeakReport` found and keep the rest
+    * (the "remove the duplicated substring, not the document" move of
+    * exact-substring dedup, applied to contamination). Returns
+    * (id, text, n_cut): the text rebuilt from its surviving tokens,
+    * and how many tokens were cut. BOTH branches rebuild with single
+    * spaces (the same `\S+` token stream winnowing hashes), so
+    * redacted and untouched docs are canonicalized identically and
+    * the output is reproducible in any engine.
+    *
+    * Scale shape: the cut list is leak-sized (tiny — it broadcasts),
+    * and the cutting itself is expression-level over the doc's own
+    * token array (a codegen'd higher-order filter against the doc's
+    * broadcast intervals) — the token stream never shuffles, no
+    * explode, no re-aggregation. Fingerprint-derived intervals can
+    * shave a few boundary tokens short of the true quote (the gram
+    * straddling the edge exists in only one corpus — inherent to any
+    * fingerprint span report); widen `maxGap`/lower `minFps` for
+    * recall, or drop the doc via `spanDecontaminate` when any leak is
+    * disqualifying. */
+  def spanRedact(train: DataFrame, eval: DataFrame, id: String,
+                 text: String, k: Int, w: Int, maxGap: Int,
+                 minFps: Long): DataFrame = {
+    val cuts = spanLeakReport(train, eval, id, text, k, w, maxGap, minFps)
+      .groupBy(col("train_id").as(id))
+      .agg(collect_list(struct(col("t_start").as("s"),
+        col("t_end").as("e"))).as("_cuts"))
+    train.join(broadcast(cuts), Seq(id), "left")
+      .withColumn("_cuts", coalesce(col("_cuts"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("_toks", graft.functions.TextFunctions.tokens(col(text)))
+      .withColumn("_kept", filter(col("_toks"),
+        (_, i) => !exists(col("_cuts"),
+          iv => i.cast("long") >= iv.getField("s") &&
+            i.cast("long") <= iv.getField("e"))))
+      .select(col(id),
+        array_join(col("_kept"), " ").as(text),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_cut"))
+  }
+
   /** The filtering form of the span check — train rows sharing fewer
     * than `minShared` winnow fingerprints with the eval corpus,
     * metadata intact. Same broadcast join shape. */

@@ -1574,6 +1574,22 @@ object LlmQueries {
           col("t_start"), col("e_start"))
     }),
 
+    // Span REDACTION — cut exactly the leaked intervals and keep the
+    // doc (the "remove the duplicated substring, not the document"
+    // move applied to contamination). The cut list broadcasts and the
+    // cutting is a codegen'd higher-order filter over each doc's own
+    // token array: no explode, no token shuffle, no re-aggregation.
+    // Both branches rebuild from the \S+ token stream with single
+    // spaces, so the output is engine-reproducible byte for byte.
+    "l101_span_redact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.spanRedact(
+          train = docs.filter(col("doc_id") % 50 =!= 0),
+          eval = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 5, w = 4, maxGap = 8, minFps = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
     // third document carries the injected license suffix (one
     // guaranteed common fingerprint), so at EVERY turn the accumulated
@@ -1923,6 +1939,53 @@ object LlmQueries {
       |hits AS (SELECT t.doc_id, COUNT(*) AS n_overlap
       |         FROM tfp t JOIN efp e USING (fp) GROUP BY 1)""".stripMargin
 
+  /** Shared POSITIONED two-corpus winnow chain for the leak-span pair
+    * (l100 report / l101 redaction): the l91 struct-min selection
+    * (argmin-by-hash, rightmost tie) replayed on both sides of the
+    * doc_id % 50 benchmark split, matches joined cross-corpus, island
+    * breaks computed per (pair, diagonal) — ends at `isl`. */
+  private val leakSpanCtes: String =
+    """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |ttk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM tr),
+      |tg AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM ttk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |twm AS (SELECT doc_id, pos, ng,
+      |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |       FROM tg),
+      |tsel AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
+      |           sel.h AS fp
+      |         FROM twm WHERE pos <= greatest(ng-4, 0)),
+      |etk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM ev),
+      |eg AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM etk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |ewm AS (SELECT doc_id, pos, ng,
+      |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |       FROM eg),
+      |esel AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
+      |           sel.h AS fp
+      |         FROM ewm WHERE pos <= greatest(ng-4, 0)),
+      |m AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+      |        t.spos AS pa, e.spos AS pb, t.spos - e.spos AS diag
+      |      FROM tsel t JOIN esel e ON t.fp = e.fp),
+      |br AS (SELECT *, CASE WHEN pa - LAG(pa) OVER (PARTITION BY train_id,
+      |                        eval_id, diag ORDER BY pa) <= 8
+      |                      THEN 0 ELSE 1 END AS brk FROM m),
+      |isl AS (SELECT *, SUM(brk) OVER (PARTITION BY train_id, eval_id, diag
+      |          ORDER BY pa
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |        FROM br)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // l62 serves from the PERSISTED index; floats round-trip parquet
@@ -2211,52 +2274,40 @@ object LlmQueries {
       // on both sides of the benchmark split — the same struct-min
       // (argmin-by-hash, rightmost tie) replay, matches joined
       // cross-corpus, islands merged per (pair, diagonal)
-      ("l100_leak_spans" ->
-        """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
-          |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
-          |ttk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM tr),
-          |tg AS (SELECT doc_id, i-1 AS pos,
-          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
-          |          AS BIGINT) AS h,
-          |        len(ws)-4 AS ng
-          |      FROM ttk, UNNEST(generate_series(1, len(ws)-4)) t(i)
-          |      WHERE len(ws) >= 5),
-          |twm AS (SELECT doc_id, pos, ng,
-          |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
-          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-          |       FROM tg),
-          |tsel AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
-          |           sel.h AS fp
-          |         FROM twm WHERE pos <= greatest(ng-4, 0)),
-          |etk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM ev),
-          |eg AS (SELECT doc_id, i-1 AS pos,
-          |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
-          |          AS BIGINT) AS h,
-          |        len(ws)-4 AS ng
-          |      FROM etk, UNNEST(generate_series(1, len(ws)-4)) t(i)
-          |      WHERE len(ws) >= 5),
-          |ewm AS (SELECT doc_id, pos, ng,
-          |        MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
-          |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-          |       FROM eg),
-          |esel AS (SELECT DISTINCT doc_id, CAST(-(sel.np) AS BIGINT) AS spos,
-          |           sel.h AS fp
-          |         FROM ewm WHERE pos <= greatest(ng-4, 0)),
-          |m AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
-          |        t.spos AS pa, e.spos AS pb, t.spos - e.spos AS diag
-          |      FROM tsel t JOIN esel e ON t.fp = e.fp),
-          |br AS (SELECT *, CASE WHEN pa - LAG(pa) OVER (PARTITION BY train_id,
-          |                        eval_id, diag ORDER BY pa) <= 8
-          |                      THEN 0 ELSE 1 END AS brk FROM m),
-          |isl AS (SELECT *, SUM(brk) OVER (PARTITION BY train_id, eval_id, diag
-          |          ORDER BY pa
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-          |        FROM br)
+      ("l100_leak_spans" -> (leakSpanCtes +
+        """
           |SELECT train_id, eval_id, MIN(pa) AS t_start, MAX(pa)+4 AS t_end,
           |  MIN(pb) AS e_start, MAX(pb)+4 AS e_end,
           |  CAST(COUNT(*) AS BIGINT) AS n_fps
           |FROM isl GROUP BY train_id, eval_id, diag, isl HAVING COUNT(*) >= 2
-          |ORDER BY train_id, eval_id, t_start, e_start""".stripMargin) +
+          |ORDER BY train_id, eval_id, t_start, e_start""".stripMargin)) +
+      // l101: the same chain folded to per-train-doc cut intervals,
+      // then the redaction replayed — tokens covered by an interval
+      // removed, survivors re-joined with single spaces in position
+      // order (the canonical rebuild both engines share)
+      ("l101_span_redact" -> (leakSpanCtes +
+        """,
+          |ivals AS (SELECT train_id, MIN(pa) AS t_start, MAX(pa)+4 AS t_end
+          |          FROM isl GROUP BY train_id, eval_id, diag, isl
+          |          HAVING COUNT(*) >= 2),
+          |tk AS (SELECT doc_id, i-1 AS pos, ws[i] AS tok
+          |       FROM ttk, UNNEST(generate_series(1, len(ws))) t(i)),
+          |cov AS (SELECT DISTINCT tk.doc_id, tk.pos
+          |        FROM tk JOIN ivals c ON c.train_id = tk.doc_id
+          |         AND tk.pos BETWEEN c.t_start AND c.t_end),
+          |keep AS (SELECT tk.doc_id, tk.pos, tk.tok
+          |         FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
+          |          AND cov.pos = tk.pos
+          |         WHERE cov.pos IS NULL),
+          |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+          |          COUNT(*) AS n_keep
+          |        FROM keep GROUP BY 1),
+          |tot AS (SELECT doc_id, COUNT(*) AS n_tok FROM tk GROUP BY 1)
+          |SELECT tr.doc_id, COALESCE(agg.text, '') AS text,
+          |  COALESCE(tot.n_tok, 0) - COALESCE(agg.n_keep, 0) AS n_cut
+          |FROM tr LEFT JOIN agg ON agg.doc_id = tr.doc_id
+          |        LEFT JOIN tot ON tot.doc_id = tr.doc_id
+          |ORDER BY tr.doc_id""".stripMargin)) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

@@ -199,6 +199,31 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(ts >= 2 && te <= 13 && es >= 0 && ee <= 11)
   }
 
+  test("spanRedact cuts exactly the reported intervals; clean docs pass canonicalized") {
+    val eval = df((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"))
+    val train = df(
+      (1L, "t1 t2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 t3 t4"),
+      (2L, "f1  f2 f3 f4 f5 f6 f7 f8 f9 f10")) // double space: canonicalized
+    val cuts = Decontaminate.spanLeakReport(train, eval, "doc_id", "text",
+        k = 3, w = 2, maxGap = 4, minFps = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val out = Decontaminate.spanRedact(train, eval, "doc_id", "text",
+        k = 3, w = 2, maxGap = 4, minFps = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // doc 1: exactly the reported interval's tokens are gone
+    val toks1 = "t1 t2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 t3 t4".split(" ")
+    val cutIdx = cuts.filter(_._1 == 1L)
+      .flatMap(c => (c._3 to c._4)).toSet
+    val expect1 = toks1.zipWithIndex.collect {
+      case (t, i) if !cutIdx.contains(i.toLong) => t }.mkString(" ")
+    assert(out(0) == ((1L, expect1, cutIdx.size.toLong)),
+      s"redaction must cut exactly the reported interval: ${out(0)}")
+    assert(!out(0)._2.contains("e5"), "the quote interior must be gone")
+    assert(out(0)._2.startsWith("t1 t2") && out(0)._2.endsWith("t3 t4"))
+    // doc 2: untouched but whitespace-canonicalized, zero cut
+    assert(out(1) == ((2L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10", 0L)))
+  }
+
   test("spanDecontaminate keeps exactly the clean rows with original columns") {
     val eval = df((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"))
     val train = df(
