@@ -218,4 +218,33 @@ object TextFunctions {
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))
     )
+
+  /** Crawl-URL canonicalization — the normal form URL-level crawl dedup
+    * keys on. Applied steps, in order: drop the fragment; lowercase the
+    * scheme+authority (path/query case is significant, host case is
+    * not); strip a leading `www.`; strip the scheme's default port
+    * (`:443` for https, `:80` for http); remove `utm_*` tracking
+    * params; collapse duplicate slashes; strip the trailing slash.
+    * Pure composition of codegen'd regexp built-ins in the
+    * Java-regex ∩ RE2 subset with no capture-group backreferences, so
+    * the identical chain replays in any engine.
+    *
+    * Grammar assumption, stated: `utm_` occurs only in the query
+    * component (the pattern scans up to the next `&`); a PATH segment
+    * that starts with `utm_` and precedes a query string would be
+    * over-matched — validate/parse URLs upstream if your corpus has
+    * such paths. Distinct schemes are deliberately NOT unified
+    * (http ≠ https — same-origin only after a verified redirect). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val pfx0 = lower(regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]*", 0))
+    val rest0 = noFrag.substr(length(pfx0) + lit(1), length(noFrag))
+    val pfx1 = regexp_replace(pfx0, "://www\\.", "://")
+    val pfx = when(pfx1.startsWith("https://"), regexp_replace(pfx1, ":443$", ""))
+      .when(pfx1.startsWith("http://"), regexp_replace(pfx1, ":80$", ""))
+      .otherwise(pfx1)
+    val rest = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      rest0, "utm_[^&]*&", ""), "[?&]utm_[^&]*$", ""), "/{2,}", "/"), "/$", "")
+    concat(pfx, rest)
+  }
 }

@@ -981,4 +981,38 @@ object Dedup {
       .filter(col("jaccard") > threshold)
     (out, d)
   }
+
+  /** Blocked EDIT-DISTANCE pair matching over a value VOCABULARY — the
+    * entity-resolution primitive the hash families above can't express
+    * (a one-character typo changes every shingle containing it, but
+    * moves Levenshtein by exactly 1). Dedup the VALUES first: the
+    * vocabulary of an entity column is orders of magnitude smaller
+    * than the corpus, so pairing distinct values is the right
+    * algorithm at any scale (rows map back through an equi-join).
+    * Candidate pairs materialize only inside `blockOf(value)` blocks
+    * (the classic blocking key — by contract, pairs disagreeing on the
+    * block key are NOT reported: state the recall trade in the key
+    * choice), pre-filtered by the length-difference bound (|len a −
+    * len b| > maxDist can never be within maxDist) so the quadratic DP
+    * runs only on surviving candidates. A useless blocking key (one
+    * value shared by most of the vocabulary) is the same crawl-scale
+    * failure as a boilerplate fingerprint, and the SAME measured
+    * `capHotBuckets` probe guards it: blocks over `maxBlock` are
+    * dropped loudly with the decision returned, so callers assert
+    * which way it went. Output (va, vb, dist), va < vb. */
+  def fuzzyValuePairs(df: DataFrame, value: String, blockOf: Column => Column,
+                      maxDist: Int,
+                      maxBlock: Long): (DataFrame, HotBucketDecision) = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val vals = df.select(col(value).as("_v")).distinct()
+      .withColumn("_blk", blockOf(col("_v")))
+    val (kept, d) = capHotBuckets(vals, "_v", "_blk", maxBlock)
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a._blk") === col("b._blk") && col("a._v") < col("b._v") &&
+          abs(length(col("a._v")) - length(col("b._v"))) <= maxDist)
+      .select(col("a._v").as("va"), col("b._v").as("vb"),
+        levenshtein(col("a._v"), col("b._v")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+    (pairs, d)
+  }
 }

@@ -1590,6 +1590,56 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Blocked edit-distance matching over the part-name VOCABULARY —
+    // the entity-resolution primitive the hash families can't see (a
+    // one-character typo shifts every shingle containing it but moves
+    // Levenshtein by exactly 1; "cold bolt"/"old bolt" pair at dist 1
+    // while sharing zero 3-gram shingles). Values dedup first (the
+    // vocabulary is orders smaller than the corpus at any SF), pairs
+    // materialize only inside last-word blocks with the length-bound
+    // prefilter, and the measured hot-block guard HOLDS on the natural
+    // vocabulary (largest block 8 values <= ceiling 20, pinned).
+    "l102_fuzzy_pairs" -> ((s, dir) => {
+      val (pairs, d) = Dedup.fuzzyValuePairs(
+        Tables.load(s, dir, "part"), "p_name",
+        v => element_at(split(v, " "), -1), maxDist = 2, maxBlock = 20)
+      require(!d.capped && d.hottestDf <= 20,
+        s"l102 expects the natural vocabulary to HOLD below the cap: $d")
+      pairs.orderBy(col("va"), col("vb"))
+    }),
+
+    // Crawl-URL canonicalization. The synthetic corpus ships no URL
+    // column, so (the l68 PII precedent) four messy doc_id-derived
+    // variants are injected IDENTICALLY on both engines — shouting
+    // host + default port + fragment + utm param, clean, doubled-slash
+    // + trailing-slash + utm, and an http variant with a real query —
+    // and the canonical form is hash-graded per doc. Pure codegen'd
+    // regexp chain, no UDF, no shuffle beyond the output sort.
+    "l103_url_canonical" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injectedUrl.as("url"))
+        .withColumn("canon_url",
+          graft.functions.TextFunctions.canonicalizeUrl(col("url")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL-level crawl dedup over the canonical form — the cheapest,
+    // first dedup pass a crawl pipeline runs (before any content
+    // fingerprinting): group by canonical URL, keep the earliest
+    // doc_id. The three messy variants of each injected group collapse
+    // to ONE canonical; the http variant keeps its distinct scheme and
+    // real query param (canonicalization must not unify those). One
+    // shuffle on the canonical string.
+    "l104_url_dedup" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injectedUrl.as("url"))
+        .groupBy(graft.functions.TextFunctions.canonicalizeUrl(col("url"))
+          .as("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("canon_url"))
+    }),
+
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
     // third document carries the injected license suffix (one
     // guaranteed common fingerprint), so at EVERY turn the accumulated
@@ -1986,6 +2036,53 @@ object LlmQueries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
       |        FROM br)""".stripMargin
 
+  /** The l103/l104 injected messy URLs: four doc_id-derived variants,
+    * three of which canonicalize identically per doc_id-div-4 group.
+    * Must stay byte-identical to the SQL replay in `urlCanonCtes`. */
+  private def injectedUrl: org.apache.spark.sql.Column = {
+    val base = expr("doc_id div 4").cast("string")
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://WWW.Example.COM:443/site/"), base,
+        lit("/page?utm_source=feed#top")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://example.com/site/"), base, lit("/page")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com//site/"), base,
+          lit("/page/?utm_campaign=x")))
+      .otherwise(
+        concat(lit("http://example.com:80/site/"), base, lit("/page?ref="),
+          (col("doc_id") % 5).cast("string")))
+  }
+
+  /** The canonicalization chain replayed step for step in DuckDB (the
+    * 'g' flags mirror Spark's replace-all semantics; no capture-group
+    * backreferences, so the patterns are engine-portable). Ends at
+    * `s5` with (doc_id, url, pfx, rest). */
+  private val urlCanonCtes: String =
+    """WITH u AS (SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/site/' || CAST(doc_id // 4 AS VARCHAR) || '/page?utm_source=feed#top'
+      |      WHEN 1 THEN 'https://example.com/site/' || CAST(doc_id // 4 AS VARCHAR) || '/page'
+      |      WHEN 2 THEN 'https://example.com//site/' || CAST(doc_id // 4 AS VARCHAR) || '/page/?utm_campaign=x'
+      |      ELSE 'http://example.com:80/site/' || CAST(doc_id // 4 AS VARCHAR) || '/page?ref=' || CAST(doc_id % 5 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS nf
+      |       FROM u),
+      |s2 AS (SELECT *, lower(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*', 0)) AS pfx0
+      |       FROM s1),
+      |s3 AS (SELECT *, substring(nf, length(pfx0)+1) AS rest0,
+      |         regexp_replace(pfx0, '://www\.', '://', 'g') AS pfx1 FROM s2),
+      |s4 AS (SELECT *, CASE WHEN pfx1 LIKE 'https://%'
+      |                        THEN regexp_replace(pfx1, ':443$', '')
+      |                      WHEN pfx1 LIKE 'http://%'
+      |                        THEN regexp_replace(pfx1, ':80$', '')
+      |                      ELSE pfx1 END AS pfx FROM s3),
+      |s5 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+      |         regexp_replace(rest0, 'utm_[^&]*&', '', 'g'),
+      |         '[?&]utm_[^&]*$', '', 'g'), '/{2,}', '/', 'g'),
+      |         '/$', '', 'g') AS rest FROM s4)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // l62 serves from the PERSISTED index; floats round-trip parquet
@@ -2308,6 +2405,31 @@ object LlmQueries {
           |FROM tr LEFT JOIN agg ON agg.doc_id = tr.doc_id
           |        LEFT JOIN tot ON tot.doc_id = tr.doc_id
           |ORDER BY tr.doc_id""".stripMargin)) +
+      // l102: the same vocabulary-level blocked pipeline — distinct
+      // values, last-word block, length-bound prefilter, classic
+      // Levenshtein (identical DP in both engines)
+      ("l102_fuzzy_pairs" ->
+        """WITH v AS (SELECT DISTINCT p_name AS s FROM part),
+          |b AS (SELECT s, split_part(s, ' ', -1) AS blk FROM v)
+          |SELECT a.s AS va, b2.s AS vb,
+          |  CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
+          |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.s < b2.s
+          |WHERE abs(length(a.s) - length(b2.s)) <= 2
+          |  AND levenshtein(a.s, b2.s) <= 2
+          |ORDER BY va, vb""".stripMargin) +
+      // l103: the injected variants + canonicalization chain replayed
+      ("l103_url_canonical" -> (urlCanonCtes +
+        """
+          |SELECT doc_id, url, pfx || rest AS canon_url FROM s5
+          |ORDER BY doc_id""".stripMargin)) +
+      // l104: URL-level dedup over the canonical form — groups of >= 2,
+      // earliest doc_id kept
+      ("l104_url_dedup" -> (urlCanonCtes +
+        """
+          |SELECT pfx || rest AS canon_url, COUNT(*) AS n_docs,
+          |  MIN(doc_id) AS keep_id
+          |FROM s5 GROUP BY 1 HAVING COUNT(*) >= 2
+          |ORDER BY canon_url""".stripMargin)) +
       // l66 chains the streaming loop's persisted band store into
       // groups + retention; the store accumulated over all drops is
       // exactly the corpus band frame, so the contract is l44's batch

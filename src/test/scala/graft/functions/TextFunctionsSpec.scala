@@ -101,4 +101,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     val empty = row.find(_.getString(0).isEmpty).get
     assert(empty.isNullAt(empty.fieldIndex("punct_ratio"))) // null, not crash
   }
+
+  test("canonicalizeUrl: case/port/www/fragment/utm/slashes normalized, schemes kept distinct") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val cases = Seq(
+      // shouting host + default port + fragment + utm
+      "HTTPS://WWW.Example.COM:443/site/9/page?utm_source=feed#top" ->
+        "https://example.com/site/9/page",
+      // already canonical: fixed point
+      "https://example.com/site/9/page" ->
+        "https://example.com/site/9/page",
+      // doubled slash + trailing slash + lone utm param
+      "https://example.com//site/9/page/?utm_campaign=x" ->
+        "https://example.com/site/9/page",
+      // http default port stripped, REAL query param kept, scheme NOT
+      // unified with https
+      "http://example.com:80/site/9/page?ref=2" ->
+        "http://example.com/site/9/page?ref=2",
+      // interior utm removed, following param re-attached to '?'
+      "https://example.com/p?utm_a=1&id=2" -> "https://example.com/p?id=2",
+      // non-default port survives; path case is significant
+      "https://example.com:8443/API/v1" -> "https://example.com:8443/API/v1")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"expected $want, got $g") }
+  }
 }

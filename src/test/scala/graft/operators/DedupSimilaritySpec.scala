@@ -221,6 +221,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "the contained core dies, the container and the bystander survive")
   }
 
+  test("fuzzyValuePairs: typo pairs in-block, cross-block missed by contract, hot key capped") {
+    val d = docs((1L, "cold bolt"), (2L, "old bolt"), (3L, "old boat"),
+      (4L, "red widget"), (5L, "red widget")) // duplicate value: one vocab entry
+    val (pairs, dec) = Dedup.fuzzyValuePairs(d, "text",
+      v => element_at(split(v, " "), -1), maxDist = 2, maxBlock = 10)
+    val got = pairs.as[(String, String, Long)].collect().toSet
+    // "cold bolt"/"old bolt" pair at dist 1 inside block "bolt";
+    // "old boat" is dist 1 from "old bolt" but lives in block "boat" —
+    // not reported, the documented blocking recall contract
+    assert(got == Set(("cold bolt", "old bolt", 1L)), s"got $got")
+    assert(!dec.capped && dec.hottestDf == 2)
+    // a useless blocking key (every value in one block) fires the
+    // measured cap instead of going quadratic
+    val (p2, dec2) = Dedup.fuzzyValuePairs(d, "text",
+      _ => lit("k"), maxDist = 2, maxBlock = 3)
+    assert(dec2.capped && dec2.hottestDf == 4 && p2.count() == 0)
+  }
+
   test("containmentDedup tie rule: identical docs keep the smaller id") {
     val core = (1 to 12).map(i => s"c$i").mkString(" ")
     val d = docs((9L, core), (7L, core))
