@@ -1015,4 +1015,26 @@ object Dedup {
       .filter(col("dist") <= maxDist)
     (pairs, d)
   }
+
+  /** Canonical-value mapping over the fuzzy pair graph — the action
+    * entity resolution exists for: every distinct value maps to the
+    * lexicographic MINIMUM of its fuzzy cluster (transitive closure of
+    * `fuzzyValuePairs` via the same O(log n) large/small-star
+    * `connectedComponents` the dedup groups use — typo chains
+    * "a"~"b"~"c" collapse even when a and c are farther than maxDist
+    * apart), and values with no fuzzy neighbor map to themselves.
+    * Returns one (value, canonical) row per DISTINCT value — corpus
+    * rows remap through an equi-join on the value, so the quadratic
+    * work stays on the vocabulary forever. */
+  def fuzzyCanonicalize(df: DataFrame, value: String,
+                        blockOf: Column => Column, maxDist: Int,
+                        maxBlock: Long): (DataFrame, HotBucketDecision) = {
+    val (pairs, d) = fuzzyValuePairs(df, value, blockOf, maxDist, maxBlock)
+    val comps = connectedComponents(pairs, "va", "vb")
+    val out = df.select(col(value)).distinct()
+      .join(comps.select(col("id").as(value), col("rep").as("canonical")),
+        Seq(value), "left")
+      .select(col(value), coalesce(col("canonical"), col(value)).as("canonical"))
+    (out, d)
+  }
 }

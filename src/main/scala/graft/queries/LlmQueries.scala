@@ -1608,6 +1608,24 @@ object LlmQueries {
       pairs.orderBy(col("va"), col("vb"))
     }),
 
+    // Canonical-value mapping over the fuzzy graph — the action the
+    // pairs exist for: each distinct part name maps to the
+    // lexicographic min of its transitive fuzzy cluster (star-CC over
+    // the l102 pairs; typo chains collapse past maxDist), singletons
+    // to themselves; row counts ride along to show the corpus remap
+    // is one equi-join. Oracle replays the closure as a recursive CTE
+    // (the l17 pattern) over the identical pair SQL.
+    "l105_fuzzy_canonical" -> ((s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val (m, d) = Dedup.fuzzyCanonicalize(part, "p_name",
+        v => element_at(split(v, " "), -1), maxDist = 2, maxBlock = 20)
+      require(!d.capped && d.hottestDf <= 20,
+        s"l105 expects the natural vocabulary to HOLD below the cap: $d")
+      m.join(part.groupBy(col("p_name")).agg(count(lit(1)).as("n_rows")),
+          Seq("p_name"))
+        .orderBy(col("p_name"))
+    }),
+
     // Crawl-URL canonicalization. The synthetic corpus ships no URL
     // column, so (the l68 PII precedent) four messy doc_id-derived
     // variants are injected IDENTICALLY on both engines — shouting
@@ -2417,6 +2435,27 @@ object LlmQueries {
           |WHERE abs(length(a.s) - length(b2.s)) <= 2
           |  AND levenshtein(a.s, b2.s) <= 2
           |ORDER BY va, vb""".stripMargin) +
+      // l105: the l102 pair SQL + the same recursive-CTE closure the
+      // l17 oracle uses, min label per component, singletons to
+      // themselves, per-name row counts joined back
+      ("l105_fuzzy_canonical" ->
+        """WITH RECURSIVE v AS (SELECT DISTINCT p_name AS s FROM part),
+          |b AS (SELECT s, split_part(s, ' ', -1) AS blk FROM v),
+          |pairs AS (SELECT a.s AS va, b2.s AS vb
+          |          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.s < b2.s
+          |          WHERE abs(length(a.s) - length(b2.s)) <= 2
+          |            AND levenshtein(a.s, b2.s) <= 2),
+          |edges AS (SELECT va AS x, vb AS y FROM pairs
+          |          UNION SELECT vb, va FROM pairs),
+          |nodes AS (SELECT DISTINCT x AS id FROM edges),
+          |reach AS (SELECT id, id AS r FROM nodes
+          |          UNION
+          |          SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+          |lbl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+          |rc AS (SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY 1)
+          |SELECT v.s AS p_name, COALESCE(lbl.rep, v.s) AS canonical, rc.n_rows
+          |FROM v LEFT JOIN lbl ON lbl.id = v.s JOIN rc ON rc.p_name = v.s
+          |ORDER BY p_name""".stripMargin) +
       // l103: the injected variants + canonicalization chain replayed
       ("l103_url_canonical" -> (urlCanonCtes +
         """

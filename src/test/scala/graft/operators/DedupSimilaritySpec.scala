@@ -239,6 +239,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dec2.capped && dec2.hottestDf == 4 && p2.count() == 0)
   }
 
+  test("fuzzyCanonicalize: transitive typo chain collapses to min, singletons self-map") {
+    // "aold bolt" ~ "cold bolt" (1) and "cold bolt" ~ "old bolt" (1),
+    // but "aold bolt" ~ "old bolt" is dist 1 too — the point is the
+    // CLUSTER maps to one canonical even when some members pair only
+    // transitively; all share block "bolt"
+    val d = docs((1L, "aold bolt"), (2L, "cold bolt"), (3L, "old bolt"),
+      (4L, "red widget"))
+    val (m, dec) = Dedup.fuzzyCanonicalize(d, "text",
+      v => element_at(split(v, " "), -1), maxDist = 1, maxBlock = 10)
+    val got = m.as[(String, String)].collect().toMap
+    assert(!dec.capped)
+    assert(got == Map("aold bolt" -> "aold bolt", "cold bolt" -> "aold bolt",
+      "old bolt" -> "aold bolt", "red widget" -> "red widget"),
+      s"cluster must collapse to its lexicographic min: $got")
+  }
+
   test("containmentDedup tie rule: identical docs keep the smaller id") {
     val core = (1 to 12).map(i => s"c$i").mkString(" ")
     val d = docs((9L, core), (7L, core))
