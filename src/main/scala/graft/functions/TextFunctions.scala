@@ -223,18 +223,24 @@ object TextFunctions {
     * keys on. Applied steps, in order: drop the fragment; lowercase the
     * scheme+authority (path/query case is significant, host case is
     * not); strip a leading `www.`; strip the scheme's default port
-    * (`:443` for https, `:80` for http); remove `utm_*` tracking
-    * params; collapse duplicate slashes; strip the trailing slash.
-    * Pure composition of codegen'd regexp built-ins in the
-    * Java-regex ∩ RE2 subset with no capture-group backreferences, so
+    * (`:443` for https, `:80` for http); split at the first `?`, then
+    * PATH-only: collapse duplicate slashes and strip the trailing
+    * slash; QUERY-only: remove `utm_*` tracking params anchored at a
+    * separator (`?utm_...`/`&utm_...` — a param whose NAME merely
+    * contains `utm_` mid-token, or a nested-URL VALUE like
+    * `?next=page%2Futm_source`, is untouched). Pure composition of
+    * codegen'd regexp built-ins in the Java-regex ∩ RE2 subset with no
+    * capture-group backreferences (RE2 has no lookbehind, so the
+    * first-param case is its own `^\?utm_...&` rewrite instead), so
     * the identical chain replays in any engine.
     *
-    * Grammar assumption, stated: `utm_` occurs only in the query
-    * component (the pattern scans up to the next `&`); a PATH segment
-    * that starts with `utm_` and precedes a query string would be
-    * over-matched — validate/parse URLs upstream if your corpus has
-    * such paths. Distinct schemes are deliberately NOT unified
-    * (http ≠ https — same-origin only after a verified redirect). */
+    * Grammar assumptions, stated: a RAW unencoded `&utm_` inside a
+    * param value is indistinguishable from a tracking param and is
+    * removed (percent-encoded values are safe); path segments may
+    * contain `utm_` or `?`-free `&` freely — the split at the first
+    * `?` bounds every query rewrite. Distinct schemes are deliberately
+    * NOT unified (http ≠ https — same-origin only after a verified
+    * redirect). */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val pfx0 = lower(regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]*", 0))
@@ -243,8 +249,16 @@ object TextFunctions {
     val pfx = when(pfx1.startsWith("https://"), regexp_replace(pfx1, ":443$", ""))
       .when(pfx1.startsWith("http://"), regexp_replace(pfx1, ":80$", ""))
       .otherwise(pfx1)
-    val rest = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      rest0, "utm_[^&]*&", ""), "[?&]utm_[^&]*$", ""), "/{2,}", "/"), "/$", "")
-    concat(pfx, rest)
+    val qPos = instr(rest0, "?")
+    val path0 = when(qPos > 0, rest0.substr(lit(1), qPos - 1)).otherwise(rest0)
+    val qs0 = when(qPos > 0, rest0.substr(qPos, length(rest0) - qPos + 1))
+      .otherwise(lit(""))
+    val path = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "/$", "")
+    // order matters: strip interior `&utm_...` params first (handles a
+    // run of them and a trailing one), then a leading `?utm_...&` hands
+    // its `?` to the next param, then an all-utm query vanishes whole
+    val qs = regexp_replace(regexp_replace(regexp_replace(
+      qs0, "&utm_[^&]*", ""), "^\\?utm_[^&]*&", "?"), "^\\?utm_[^&]*$", "")
+    concat(pfx, path, qs)
   }
 }

@@ -855,16 +855,44 @@ object Dedup {
     * per-pair verdicts before grouping).
     *
     * Scale shape: the pair join is the bucketed fingerprint self-join
-    * (never all-pairs; cap hot buckets upstream on a real crawl), the
+    * (never all-pairs; use `containmentDedupCapped` on a real crawl —
+    * the fingerprint frame is built inside, so "cap upstream" is only
+    * actionable through that overload), the
     * contained set is |pairs|-bounded and distinct, and the final
     * anti-join shuffles only (id) against it — document text never
     * moves until the survivors are written. */
   def containmentDedup(docs: DataFrame, id: String, text: String,
                        k: Int, w: Int,
-                       minContainment: Double): DataFrame = {
+                       minContainment: Double): DataFrame =
+    containmentDedupFromFps(docs, winnowFingerprints(docs, id, text, k, w),
+      id, minContainment)
+
+  /** `containmentDedup` with the measured hot-bucket cap routed in
+    * front of the pair join — the capped form a real crawl runs: one
+    * boilerplate fingerprint (license header in 10 % of docs) makes
+    * the uncapped self-join quadratic in its bucket, exactly the
+    * failure `capHotBuckets` exists for, and the uncapped method's
+    * "cap hot buckets upstream" guidance was not actionable through
+    * its API (the fingerprint frame is built inside). Capped
+    * fingerprints are erased from the UNIVERSE (both the shared
+    * counts and the per-doc `n_fp` denominators — the
+    * `ngramJaccardPairsCapped` contract), so surviving containment
+    * scores are over the de-boilerplated fingerprint sets. With no
+    * bucket over the threshold the output is bit-identical to
+    * `containmentDedup` and only the probe aggregate is paid. */
+  def containmentDedupCapped(docs: DataFrame, id: String, text: String,
+                             k: Int, w: Int, minContainment: Double,
+                             maxDf: Long): (DataFrame, HotBucketDecision) = {
+    val (kept, d) = capHotBuckets(
+      winnowFingerprints(docs, id, text, k, w), id, "fp", maxDf)
+    (containmentDedupFromFps(docs, kept, id, minContainment), d)
+  }
+
+  private def containmentDedupFromFps(docs: DataFrame, fps: DataFrame,
+                                      id: String,
+                                      minContainment: Double): DataFrame = {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0, 1], got $minContainment")
-    val fps = winnowFingerprints(docs, id, text, k, w)
     val cnt = fps.groupBy(col(id)).agg(count(lit(1)).as("n_fp"))
     val contained = sharedFpPairs(fps, id, minShared = 1L)
       .join(cnt.select(col(id).as("da"), col("n_fp").as("na")), "da")
@@ -982,6 +1010,52 @@ object Dedup {
     (out, d)
   }
 
+  /** Distinct byte n-gram shingles of a BINARY payload column: (id, s)
+    * with `s` the 2n-char hex rendering of n consecutive payload BYTES
+    * — hex is the engine-portable byte-window device (every engine
+    * hex()es a blob identically; substring windows over the hex string
+    * at even offsets are exactly byte windows, no codecs, no charset
+    * assumptions). Closes the blob store's dedup asymmetry: sha-256
+    * identity (`Multimodal.writeBlobStore`) only collapses EXACT byte
+    * duplicates, so a re-encoded, trimmed, or header-touched payload
+    * survives as a distinct blob while the text side has seven near-dup
+    * families; these shingles feed the SAME MinHash-LSH machinery
+    * (`minhashLshPairsFromShingles`) the text families use. Reference
+    * capability generalized: idempotent content identity,
+    * `/root/reference/pspf/connectors/base.py:48-70`. */
+  def byteShingleSet(bin: DataFrame, id: String, payload: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"byte-shingle width must be >= 1, got $n")
+    bin.select(col(id), upper(hex(col(payload))).as("hx"),
+        octet_length(col(payload)).as("nb"))
+      .filter(col("nb") >= n)
+      .select(col(id), explode(transform(
+        sequence(lit(0), col("nb") - n),
+        i => col("hx").substr(i * 2 + 1, lit(n * 2)))).as("s"))
+      .distinct()
+  }
+
+  /** Byte-level near-dup pairs over binary payloads: byte-shingle
+    * MinHash-LSH candidates, exact-verified Jaccard above `threshold`,
+    * with the measured hot-bucket cap in front (a byte sequence shared
+    * by more than `maxDf` payloads — a format header, embedded
+    * boilerplate — is erased from the shingle UNIVERSE: counts and
+    * intersections both, the `ngramJaccardPairsCapped` contract, so
+    * hot-pair scores aren't systematically depressed). Same plan
+    * family as the text near-dups: shuffle on shingle/band, candidate
+    * pairs only from LSH buckets, never all-pairs; payloads themselves
+    * never shuffle (only their hex shingles do — at 100 TB of blobs,
+    * run over the pointer store's payload column per ingest shard). */
+  def byteNearDupPairs(bin: DataFrame, id: String, payload: String,
+                       n: Int, numHashes: Int, rowsPerBand: Int,
+                       threshold: Double,
+                       maxDf: Long): (DataFrame, HotBucketDecision) = {
+    val sh = byteShingleSet(bin, id, payload, n)
+    val (kept, d) = capHotBuckets(sh, id, "s", maxDf)
+    val cand = minhashLshPairsFromShingles(kept, id, numHashes, rowsPerBand)
+    (exactVerifyPairs(kept, cand, id, threshold), d)
+  }
+
   /** Blocked EDIT-DISTANCE pair matching over a value VOCABULARY — the
     * entity-resolution primitive the hash families above can't express
     * (a one-character typo changes every shingle containing it, but
@@ -1014,6 +1088,45 @@ object Dedup {
         levenshtein(col("a._v"), col("b._v")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
     (pairs, d)
+  }
+
+  /** `fuzzyValuePairs` with MULTI-PASS blocking — closes the classic
+    * single-key recall gap stated in that method's contract: one
+    * blocking key means a typo IN the key field hides its pair forever
+    * (a last-word typo changes the last-word block). Candidate (va,
+    * vb) pairs are generated under EACH key independently (each with
+    * its own measured hot-block cap and length-bound prefilter), then
+    * unioned and DEDUPLICATED BEFORE the DP, so a pair surviving two
+    * keys' blocks pays Levenshtein once. By contract, a pair
+    * disagreeing on EVERY key is still unreported — multi-pass
+    * narrows the blind spot to the intersection of the keys' blind
+    * spots (choose keys with independent failure modes: last word +
+    * first word, or a length bucket). Per-key decisions return in
+    * `blockOfs` order so callers assert each direction. Scale shape:
+    * |keys| vocabulary-sized self-joins instead of one — still never
+    * corpus-quadratic, and the union/distinct shuffles only candidate
+    * pairs (bounded by the per-block caps). */
+  def fuzzyValuePairsMultiBlock(df: DataFrame, value: String,
+                                blockOfs: Seq[Column => Column],
+                                maxDist: Int, maxBlock: Long): (DataFrame, Seq[HotBucketDecision]) = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(blockOfs.nonEmpty, "at least one blocking key is required")
+    val vals = df.select(col(value).as("_v")).distinct()
+    val perKey = blockOfs.map { bf =>
+      val (kept, d) = capHotBuckets(
+        vals.withColumn("_blk", bf(col("_v"))), "_v", "_blk", maxBlock)
+      val cand = kept.as("a").join(kept.as("b"),
+          col("a._blk") === col("b._blk") && col("a._v") < col("b._v") &&
+            abs(length(col("a._v")) - length(col("b._v"))) <= maxDist)
+        .select(col("a._v").as("va"), col("b._v").as("vb"))
+      (cand, d)
+    }
+    val cands = perKey.map(_._1).reduce(_ unionAll _).distinct()
+    val pairs = cands
+      .select(col("va"), col("vb"),
+        levenshtein(col("va"), col("vb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+    (pairs, perKey.map(_._2))
   }
 
   /** Canonical-value mapping over the fuzzy pair graph — the action

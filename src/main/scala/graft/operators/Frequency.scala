@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * join keys, boilerplate vocabulary, dominant crawl hosts — without
   * materializing the full frequency table. Reference capability: the
   * per-key hot-spot introspection the reference exposes over its logs
-  * (`/root/reference/pspf/ops/inspect.py` key histograms), generalized
-  * to the corpus columns a training pipeline actually probes.
+  * (`/root/reference/pspf/cli.py:18-55`, the `pspfctl inspect` verb's
+  * key histograms), generalized to the corpus columns a training
+  * pipeline actually probes.
   *
   * The 100 TB shape is the classic two-pass exact scheme over a
   * mergeable Misra–Gries summary (Misra & Gries '82; mergeability per
@@ -85,6 +86,27 @@ object Frequency {
       counters.keySet().iterator().asScala.map(Row(_))
     }(enc).distinct()
   }
+
+  /** One Misra–Gries insertion on an IMMUTABLE m-counter summary — the
+    * streaming counterpart of `misraGriesCandidates`' per-partition
+    * sweep, shaped for a transformWithState fold (state = the summary
+    * map, merged across micro-batches by sequential insertion, which
+    * is exactly MG over the concatenated stream). Invariants: the map
+    * never exceeds `m` entries; a key ABSENT from the summary after n
+    * insertions has true frequency <= n/m (each decrement-all step
+    * retires m+1 counts — the arriving key's and m survivors' — so at
+    * most n/(m+1) < n/m decrements ever happen). The summary is
+    * order-DEPENDENT (different arrival orders keep different
+    * non-heavy keys) but the guarantee is not, which is why every
+    * consumer must exact-confirm candidates — `streamHeavyHitters`'
+    * w15 grading rides on the superset, never on the summary itself. */
+  def mgFold(counters: Map[String, Long], key: String, m: Int): Map[String, Long] =
+    counters.get(key) match {
+      case Some(c)                     => counters.updated(key, c + 1L)
+      case None if counters.size < m   => counters.updated(key, 1L)
+      case None => counters.flatMap { case (k, c) =>
+        if (c == 1L) None else Some(k -> (c - 1L)) }
+    }
 
   /** Every key of `df(key)` occurring at least `minFreq` times, with
     * its EXACT count as `freq` — sketch-pruned when the counter budget

@@ -125,7 +125,16 @@ object StoreLease {
     * FILE's mtime when the field is missing (a racer mid-write between
     * its atomic create and its content write, or a holder that crashed
     * between the two) — fresh mtime reads as live and is refused; a
-    * torn file left by a crash expires by mtime like any stall. */
+    * torn file left by a crash expires by mtime like any stall.
+    *
+    * Asymmetry, stated: a torn lease (missing `ttlMs`) is governed by
+    * `DefaultTtlMs` REGARDLESS of the TTL the holder actually
+    * requested — a long-TTL holder that crashed mid-write becomes
+    * takeover-eligible after only the default (safe: its commit's
+    * verify fails, only its in-flight work is wasted), and a short-TTL
+    * torn lease blocks takeover for the full default. Acceptable
+    * because verify guards the commit either way; the fallback bounds
+    * liveness, not safety. */
   private def ageAndTtl(fs: FileSystem, p: Path,
                         f: Map[String, String]): (Long, Long) = {
     val acquiredAt = f.get("acquiredAtMs").map(_.toLong).getOrElse {
@@ -138,7 +147,16 @@ object StoreLease {
   }
 
   /** All standing lease generations (gen → file) and the set of
-    * generations with a published release marker. */
+    * generations with a published release marker.
+    *
+    * A bare pre-generation `<store>.lease` file (the format this
+    * rework replaced) is folded in as generation 0: during a
+    * mixed-version window — an old-code maintainer holding the bare
+    * file while a new-code maintainer arbitrates — the new acquirer
+    * must SEE that holder and refuse/TTL-arbitrate it like any
+    * standing lease, or mutual exclusion is silently lost (exactly
+    * the two-holder race the generation scheme exists to prevent).
+    * The bare file's `generation` field, if present, wins over 0. */
   private def leaseFiles(fs: FileSystem,
                          storePath: String): (Map[Long, Path], Set[Long]) = {
     val prefixPath = new Path(leasePath(storePath))
@@ -151,7 +169,12 @@ object StoreLease {
     val released = Set.newBuilder[Long]
     sts.foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(prefix)) {
+      if (n == prefixPath.getName) {
+        val g = readFields(fs, st.getPath).getOrElse(Map.empty)
+          .get("generation").filter(_.forall(_.isDigit))
+          .map(_.toLong).getOrElse(0L)
+        leases += g -> st.getPath
+      } else if (n.startsWith(prefix)) {
         val rest = n.substring(prefix.length)
         if (rest.nonEmpty && rest.forall(_.isDigit))
           leases += rest.toLong -> st.getPath

@@ -673,6 +673,97 @@ object ExtendedQueries {
       hh.orderBy(col("s"))
     }),
 
+    // STREAMING heavy hitters — x30's two-pass exact scheme carried
+    // into a real streaming query (reference capability: live hot-key
+    // introspection over a running stream, pspf/processor.py:260-281
+    // lag monitor + pspf/cli.py:18-55 inspect, generalized): the
+    // corpus arrives as four single-file drops drained as four
+    // micro-batches of ONE checkpointed query (maxFilesPerTrigger=1),
+    // each key-range's m-counter Misra–Gries summary lives in
+    // transformWithState value state and MERGES across batches by
+    // sequential insertion (= MG over the concatenated stream — the
+    // mergeability the batch operator already cites). Ranges partition
+    // the key space by hash, so ALL copies of a key land in one
+    // range's summary and the per-range MG bound (absent => freq <=
+    // n_r/m) applies to its full global count; the bound is PINNED
+    // per range after the run, then candidates exact-confirm against
+    // the broadcast set — output is EXACT and must hash-match x30's
+    // plain GROUP BY ... HAVING oracle on the same data.
+    "w15_stream_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.{tokens, shingles}
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = graft.Scratch.dir("graft_stream_hh")
+      (0 until 4).foreach { k =>
+        docs.filter(col("doc_id") % 4 === k).coalesce(1)
+          .write.mode("append").parquet(s"$root/src")
+      }
+      val nRanges = 8
+      val mBudget = 8192
+      val minFreq = 8L
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t = try {
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+        val typed = src.select(tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(explode(shingles(col("ws"), 3)).as("s"))
+          .select(pmod(hash(col("s")), lit(nRanges)).cast("int").as("r"), col("s"))
+          .as[(Int, String)]
+        val folded = graft.streaming.KeyedState
+          .runningFoldTws[Int, (Int, String), (Long, Map[String, Long])](
+            typed, _._1, (0L, Map.empty[String, Long])) {
+            case ((n, sum), (_, sh)) =>
+              (n + 1L, graft.operators.Frequency.mgFold(sum, sh, mBudget))
+          }
+        val sink = graft.Scratch.view("stream_hh_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        val q = folded.map { case (r, (n, sum)) => (r, n, sum) }
+          .toDF("r", "n_seen", "counters")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
+      }
+      // final summary per range = the monotone-max n_seen emission
+      // (update mode emits the running summary once per touched range
+      // per batch — the w8/w13 last-emission pattern)
+      // max_by, not a self-join: the memory-sink view keeps its expr
+      // ids on re-reference, so joining it against its own aggregate
+      // trips Catalyst's conflicting-attribute check
+      val fin = t.groupBy(col("r")).agg(max(col("n_seen")).as("n_fin"),
+        max_by(col("counters"), col("n_seen")).as("counters"))
+      // exactness is a THEOREM only while n_r/m < minFreq holds per
+      // range — pin it (one <= nRanges-row collect), never assume it
+      fin.select(col("r"), col("n_fin")).collect().foreach { row =>
+        require(row.getLong(1) < minFreq * mBudget,
+          s"w15 range ${row.getInt(0)} saw ${row.getLong(1)} shingles — " +
+            s"the $mBudget-counter MG summary no longer guarantees the " +
+            s"minFreq=$minFreq superset; raise mBudget or nRanges")
+      }
+      val cands = fin.select(explode(map_keys(col("counters"))).as("s")).distinct()
+      // pass 2, identical to the batch operator: exact counts
+      // restricted to the broadcast candidate superset
+      val sh = docs.select(tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(shingles(col("ws"), 3)).as("s"))
+      sh.join(broadcast(cands), Seq("s"), "left_semi")
+        .groupBy(col("s")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= minFreq)
+        .orderBy(col("s"))
+    }),
+
     // Multi-topic fan-in: union of two event streams then aggregate
     // (reference clone_with_topic fan-in, pspf/stream.py:133-150).
     "x7_union_topics" -> ((s, dir) => {
@@ -1004,5 +1095,12 @@ object ExtendedQueries {
         |      UNION ALL
         |      SELECT user_id, value FROM events WHERE event_type = 'purchase') u
         |GROUP BY user_id ORDER BY user_id""".stripMargin
-  )
+  ) match {
+    // w15 is the STREAMING path to x30's exact contract: the sketch
+    // only prunes candidates (across micro-batches instead of
+    // partitions), the counts are exact either way, so both grade
+    // against the SAME plain HAVING oracle — structurally shared, so
+    // the two can never drift apart.
+    case base => base + ("w15_stream_heavy_hitters" -> base("x30_heavy_hitters"))
+  }
 }

@@ -1658,6 +1658,67 @@ object LlmQueries {
         .orderBy(col("canon_url"))
     }),
 
+    // Byte-level blob NEAR-dup — closes the multimodal dedup asymmetry
+    // (the blob store's sha-256 identity collapses EXACT byte copies
+    // only, while the text side has seven near-dup families): payloads
+    // are the docs' UTF-8 bytes plus, for every 50th doc, an injected
+    // re-encoded variant (4-byte header prepended, two trailing chars
+    // trimmed — distinct sha-256, ~0.96+ byte-shingle Jaccard; the l68
+    // injection precedent, identical on both engines). FIRE direction:
+    // the corpus's common byte fragments are genuine byte boilerplate
+    // — 8 shingles sit above the ndocs/2 ceiling at every shipped SF —
+    // so the measured cap erases them from the universe and the
+    // near-dup verdicts ride on doc-specific bytes. The oracle replays
+    // shingling, cap, minhash family, banding, and verified Jaccard.
+    "l106_blob_neardup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bin = blobCorpus(docs)
+      val nBase = docs.count()
+      val (pairs, d) = Dedup.byteNearDupPairs(bin, "doc_id", "payload",
+        n = 8, numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+        maxDf = nBase / 2)
+      require(d.capped && d.hottestDf > nBase / 2,
+        s"l106 expects natural byte boilerplate over the ndocs/2 ceiling: $d")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
+    // HOLD direction: same corpus, ceiling at the total payload count —
+    // a document frequency can never exceed it, so the probe measures,
+    // decides NOT to cap, and the output must be bit-identical to the
+    // uncapped chain (the oracle replays the PLAIN universe).
+    "l108_blob_neardup_hold" -> ((s, dir) => {
+      val bin = blobCorpus(Tables.load(s, dir, "documents"))
+      val nAll = bin.count()
+      val (pairs, d) = Dedup.byteNearDupPairs(bin, "doc_id", "payload",
+        n = 8, numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+        maxDf = nAll)
+      require(!d.capped && d.hottestDf <= nAll,
+        s"l108 expects the corpus-size ceiling to HOLD by definition: $d")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
+    // MULTI-PASS blocking for fuzzy ER — closes l102's stated recall
+    // gap (a typo IN the last word hides the pair from the last-word
+    // key forever): every 100th part injects a variant with its LAST
+    // character dropped (a last-word typo at distance 1 — found ONLY
+    // by the first-word key), candidates union across both keys and
+    // dedup before the DP. Both keys' measured hot-block caps HOLD on
+    // this vocabulary at every shipped SF (hottest 16 <= 20), pinned.
+    "l107_fuzzy_multiblock" -> ((s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val corpus = part.select(col("p_name"))
+        .unionAll(part.filter(col("p_partkey") % 100 === 0)
+          .select(col("p_name").substr(lit(1), length(col("p_name")) - 1)
+            .as("p_name")))
+      val (pairs, ds) = Dedup.fuzzyValuePairsMultiBlock(corpus, "p_name",
+        Seq(v => element_at(split(v, " "), -1),
+            v => element_at(split(v, " "), 1)),
+        maxDist = 2, maxBlock = 20)
+      require(ds.forall(d => !d.capped && d.hottestDf <= 20),
+        s"l107 expects BOTH keys' blocks under the cap: $ds")
+      pairs.orderBy(col("va"), col("vb"))
+    }),
+
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
     // third document carries the injected license suffix (one
     // guaranteed common fingerprint), so at EVERY turn the accumulated
@@ -2054,6 +2115,67 @@ object LlmQueries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
       |        FROM br)""".stripMargin
 
+  /** The l106/l108 injected blob corpus: every doc's UTF-8 bytes as a
+    * BINARY payload plus, for every 50th doc, a re-encoded variant
+    * (id + 1,000,000) with a 4-byte header prepended and two trailing
+    * chars trimmed — a distinct sha-256 that exact blob dedup can
+    * never collapse, at ~0.96+ byte-shingle Jaccard. Must stay
+    * byte-identical to the SQL replay in `blobNearDupSql`. */
+  private def blobCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .unionAll(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("HDR|"), col("text").substr(lit(1),
+            greatest(length(col("text")) - 2, lit(0))))
+            .cast("binary").as("payload")))
+
+  /** The byte-shingle near-dup chain replayed in DuckDB: injected blob
+    * corpus, hex byte 8-grams, optional hot-bucket erase (df over
+    * ndocs/2 — the l106 FIRE universe; l108 replays the plain one),
+    * the l6 minhash family verbatim, banded candidates, verified
+    * Jaccard > 0.5. */
+  private def blobNearDupSql(capped: Boolean): String = {
+    val universe =
+      if (capped)
+        """hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY 1)
+          |        WHERE df > (SELECT COUNT(*)//2 FROM documents)),
+          |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),""".stripMargin
+      else "sh AS (SELECT * FROM sh0),"
+    s"""WITH base AS (
+       |  SELECT doc_id, encode(text) AS payload FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    encode('HDR|' || substr(text, 1, greatest(length(text)-2, 0)))
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |hx AS (SELECT doc_id, octet_length(payload) AS nb,
+       |         upper(hex(payload)) AS h FROM base),
+       |sh0 AS (SELECT DISTINCT doc_id, substr(h, i*2+1, 16) AS s
+       |        FROM hx, UNNEST(generate_series(0, nb - 8)) t(i)
+       |        WHERE nb >= 8),
+       |$universe
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |mh AS (SELECT doc_id, seed,
+       |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+       |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+       |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+       |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+       |             % 1099511627791) AS mh
+       |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, seed % 4 AS band,
+       |            array_to_string(list_sort(list(mh)), '|') AS bsig
+       |          FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c
+       |          JOIN sh a ON a.doc_id = c.da
+       |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s GROUP BY 1, 2)
+       |SELECT da, db, CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
   /** The l103/l104 injected messy URLs: four doc_id-derived variants,
     * three of which canonicalize identically per doc_id-div-4 group.
     * Must stay byte-identical to the SQL replay in `urlCanonCtes`. */
@@ -2096,10 +2218,18 @@ object LlmQueries {
       |                      WHEN pfx1 LIKE 'http://%'
       |                        THEN regexp_replace(pfx1, ':80$', '')
       |                      ELSE pfx1 END AS pfx FROM s3),
-      |s5 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
-      |         regexp_replace(rest0, 'utm_[^&]*&', '', 'g'),
-      |         '[?&]utm_[^&]*$', '', 'g'), '/{2,}', '/', 'g'),
-      |         '/$', '', 'g') AS rest FROM s4)""".stripMargin
+      |sq AS (SELECT *, strpos(rest0, '?') AS qpos FROM s4),
+      |sp AS (SELECT *,
+      |         CASE WHEN qpos > 0 THEN substring(rest0, 1, qpos - 1)
+      |              ELSE rest0 END AS path0,
+      |         CASE WHEN qpos > 0 THEN substring(rest0, qpos)
+      |              ELSE '' END AS qs0 FROM sq),
+      |s5 AS (SELECT *,
+      |         regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+      |           '/$', '', 'g')
+      |         || regexp_replace(regexp_replace(regexp_replace(qs0,
+      |              '&utm_[^&]*', '', 'g'), '^\?utm_[^&]*&', '?', 'g'),
+      |              '^\?utm_[^&]*$', '', 'g') AS rest FROM sp)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
@@ -2456,6 +2586,31 @@ object LlmQueries {
           |SELECT v.s AS p_name, COALESCE(lbl.rep, v.s) AS canonical, rc.n_rows
           |FROM v LEFT JOIN lbl ON lbl.id = v.s JOIN rc ON rc.p_name = v.s
           |ORDER BY p_name""".stripMargin) +
+      // l106/l108: the byte-shingle near-dup chain, capped and plain
+      // universes (fire and hold directions of the same operator)
+      ("l106_blob_neardup" -> blobNearDupSql(capped = true)) +
+      ("l108_blob_neardup_hold" -> blobNearDupSql(capped = false)) +
+      // l107: multi-pass blocked fuzzy ER — per-key candidates
+      // unioned, dedup'd before the DP, over the typo-injected corpus
+      ("l107_fuzzy_multiblock" ->
+        """WITH p2 AS (SELECT p_name FROM part
+          |            UNION ALL
+          |            SELECT substr(p_name, 1, length(p_name)-1)
+          |            FROM part WHERE p_partkey % 100 = 0),
+          |v AS (SELECT DISTINCT p_name AS s FROM p2),
+          |b1 AS (SELECT s, split_part(s, ' ', -1) AS blk FROM v),
+          |b2 AS (SELECT s, split_part(s, ' ', 1) AS blk FROM v),
+          |cand AS (
+          |  SELECT a.s AS va, b.s AS vb FROM b1 a
+          |  JOIN b1 b ON a.blk = b.blk AND a.s < b.s
+          |  WHERE abs(length(a.s) - length(b.s)) <= 2
+          |  UNION
+          |  SELECT a.s, b.s FROM b2 a
+          |  JOIN b2 b ON a.blk = b.blk AND a.s < b.s
+          |  WHERE abs(length(a.s) - length(b.s)) <= 2)
+          |SELECT va, vb, CAST(levenshtein(va, vb) AS BIGINT) AS dist
+          |FROM cand WHERE levenshtein(va, vb) <= 2
+          |ORDER BY va, vb""".stripMargin) +
       // l103: the injected variants + canonicalization chain replayed
       ("l103_url_canonical" -> (urlCanonCtes +
         """

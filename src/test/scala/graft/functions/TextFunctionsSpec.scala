@@ -122,7 +122,24 @@ class TextFunctionsSpec extends AnyFunSuite {
       // interior utm removed, following param re-attached to '?'
       "https://example.com/p?utm_a=1&id=2" -> "https://example.com/p?id=2",
       // non-default port survives; path case is significant
-      "https://example.com:8443/API/v1" -> "https://example.com:8443/API/v1")
+      "https://example.com:8443/API/v1" -> "https://example.com:8443/API/v1",
+      // utm removal is separator-anchored: a param NAME that merely
+      // contains utm_ mid-token is not a tracking param
+      "https://example.com/p?xutm_a=1&b=2" ->
+        "https://example.com/p?xutm_a=1&b=2",
+      // a nested-URL VALUE containing an encoded utm_ survives intact
+      "https://example.com/p?next=page%2Futm_source%3Dx&id=2" ->
+        "https://example.com/p?next=page%2Futm_source%3Dx&id=2",
+      // a run of utm params: interior strip + first-param handoff
+      "https://example.com/p?utm_a=1&utm_b=2&c=3" ->
+        "https://example.com/p?c=3",
+      // slash collapse and trailing-slash strip are PATH-only: query
+      // values keep their slashes verbatim
+      "https://example.com//a/b/?next=//x&q=a/" ->
+        "https://example.com/a/b?next=//x&q=a/",
+      // path segment named utm_x is path content, not a tracking param
+      "https://example.com/utm_x/page?id=1" ->
+        "https://example.com/utm_x/page?id=1")
     val got = cases.map(_._1).toDF("u")
       .select(TextFunctions.canonicalizeUrl(col("u"))).as[String].collect().toSeq
     cases.map(_._2).zip(got).foreach { case (want, g) =>

@@ -17,6 +17,30 @@ class DedupPropertySpec extends AnyFunSuite {
     g(Gen.Parameters.default, Seed(seed)).get
   }
 
+  test("star CC on a 10k-value typo CHAIN converges in log-bounded rounds with exact labels") {
+    // the adversarial vocabulary for fuzzyCanonicalize's closure: one
+    // maximal typo chain v0~v1~...~v9999 (every pair only adjacent) —
+    // the worst case for CC round count (diameter n, where min-label
+    // propagation would need ~n rounds). The star algorithm's contract
+    // is rounds ~ O(log n) with per-round work bounded by the edge
+    // set; a 10x chain extension may add only log-many rounds.
+    def chain(n: Int) = (0 until n - 1)
+      .map(i => (f"v$i%05d", f"v${i + 1}%05d")).toDF("va", "vb")
+    val n = 10000
+    val (labels, rounds) = Dedup.connectedComponentsStar(chain(n), "va", "vb")
+    val got = labels.as[(String, String)].collect()
+    assert(got.length == n && got.forall(_._2 == "v00000"),
+      s"every chain member must label to the lexicographic min; got ${got.length} rows")
+    val logBound = 2 * math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    assert(rounds <= logBound,
+      s"chain of $n took $rounds rounds — over the 2*log2(n)=$logBound ceiling")
+    // log GROWTH, not just a log ceiling: 10x the chain may add only a
+    // handful of rounds (log2(10) ~ 3.3, slack for halving phase)
+    val (_, rounds1k) = Dedup.connectedComponentsStar(chain(1000), "va", "vb")
+    assert(rounds - rounds1k <= 5,
+      s"rounds grew $rounds1k -> $rounds on a 10x chain — not logarithmic")
+  }
+
   test("exact dedup recovers exactly the planted duplicates") {
     val base = corpus(40, seed = 7L).distinct
     val planted = base.take(5) // duplicate the first five

@@ -221,6 +221,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "the contained core dies, the container and the bystander survive")
   }
 
+  test("containmentDedupCapped: hold is bit-identical to uncapped; boilerplate fire keeps every doc") {
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")
+    val pad = (1 to 24).map(i => s"p$i").mkString(" ")
+    val clean = docs((3L, core), (4L, s"$pad $core"),
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+    // HOLD: no fingerprint over the ceiling -> output identical to the
+    // uncapped method, decision says so
+    val (kept, d) = Dedup.containmentDedupCapped(clean, "doc_id", "text",
+      k = 3, w = 2, minContainment = 0.9, maxDf = 10)
+    assert(!d.capped && d.dropped == 0)
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Dedup.containmentDedup(clean, "doc_id", "text", k = 3, w = 2,
+        minContainment = 0.9).select($"doc_id").as[Long].collect().sorted.toSeq)
+    // FIRE: five docs whose ONLY shared content is a license-style
+    // suffix; its fingerprints hit df 5 > 4 and are erased from the
+    // universe, so no containment evidence remains and every doc
+    // survives — without the cap the suffix bucket's self-join would
+    // pair all 10 combinations
+    val boiler = (1 to 10).map(i => s"lic$i").mkString(" ")
+    val hot = docs((1 to 5).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c $boiler")): _*)
+    val (kept2, d2) = Dedup.containmentDedupCapped(hot, "doc_id", "text",
+      k = 3, w = 2, minContainment = 0.9, maxDf = 4)
+    assert(d2.capped && d2.hottestDf == 5L,
+      s"the shared suffix must fire the cap: $d2")
+    assert(kept2.count() == 5L,
+      "with boilerplate erased, no doc is contained in another")
+  }
+
   test("fuzzyValuePairs: typo pairs in-block, cross-block missed by contract, hot key capped") {
     val d = docs((1L, "cold bolt"), (2L, "old bolt"), (3L, "old boat"),
       (4L, "red widget"), (5L, "red widget")) // duplicate value: one vocab entry

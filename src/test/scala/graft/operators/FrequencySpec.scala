@@ -26,6 +26,33 @@ class FrequencySpec extends AnyFunSuite {
       s"missing guaranteed heavy hitters: ${mustSurvive -- cand}")
   }
 
+  test("mgFold: bounded at m, chunked fold == one fold, superset bound holds on adversarial order") {
+    // the w15 streaming contract in miniature: a long tail adversarially
+    // INTERLEAVED with a heavy key (worst case for decrement pressure)
+    val heavy = "H"
+    val stream = (1 to 400).flatMap(i => Seq(s"t$i", heavy)) // 400 tail + 400 heavy
+    val m = 8
+    val fold1 = stream.foldLeft(Map.empty[String, Long])(Frequency.mgFold(_, _, m))
+    // never more than m counters at ANY prefix (state-store bound)
+    stream.scanLeft(Map.empty[String, Long])(Frequency.mgFold(_, _, m))
+      .foreach(s => assert(s.size <= m, s"summary exceeded m: ${s.size}"))
+    // micro-batch merge = sequential insertion over the concatenation:
+    // folding the same stream in 4 chunks must land on the same summary
+    val fold4 = stream.grouped(200).foldLeft(Map.empty[String, Long]) {
+      (acc, chunk) => chunk.foldLeft(acc)(Frequency.mgFold(_, _, m))
+    }
+    assert(fold1 == fold4, "chunked fold diverged from the one-shot fold")
+    // the MG guarantee: any key with freq > n/m survives; here
+    // freq(H)=400 > 800/8=100, so H must be present — and every
+    // ABSENT key's true frequency must be <= n/m
+    assert(fold1.contains(heavy), s"heavy key evicted: $fold1")
+    val trueFreq = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    stream.distinct.filterNot(fold1.contains).foreach { k =>
+      assert(trueFreq(k) <= stream.size / m,
+        s"absent key $k has freq ${trueFreq(k)} > n/m")
+    }
+  }
+
   test("sketched heavy hitters equal the exact groupBy, on any layout") {
     val df = zipf
     val exact = df.groupBy("key").agg(count(lit(1)).as("freq"))

@@ -39,6 +39,38 @@ class StoreLeaseSpec extends AnyFunSuite {
     StoreLease.release(spark, again)
   }
 
+  test("a bare pre-generation lease file is seen as a standing lease (mixed-version window)") {
+    // the upgrade race this guards: an old-code maintainer holds the
+    // bare `<store>.lease` file while a new-code maintainer arbitrates
+    // — if the bare file were invisible, the new acquirer would mint
+    // generation 1 alongside a live legacy holder (two holders).
+    val store = java.nio.file.Files.createTempDirectory("graft_leaseleg")
+      .toString + "/s"
+    def writeBare(fields: Map[String, String]): Unit = {
+      val p = java.nio.file.Paths.get(StoreLease.leasePath(store))
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fields.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+    }
+    writeBare(Map("owner" -> "legacy-holder",
+      "acquiredAtMs" -> System.currentTimeMillis().toString,
+      "ttlMs" -> "600000"))
+    val e = intercept[IllegalArgumentException](
+      StoreLease.acquire(spark, store, "new-code"))
+    assert(e.getMessage.contains("legacy-holder"),
+      s"a live legacy lease must be refused by name: ${e.getMessage}")
+    // an EXPIRED legacy lease is taken over at generation 1 like any
+    // stalled generation-0 holder
+    writeBare(Map("owner" -> "legacy-holder",
+      "acquiredAtMs" -> (System.currentTimeMillis() - 100000).toString,
+      "ttlMs" -> "1"))
+    val h = StoreLease.acquire(spark, store, "new-code")
+    assert(h.generation == 1L,
+      s"takeover of the legacy file must mint generation 1, got ${h.generation}")
+    StoreLease.verify(spark, h)
+    StoreLease.release(spark, h)
+  }
+
   test("racing takeovers of one expired lease mint exactly one holder") {
     // the delete-then-create interleave this guards against: A deletes
     // the expired lease, A creates; B deletes A's FRESH lease, B

@@ -2,6 +2,18 @@
 """Compare two bench artifacts round-over-round.
 
 Usage: python3 tools/benchdiff.py <old.json> <new.json>
+       python3 tools/benchdiff.py --ground-truth <commit> <committed.json>
+           [--sf <dir>] [--runs N]
+
+--ground-truth is the drift adjudicator's hard evidence: it rebuilds
+<commit>'s code in a throwaway worktree (target/bench_gt/<commit>),
+re-runs the FULL bench N times (default 3) on TODAY's host, merges
+per-query medians, and diffs <committed.json> (the artifact that
+commit committed, measured on the THEN-host) against the replay.
+Identical code on both sides means every ratio in the report IS host
+drift, by construction — no anchor extrapolation. Replay artifacts
+land next to the worktree as BENCH_gt_run{i}.json + BENCH_gt.json;
+commit BENCH_gt.json as BENCH_r{old}_replay_on_r{new}_host.json.
 
 Each side may also be a comma-separated list of run files, in which
 case per-query MEDIANS across the runs are compared (the same merge
@@ -121,10 +133,57 @@ def load_side(arg):
     return med, failed
 
 
+def ground_truth(argv):
+    """Rebuild <commit> in a worktree, re-bench it on today's host,
+    and diff the committed artifact against the replay. Returns the
+    (old_arg, new_arg) pair for the normal diff path."""
+    import os
+    import subprocess
+    commit, committed = argv[0], argv[1]
+    sf, runs = "/root/testdata/sf0.1", 3
+    rest = argv[2:]
+    while rest:
+        if rest[0] == "--sf":
+            sf, rest = rest[1], rest[2:]
+        elif rest[0] == "--runs":
+            runs, rest = int(rest[1]), rest[2:]
+        else:
+            sys.exit(f"unknown arg {rest[0]}\n\n{__doc__}")
+    wt = os.path.abspath(f"target/bench_gt/{commit}")
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "worktree", "add", wt, commit], check=True)
+    print(f"[ground-truth] building {commit} in {wt}", flush=True)
+    subprocess.run(["sbt", "-batch", "compile"], cwd=wt, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    outs = []
+    for i in range(1, runs + 1):
+        out = f"{wt}/BENCH_gt_run{i}.json"
+        print(f"[ground-truth] bench run {i}/{runs} at {sf}", flush=True)
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf,
+                   SPARK_GRAFT_BENCH_OUT=out)
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           cwd=wt, env=env, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        if r.returncode != 0:
+            print(f"[ground-truth] run {i} exited rc={r.returncode} "
+                  "(a query failed — its runs are excluded by the merge rule)")
+        outs.append(out)
+    subprocess.run([sys.executable, "tools/benchmedian.py",
+                    f"{wt}/BENCH_gt.json"] + outs, check=True)
+    print(f"[ground-truth] merged replay: {wt}/BENCH_gt.json")
+    print(f"[ground-truth] diff: committed({committed}) -> replay "
+          "(same code both sides; every ratio below is HOST DRIFT)")
+    return committed, f"{wt}/BENCH_gt.json"
+
+
 def main():
-    if len(sys.argv) != 3:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--ground-truth":
+        a, b = ground_truth(sys.argv[2:])
+    elif len(sys.argv) == 3:
+        a, b = sys.argv[1], sys.argv[2]
+    else:
         sys.exit(__doc__)
-    (old, old_failed), (new, new_failed) = load_side(sys.argv[1]), load_side(sys.argv[2])
+    (old, old_failed), (new, new_failed) = load_side(a), load_side(b)
     # a query that TIMED before and FAILS now is the worst regression a
     # bench can show — lead with it, never let it vanish from the report
     broke = sorted((set(old) & new_failed) - set(new))

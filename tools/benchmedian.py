@@ -68,6 +68,17 @@ def main():
         for k, s in (r.get("spread") or {}).items():
             if float(s) >= 2.0:
                 spread[k] = max(spread.get(k, 0.0), round(float(s), 2))
+    # startup_s column (streaming-loop decomposition): per-query median
+    # of the runs that reported one — kept alongside the time medians so
+    # the merged artifact still records how much of each stream-family
+    # entry is fixed streaming-query startup vs data work.
+    startup_runs = {}
+    for r in runs:
+        for k, s in (r.get("startup_s") or {}).items():
+            if float(s) > 0:
+                startup_runs.setdefault(k, []).append(float(s))
+    startup = {k: round(statistics.median(v), 3)
+               for k, v in sorted(startup_runs.items())}
     artifact = {
         "metric": "total",
         "value": round(sum(med.values()), 3),
@@ -82,6 +93,8 @@ def main():
         artifact["flaky"] = flaky
     if spread:
         artifact["spread"] = dict(sorted(spread.items()))
+    if startup:
+        artifact["startup_s"] = startup
     json.dump(artifact, open(out_path, "w"), indent=1)
     hi_var = sorted((k, s) for k, s in spread.items() if s >= 3.0)
     print(f"wrote {out_path}: {len(med)} queries, total {artifact['value']}s "
