@@ -1026,12 +1026,21 @@ object Dedup {
   def byteShingleSet(bin: DataFrame, id: String, payload: String,
                      n: Int): DataFrame = {
     require(n >= 1, s"byte-shingle width must be >= 1, got $n")
-    bin.select(col(id), upper(hex(col(payload))).as("hx"),
+    // Slice the BINARY first, hex the n-byte slice — never substring a
+    // whole-payload hex string inside the per-element lambda: projected
+    // aliases collapse into HOF lambdas (CollapseProject), so a
+    // `hex(payload)` alias referenced per element re-renders the FULL
+    // payload per shingle and the scan goes O(len²) per doc (measured
+    // 31 s for this operator's two graded queries at sf0.1; O(len)
+    // this way). Value-identical: hex(substring(payload, i+1, n)) ==
+    // substr(hex(payload), 2i+1, 2n), so the DuckDB replay may keep
+    // whichever form its engine prefers.
+    bin.select(col(id), col(payload),
         octet_length(col(payload)).as("nb"))
       .filter(col("nb") >= n)
       .select(col(id), explode(transform(
         sequence(lit(0), col("nb") - n),
-        i => col("hx").substr(i * 2 + 1, lit(n * 2)))).as("s"))
+        i => upper(hex(col(payload).substr(i + 1, lit(n)))))).as("s"))
       .distinct()
   }
 
@@ -1050,8 +1059,20 @@ object Dedup {
                        n: Int, numHashes: Int, rowsPerBand: Int,
                        threshold: Double,
                        maxDf: Long): (DataFrame, HotBucketDecision) = {
+    // persisted: the byte-shingle frame is ~len(payload) rows per doc
+    // (5-6x denser than the word families) and feeds FIVE consumers —
+    // the df probe, the cap's anti-join input, the band aggregate, the
+    // per-doc counts, and both sides of the exact-verify join; without
+    // the cache each consumer re-runs the explode+distinct (measured
+    // 25-30 s/query at sf0.1, ~3 s cached). CacheManager dedupes by
+    // canonical plan (the l12 precedent); Bench clears caches between
+    // timed runs, so every measurement still pays the build once.
     val sh = byteShingleSet(bin, id, payload, n)
-    val (kept, d) = capHotBuckets(sh, id, "s", maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (kept0, d) = capHotBuckets(sh, id, "s", maxDf)
+    val kept =
+      if (!d.capped) kept0
+      else kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashLshPairsFromShingles(kept, id, numHashes, rowsPerBand)
     (exactVerifyPairs(kept, cand, id, threshold), d)
   }

@@ -1674,8 +1674,17 @@ object LlmQueries {
       val docs = Tables.load(s, dir, "documents")
       val bin = blobCorpus(docs)
       val nBase = docs.count()
+      // 16 hashes, bands tuned to the 0.7 report threshold (the l74
+      // tuner: (1/4)^(1/4) = 0.707 → r=4). Byte shingles of this
+      // small-vocabulary corpus are far more cross-doc-similar than
+      // word shingles, so band selectivity is the whole ballgame: 2
+      // bands of 2 admitted 74,689 candidates at sf0.1 (every
+      // mid-similarity pair) and the exact-verify join priced them;
+      // 4 bands of 4 admit 741 for the same verified output.
+      val r = Dedup.tuneRowsPerBand(numHashes = 16, targetJaccard = 0.7)
+      require(r == 4, s"the S-curve tuner must land on r=4 for (16, 0.7), got $r")
       val (pairs, d) = Dedup.byteNearDupPairs(bin, "doc_id", "payload",
-        n = 8, numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+        n = 8, numHashes = 16, rowsPerBand = r, threshold = 0.7,
         maxDf = nBase / 2)
       require(d.capped && d.hottestDf > nBase / 2,
         s"l106 expects natural byte boilerplate over the ndocs/2 ceiling: $d")
@@ -1690,7 +1699,7 @@ object LlmQueries {
       val bin = blobCorpus(Tables.load(s, dir, "documents"))
       val nAll = bin.count()
       val (pairs, d) = Dedup.byteNearDupPairs(bin, "doc_id", "payload",
-        n = 8, numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+        n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.7,
         maxDf = nAll)
       require(!d.capped && d.hottestDf <= nAll,
         s"l108 expects the corpus-size ceiling to HOLD by definition: $d")
@@ -2132,8 +2141,12 @@ object LlmQueries {
   /** The byte-shingle near-dup chain replayed in DuckDB: injected blob
     * corpus, hex byte 8-grams, optional hot-bucket erase (df over
     * ndocs/2 — the l106 FIRE universe; l108 replays the plain one),
-    * the l6 minhash family verbatim, banded candidates, verified
-    * Jaccard > 0.5. */
+    * the FULL 16-seed minhash family (the text oracles use its first
+    * 8), 4 strided bands of 4 (seed % 4 — the tuner's r for target
+    * 0.7), verified Jaccard > 0.7. DuckDB slices the whole-payload hex
+    * string; Spark hexes an n-byte binary slice — value-identical
+    * (hex(substring(p, i+1, n)) == substr(hex(p), 2i+1, 2n)), each
+    * form the one its engine executes efficiently. */
   private def blobNearDupSql(capped: Boolean): String = {
     val universe =
       if (capped)
@@ -2155,12 +2168,14 @@ object LlmQueries {
        |$universe
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        |mh AS (SELECT doc_id, seed,
-       |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021][seed+1]
+       |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021,
+       |               14939,58057,23371,60943,3571,38833,50993,17389][seed+1]
        |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
-       |              [27179,43691,20117,51347,7129,63577,31769,44201][seed+1]
+       |              [27179,43691,20117,51347,7129,63577,31769,44201,
+       |               29527,12641,54679,8363,47507,64151,21841,36653][seed+1]
        |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
        |             % 1099511627791) AS mh
-       |       FROM sh, UNNEST(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+       |       FROM sh, UNNEST(generate_series(0, 15)) t(seed) GROUP BY 1, 2),
        |bands AS (SELECT doc_id, seed % 4 AS band,
        |            array_to_string(list_sort(list(mh)), '|') AS bsig
        |          FROM mh GROUP BY 1, 2),
@@ -2172,7 +2187,7 @@ object LlmQueries {
        |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s GROUP BY 1, 2)
        |SELECT da, db, CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) AS jaccard
        |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-       |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.5
+       |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.7
        |ORDER BY da, db""".stripMargin
   }
 
