@@ -1164,11 +1164,28 @@ object Dedup {
                         blockOf: Column => Column, maxDist: Int,
                         maxBlock: Long): (DataFrame, HotBucketDecision) = {
     val (pairs, d) = fuzzyValuePairs(df, value, blockOf, maxDist, maxBlock)
+    (canonicalFromPairs(df, value, pairs), d)
+  }
+
+  /** `fuzzyCanonicalize` over MULTI-PASS blocking — the canonical
+    * mapping inherits `fuzzyValuePairsMultiBlock`'s recall: a typo IN
+    * one blocking key no longer forks a spurious new entity, because
+    * the pair another key recovers pulls the typo'd value into its
+    * cluster's transitive closure. Same star-CC, same one-equi-join
+    * corpus remap; per-key cap decisions returned in key order. */
+  def fuzzyCanonicalizeMultiBlock(df: DataFrame, value: String,
+                                  blockOfs: Seq[Column => Column],
+                                  maxDist: Int, maxBlock: Long): (DataFrame, Seq[HotBucketDecision]) = {
+    val (pairs, ds) = fuzzyValuePairsMultiBlock(df, value, blockOfs, maxDist, maxBlock)
+    (canonicalFromPairs(df, value, pairs), ds)
+  }
+
+  private def canonicalFromPairs(df: DataFrame, value: String,
+                                 pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs, "va", "vb")
-    val out = df.select(col(value)).distinct()
+    df.select(col(value)).distinct()
       .join(comps.select(col("id").as(value), col("rep").as("canonical")),
         Seq(value), "left")
       .select(col(value), coalesce(col("canonical"), col(value)).as("canonical"))
-    (out, d)
   }
 }

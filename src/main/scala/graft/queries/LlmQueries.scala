@@ -1728,6 +1728,41 @@ object LlmQueries {
       pairs.orderBy(col("va"), col("vb"))
     }),
 
+    // The canonical mapping over MULTI-PASS pairs — what l107's recall
+    // buys downstream: a last-word typo pulls into its original's
+    // cluster through the first-word key's pair, so it no longer forks
+    // a spurious new entity (under single-key last-word blocking every
+    // injected typo would canonicalize to itself). That exact claim is
+    // pinned executably: zero (original, typo) pairs may disagree on
+    // their canonical. Same star-CC closure and one-equi-join remap as
+    // l105; oracle replays the l107 candidate union + the l17
+    // recursive-CTE closure.
+    "l109_fuzzy_multiblock_canonical" -> ((s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val origs = part.filter(col("p_partkey") % 100 === 0)
+        .select(col("p_name").as("orig")).distinct()
+      val corpus = part.select(col("p_name"))
+        .unionAll(origs.select(col("orig")
+          .substr(lit(1), length(col("orig")) - 1).as("p_name")))
+      val (m, ds) = Dedup.fuzzyCanonicalizeMultiBlock(corpus, "p_name",
+        Seq(v => element_at(split(v, " "), -1),
+            v => element_at(split(v, " "), 1)),
+        maxDist = 2, maxBlock = 20)
+      require(ds.forall(d => !d.capped && d.hottestDf <= 20),
+        s"l109 expects BOTH keys' blocks under the cap: $ds")
+      val forks = origs
+        .select(col("orig"),
+          col("orig").substr(lit(1), length(col("orig")) - 1).as("typo"))
+        .join(m.select(col("p_name").as("orig"),
+          col("canonical").as("c_orig")), Seq("orig"))
+        .join(m.select(col("p_name").as("typo"),
+          col("canonical").as("c_typo")), Seq("typo"))
+        .filter(col("c_orig") =!= col("c_typo")).count()
+      require(forks == 0,
+        s"l109 expects every injected typo to share its original's canonical; $forks forked")
+      m.orderBy(col("p_name"))
+    }),
+
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
     // third document carries the injected license suffix (one
     // guaranteed common fingerprint), so at EVERY turn the accumulated
@@ -2626,6 +2661,35 @@ object LlmQueries {
           |SELECT va, vb, CAST(levenshtein(va, vb) AS BIGINT) AS dist
           |FROM cand WHERE levenshtein(va, vb) <= 2
           |ORDER BY va, vb""".stripMargin) +
+      // l109: the multiblock pair union + the l17 recursive-CTE
+      // closure — min label per component, singletons self-map
+      ("l109_fuzzy_multiblock_canonical" ->
+        """WITH RECURSIVE p2 AS (SELECT p_name FROM part
+          |            UNION ALL
+          |            SELECT substr(p_name, 1, length(p_name)-1)
+          |            FROM part WHERE p_partkey % 100 = 0),
+          |v AS (SELECT DISTINCT p_name AS s FROM p2),
+          |b1 AS (SELECT s, split_part(s, ' ', -1) AS blk FROM v),
+          |b2 AS (SELECT s, split_part(s, ' ', 1) AS blk FROM v),
+          |cand AS (
+          |  SELECT a.s AS va, b.s AS vb FROM b1 a
+          |  JOIN b1 b ON a.blk = b.blk AND a.s < b.s
+          |  WHERE abs(length(a.s) - length(b.s)) <= 2
+          |  UNION
+          |  SELECT a.s, b.s FROM b2 a
+          |  JOIN b2 b ON a.blk = b.blk AND a.s < b.s
+          |  WHERE abs(length(a.s) - length(b.s)) <= 2),
+          |pairs AS (SELECT va, vb FROM cand WHERE levenshtein(va, vb) <= 2),
+          |edges AS (SELECT va AS x, vb AS y FROM pairs
+          |          UNION SELECT vb, va FROM pairs),
+          |nodes AS (SELECT DISTINCT x AS id FROM edges),
+          |reach AS (SELECT id, id AS r FROM nodes
+          |          UNION
+          |          SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+          |lbl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+          |SELECT v.s AS p_name, COALESCE(lbl.rep, v.s) AS canonical
+          |FROM v LEFT JOIN lbl ON lbl.id = v.s
+          |ORDER BY p_name""".stripMargin) +
       // l103: the injected variants + canonicalization chain replayed
       ("l103_url_canonical" -> (urlCanonCtes +
         """
