@@ -26,10 +26,11 @@ object LlmQueries {
     * the loop's in-band compaction hook. */
   private def runCrawlDrops(s: SparkSession, docs: DataFrame, root: String,
                             compactEvery: Int = 0,
-                            exactCounts: Boolean = true): Unit = {
+                            exactCounts: Boolean = true,
+                            cfgOverride: Option[graft.streaming.IncrementalDedup.Config] = None): Unit = {
     import graft.streaming.IncrementalDedup
-    val cfg = IncrementalDedup.Config("doc_id", "text",
-      shingleN = 3, numHashes = 8, rowsPerBand = 2, exactCounts = exactCounts)
+    val cfg = cfgOverride.getOrElse(IncrementalDedup.Config("doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2, exactCounts = exactCounts))
     (0 until 4).foreach { k =>
       docs.filter(col("doc_id") % 4 === k)
         .write.mode("append").parquet(s"$root/src")
@@ -1728,6 +1729,31 @@ object LlmQueries {
       pairs.orderBy(col("va"), col("vb"))
     }),
 
+    // The BLOB side of the crawl-ingest loop — l61's shape with byte
+    // shingles plugged into the SAME store/checkpoint/verdict
+    // machinery (Config.shingler): four drops of the blob corpus land
+    // one at a time, each LSH-checked against the persisted band store
+    // of every earlier drop (payloads never re-read), l106's 16-hash /
+    // 4-band tuning. Variants are injected at id + 1000001 so each
+    // lands one drop AFTER its original and the new-vs-seen probe can
+    // see the pair; the oracle replays the cross-drop band join over
+    // the identical byte chain.
+    "l110_stream_blob_neardup" -> ((s, dir) => {
+      val bin = blobCorpus(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        idOffset = 1000001L)
+      val root = graft.Scratch.dir("graft_incr_blob")
+      val cfg = graft.streaming.IncrementalDedup.Config(
+        "doc_id", "payload", numHashes = 16, rowsPerBand = 4,
+        shingler = Some(b => graft.operators.Dedup
+          .byteShingleSet(b, "doc_id", "payload", n = 8)))
+      runCrawlDrops(s, bin, root, cfgOverride = Some(cfg))
+      graft.streaming.IncrementalDedup.results(s, s"$root/out")
+        .select(col("doc_id"), col("ingest_batch").cast("long").as("ingest_batch"),
+          col("first_match"), col("n_matches"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The canonical mapping over MULTI-PASS pairs — what l107's recall
     // buys downstream: a last-word typo pulls into its original's
     // cluster through the first-word key's pair, so it no longer forks
@@ -2165,10 +2191,16 @@ object LlmQueries {
     * chars trimmed — a distinct sha-256 that exact blob dedup can
     * never collapse, at ~0.96+ byte-shingle Jaccard. Must stay
     * byte-identical to the SQL replay in `blobNearDupSql`. */
-  private def blobCorpus(docs: DataFrame): DataFrame =
+  /** `idOffset` defaults to the l106/l108 batch corpus; l110's
+    * streaming corpus uses 1000001 so every variant's doc_id % 4 drop
+    * lands one drop AFTER its original (doc_id % 50 == 0 puts
+    * originals in drops {0, 2}, +1 shifts variants to {1, 3}) — the
+    * new-vs-seen loop only ever probes later-against-earlier. */
+  private def blobCorpus(docs: DataFrame,
+                         idOffset: Long = 1000000L): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .unionAll(docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + idOffset).as("doc_id"),
           concat(lit("HDR|"), col("text").substr(lit(1),
             greatest(length(col("text")) - 2, lit(0))))
             .cast("binary").as("payload")))
@@ -2661,6 +2693,44 @@ object LlmQueries {
           |SELECT va, vb, CAST(levenshtein(va, vb) AS BIGINT) AS dist
           |FROM cand WHERE levenshtein(va, vb) <= 2
           |ORDER BY va, vb""".stripMargin) +
+      // l110: the l61 cross-drop band-join replay over the byte chain
+      // (16-seed family, 4 strided bands, +1000001 variant ids)
+      ("l110_stream_blob_neardup" ->
+        """WITH base AS (
+          |  SELECT doc_id, encode(text) AS payload FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000001,
+          |    encode('HDR|' || substr(text, 1, greatest(length(text)-2, 0)))
+          |  FROM documents WHERE doc_id % 50 = 0),
+          |hx AS (SELECT doc_id, octet_length(payload) AS nb,
+          |         upper(hex(payload)) AS h FROM base),
+          |sh AS (SELECT DISTINCT doc_id, substr(h, i*2+1, 16) AS s
+          |        FROM hx, UNNEST(generate_series(0, nb - 8)) t(i)
+          |        WHERE nb >= 8),
+          |mh AS (SELECT doc_id, seed,
+          |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021,
+          |               14939,58057,23371,60943,3571,38833,50993,17389][seed+1]
+          |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+          |              [27179,43691,20117,51347,7129,63577,31769,44201,
+          |               29527,12641,54679,8363,47507,64151,21841,36653][seed+1]
+          |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+          |             % 1099511627791) AS mh
+          |       FROM sh, UNNEST(generate_series(0, 15)) t(seed) GROUP BY 1, 2),
+          |bands AS (SELECT doc_id, seed % 4 AS band,
+          |            array_to_string(list_sort(list(mh)), '|') AS bsig
+          |          FROM mh GROUP BY 1, 2),
+          |m AS (SELECT x.doc_id AS did, MIN(y.doc_id) AS first_match,
+          |        COUNT(DISTINCT y.doc_id) AS n_matches
+          |      FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+          |      WHERE (y.doc_id % 4) < (x.doc_id % 4)
+          |      GROUP BY 1)
+          |SELECT n.doc_id, CAST(n.doc_id % 4 AS BIGINT) AS ingest_batch,
+          |  m.first_match,
+          |  CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+          |  m.first_match IS NOT NULL AS is_dup
+          |FROM base n
+          |LEFT JOIN m ON m.did = n.doc_id
+          |ORDER BY doc_id""".stripMargin) +
       // l109: the multiblock pair union + the l17 recursive-CTE
       // closure — min label per component, singletons self-map
       ("l109_fuzzy_multiblock_canonical" ->

@@ -44,9 +44,17 @@ object IncrementalDedup {
     * side's band rows, per-drop cost flat in group size — and
     * surfaces `n_matches` as NULL: the distinct-matches count IS the
     * pair set, so a pipeline that drops it stops paying for it. */
+  /** `shingler`, when set, replaces the default word-n-gram pass with
+    * any (id, s) shingle-frame builder over the batch — the byte
+    * families plug in here (`Dedup.byteShingleSet` over a BINARY
+    * payload column, the l110 loop), and the store/checkpoint/verdict
+    * machinery is shared unchanged: bands are bands regardless of what
+    * was shingled. The chosen shingler, like the LSH parameters, must
+    * stay constant for the lifetime of a band store. */
   case class Config(id: String = "doc_id", text: String = "text",
                     shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-                    exactCounts: Boolean = true)
+                    exactCounts: Boolean = true,
+                    shingler: Option[DataFrame => DataFrame] = None)
 
   private val BatchDirRe = "ingest_batch=(\\d+)".r
 
@@ -133,9 +141,9 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     // consumed twice (store write + probe join) — stage the one
     // shingle pass instead of running it per consumer
-    val bands = Dedup.bandFrame(
-        Dedup.shingleSet(batch, cfg.id, cfg.text, cfg.shingleN),
-        cfg.id, cfg.numHashes, cfg.rowsPerBand)
+    val shingles = cfg.shingler.map(f => f(batch))
+      .getOrElse(Dedup.shingleSet(batch, cfg.id, cfg.text, cfg.shingleN))
+    val bands = Dedup.bandFrame(shingles, cfg.id, cfg.numHashes, cfg.rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val seen = seenBands(spark, bandStoreDir, batchId)

@@ -51,6 +51,11 @@ class StreamHeavyHitterScaleRehearsalSpec extends AnyFunSuite {
     val nRanges = 4
     val m = 32
     val minFreq = 300L
+    // NOT Scratch.view: the spec drops its own sink at the end —
+    // registering it would hand ScratchSpec's purge an extra view and
+    // make that test's exact reclaim counts order-dependent
+    val sink = "hh_rehearsal_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -66,8 +71,6 @@ class StreamHeavyHitterScaleRehearsalSpec extends AnyFunSuite {
           typed, _._1, (0L, Map.empty[String, Long])) {
           case ((n, sum), (_, s0)) => (n + 1L, Frequency.mgFold(sum, s0, m))
         }
-      val sink = graft.Scratch.view("hh_rehearsal_" +
-        java.util.UUID.randomUUID().toString.replace("-", ""))
       val q = folded.map { case (r, (n, sum)) => (r, n, sum) }
         .toDF("r", "n_seen", "counters")
         .writeStream.outputMode("update")
@@ -113,5 +116,7 @@ class StreamHeavyHitterScaleRehearsalSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == want && want.keySet == heavy.toSet,
       s"streamed confirm must equal the batch HAVING: got $got, want $want")
+    // every frame above has been collected; the sink can go
+    spark.catalog.dropTempView(sink): Unit
   }
 }
