@@ -150,20 +150,41 @@ def ground_truth(argv):
         else:
             sys.exit(f"unknown arg {rest[0]}\n\n{__doc__}")
     wt = os.path.abspath(f"target/bench_gt/{commit}")
-    if not os.path.isdir(wt):
+    if os.path.isdir(wt):
+        # an interrupted previous run can leave a half-created worktree:
+        # only reuse it if it is actually checked out at <commit>
+        head = subprocess.run(["git", "-C", wt, "rev-parse", "HEAD"],
+                              capture_output=True, text=True)
+        want = subprocess.run(["git", "rev-parse", commit],
+                              capture_output=True, text=True)
+        if (head.returncode != 0 or want.returncode != 0
+                or head.stdout.strip() != want.stdout.strip()):
+            print(f"[ground-truth] stale/invalid worktree at {wt} "
+                  f"(HEAD {head.stdout.strip() or '?'}) — recreating",
+                  flush=True)
+            subprocess.run(["git", "worktree", "remove", "--force", wt],
+                           capture_output=True)
+            subprocess.run(["git", "worktree", "add", wt, commit], check=True)
+    else:
         subprocess.run(["git", "worktree", "add", wt, commit], check=True)
     print(f"[ground-truth] building {commit} in {wt}", flush=True)
-    subprocess.run(["sbt", "-batch", "compile"], cwd=wt, check=True,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    build_log = f"{wt}/sbt_build.log"
+    with open(build_log, "w") as lf:
+        rb = subprocess.run(["sbt", "-batch", "compile"], cwd=wt,
+                            stdout=lf, stderr=subprocess.STDOUT)
+    if rb.returncode != 0:
+        sys.exit(f"[ground-truth] build of {commit} failed "
+                 f"(rc={rb.returncode}) — see {build_log}")
     outs = []
     for i in range(1, runs + 1):
         out = f"{wt}/BENCH_gt_run{i}.json"
         print(f"[ground-truth] bench run {i}/{runs} at {sf}", flush=True)
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf,
                    SPARK_GRAFT_BENCH_OUT=out)
-        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
-                           cwd=wt, env=env, stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
+        with open(f"{wt}/sbt_bench_run{i}.log", "w") as lf:
+            r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                               cwd=wt, env=env, stdout=lf,
+                               stderr=subprocess.STDOUT)
         if r.returncode != 0:
             print(f"[ground-truth] run {i} exited rc={r.returncode} "
                   "(a query failed — its runs are excluded by the merge rule)")
