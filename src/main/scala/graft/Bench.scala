@@ -79,6 +79,15 @@ object Bench {
       val deadline = System.nanoTime() + 500L * 1000 * 1000
       while (qFirstCommit.size < qStartedAt.size && System.nanoTime() < deadline)
         Thread.sleep(10)
+      // an expired deadline with queries still uncommitted means the
+      // reported startup_s UNDERCOUNTS (a late progress event, or a
+      // zero-batch query that never commits) — make that visible
+      // instead of silently publishing a low number
+      if (qFirstCommit.size < qStartedAt.size)
+        System.err.println(s"[bench] startup_s undercount: " +
+          s"${qStartedAt.size - qFirstCommit.size} of ${qStartedAt.size} " +
+          "started streaming queries never recorded a first commit " +
+          "before the drain deadline")
       import scala.jdk.CollectionConverters._
       qFirstCommit.values.asScala.map(_.toDouble / 1e9).sum
     }
@@ -113,8 +122,10 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
       }
       // outside the timed window: wait for the async listener events,
-      // then charge this run its summed streaming-startup seconds
-      (elapsed, if (qStartedAt.isEmpty) 0.0 else drainStartup())
+      // then charge this run its summed streaming-startup seconds — a
+      // FAILED run reports no startup (its -1 never merges into the
+      // startup_s column) and must not pay the 500 ms drain for nothing
+      (elapsed, if (elapsed < 0 || qStartedAt.isEmpty) 0.0 else drainStartup())
     }
     val timed = queries.map { case (name, fn) =>
       // a transiently-failing run must not discard an honest other
@@ -124,7 +135,7 @@ object Bench {
     def probeOnce(f: () => Double): (Double, Double) = {
       qStartedAt.clear(); qFirstCommit.clear()
       val t = f()
-      (t, if (qStartedAt.isEmpty) 0.0 else drainStartup())
+      (t, if (t < 0 || qStartedAt.isEmpty) 0.0 else drainStartup())
     }
     val probed = probes.collect {
       case (n, f) if only.forall(_.contains(n)) => n -> probeOnce(f) }

@@ -1055,6 +1055,15 @@ object Dedup {
     * pairs only from LSH buckets, never all-pairs; payloads themselves
     * never shuffle (only their hex shingles do — at 100 TB of blobs,
     * run over the pointer store's payload column per ingest shard). */
+  /** CACHE NOTE: the returned plan references one or two PERSISTED
+    * frames (the shingle frame; plus the capped frame when the cap
+    * fires) that are deliberately not unpersisted here — the result is
+    * lazy, so an internal unpersist would evict them before the caller
+    * materializes. Short-lived runs are covered (Bench and Verify
+    * clear all caches between queries); a long-lived session should
+    * `spark.catalog.clearCache()` (or walk
+    * `sparkContext.getPersistentRDDs`) after materializing the pairs,
+    * or the MEMORY_AND_DISK blocks accumulate once per call. */
   def byteNearDupPairs(bin: DataFrame, id: String, payload: String,
                        n: Int, numHashes: Int, rowsPerBand: Int,
                        threshold: Double,
@@ -1075,6 +1084,33 @@ object Dedup {
       else kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashLshPairsFromShingles(kept, id, numHashes, rowsPerBand)
     (exactVerifyPairs(kept, cand, id, threshold), d)
+  }
+
+  /** Exact byte-Jaccard near-dup pairs over binary payloads — the
+    * GROUND-TRUTH leg of the byte-LSH recall audit (the byte analog of
+    * `ngramJaccardPairs`): the same shingle universe as
+    * `byteNearDupPairs` with NO banding in front, every payload pair
+    * sharing any shingle scored exactly. Join volume is Σ_s df(s)² —
+    * quadratic in shingle heat (measured 581 M rows on the full
+    * injected corpus at sf0.1, vs 5.8 M on its 10 % sample) — so run
+    * it on a DETERMINISTIC payload sample the way l63 samples the text
+    * audit, never on a full crawl; the serving operator remains the
+    * banded `byteNearDupPairs`, and this one exists to MEASURE what
+    * that banding trades away. */
+  def byteJaccardPairs(bin: DataFrame, id: String, payload: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val sh = byteShingleSet(bin, id, payload, n)
+    val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("da"), col(s"b.$id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col(id).as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col(id).as("db"), col("n_sh").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") > threshold)
   }
 
   /** Blocked EDIT-DISTANCE pair matching over a value VOCABULARY — the
@@ -1140,6 +1176,64 @@ object Dedup {
           col("a._blk") === col("b._blk") && col("a._v") < col("b._v") &&
             abs(length(col("a._v")) - length(col("b._v"))) <= maxDist)
         .select(col("a._v").as("va"), col("b._v").as("vb"))
+      (cand, d)
+    }
+    val cands = perKey.map(_._1).reduce(_ unionAll _).distinct()
+    val pairs = cands
+      .select(col("va"), col("vb"),
+        levenshtein(col("va"), col("vb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+    (pairs, perKey.map(_._2))
+  }
+
+  /** The distinct character q-grams of a value — the SET-VALUED
+    * blocking key for vocabularies where every word-split key
+    * degenerates to whole-value identity blocking (single-token
+    * values: hostnames, SKUs, bare surnames — the most common real ER
+    * vocabulary shape, and the blind spot shared by last-word AND
+    * first-word keys). A typo anywhere in a one-token value still
+    * leaves most q-grams intact, so the typo'd value shares a block
+    * with its original through any surviving gram. Values shorter
+    * than `q` carry NO grams and are unreachable by this key (pair
+    * them via a different key, or lower q). Codegen'd built-ins
+    * throughout; the per-element substr is over vocabulary-sized
+    * strings, so the HOF's O(len·q) per value is trivial. */
+  def qgramSet(v: Column, q: Int): Column = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    when(length(v) >= q,
+      array_distinct(transform(sequence(lit(1), length(v) - (q - 1)),
+        i => v.substr(i, lit(q)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** `fuzzyValuePairsMultiBlock` for SET-VALUED keys: each key maps a
+    * value to a SET of blocks (e.g. `qgramSet` — its character
+    * q-grams; a single-valued key is the one-element-array special
+    * case), two values are candidates under a key iff they share ANY
+    * of its blocks, and the per-key hot-block cap measures df over the
+    * EXPLODED (value, block) rows — a boilerplate q-gram shared by
+    * most of the vocabulary is dropped exactly like a hot fingerprint
+    * (the value's OTHER grams keep it reachable, so capping a gram
+    * never orphans a value the way capping an identity block does).
+    * Candidates dedup within each key (two values share many grams —
+    * one pair row) and across keys before the single Levenshtein DP.
+    * Same contract as the single-valued form otherwise: a pair
+    * blockless under EVERY key stays unreported; decisions return in
+    * `blockSetOfs` order; the self-joins stay vocabulary-sized. */
+  def fuzzyValuePairsMultiBlockSets(df: DataFrame, value: String,
+                                    blockSetOfs: Seq[Column => Column],
+                                    maxDist: Int, maxBlock: Long): (DataFrame, Seq[HotBucketDecision]) = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(blockSetOfs.nonEmpty, "at least one blocking key is required")
+    val vals = df.select(col(value).as("_v")).distinct()
+    val perKey = blockSetOfs.map { bf =>
+      val blocks = vals.select(col("_v"), explode(bf(col("_v"))).as("_blk"))
+      val (kept, d) = capHotBuckets(blocks, "_v", "_blk", maxBlock)
+      val cand = kept.as("a").join(kept.as("b"),
+          col("a._blk") === col("b._blk") && col("a._v") < col("b._v") &&
+            abs(length(col("a._v")) - length(col("b._v"))) <= maxDist)
+        .select(col("a._v").as("va"), col("b._v").as("vb"))
+        .distinct()
       (cand, d)
     }
     val cands = perKey.map(_._1).reduce(_ unionAll _).distinct()

@@ -169,18 +169,24 @@ object StoreLease {
     val released = Set.newBuilder[Long]
     sts.foreach { st =>
       val n = st.getPath.getName
+      // shared parse guard: empty ("generation=" in a torn file) and
+      // overlong (> Long.MaxValue's 19 digits) strings both survive a
+      // forall(isDigit) check but crash toLong — a torn lease must fall
+      // back to generation 0 / be skipped, never wedge arbitration
+      def parsableGen(g: String): Boolean =
+        g.nonEmpty && g.length <= 18 && g.forall(_.isDigit)
       if (n == prefixPath.getName) {
         val g = readFields(fs, st.getPath).getOrElse(Map.empty)
-          .get("generation").filter(_.forall(_.isDigit))
+          .get("generation").filter(parsableGen)
           .map(_.toLong).getOrElse(0L)
         leases += g -> st.getPath
       } else if (n.startsWith(prefix)) {
         val rest = n.substring(prefix.length)
-        if (rest.nonEmpty && rest.forall(_.isDigit))
+        if (parsableGen(rest))
           leases += rest.toLong -> st.getPath
         else if (rest.endsWith(".released")) {
           val g = rest.stripSuffix(".released")
-          if (g.nonEmpty && g.forall(_.isDigit)) released += g.toLong
+          if (parsableGen(g)) released += g.toLong
         }
       }
     }

@@ -460,9 +460,15 @@ object EventQueries {
         val drop = (col("event_id") * 4 / lit(mx + 1)).cast(LongType)
         var emitted = 0L
         var written = 0L
-        (0 until 4).foreach { k =>
-          ev.filter(drop === k).write.mode("append").parquet(s"$root/src")
-          val typed = s.readStream.schema(ev.schema).parquet(s"$root/src")
+        // two starts, not four (the w15 shape): drops 0-2 land as
+        // single pinned-mtime files and one AvailableNow run at
+        // maxFilesPerTrigger=1 drains them as micro-batches 0-2; drop
+        // 3 lands after that run exits, so the second start is a
+        // genuine checkpoint resume — per-drop suppression semantics
+        // unchanged (batch k still IS drop k, enforced below)
+        def drain(): Unit = {
+          val typed = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
             .as[(Long, Long, String)]
           val q = graft.streaming.KeyedState.cdcWriteSetTws(typed)
             .toDF("user_id", "written_type", "changed")
@@ -481,11 +487,14 @@ object EventQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          val parts = new java.io.File(s"$root/out").listFiles()
-            .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
-          require(parts == k + 1,
-            s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
         }
+        (0 until 3).foreach(k =>
+          graft.queries.LlmQueries.landDrop(ev.filter(drop === k), s"$root/src", k))
+        drain()
+        graft.queries.LlmQueries.requireDropBatches(s"$root/out", 3)
+        graft.queries.LlmQueries.landDrop(ev.filter(drop === 3), s"$root/src", 3)
+        drain()
+        graft.queries.LlmQueries.requireDropBatches(s"$root/out", 4)
         require(written < emitted,
           s"suppression must be non-vacuous: wrote $written of $emitted emissions")
         val out = s.read.option("basePath", s"$root/out").parquet(s"$root/out")

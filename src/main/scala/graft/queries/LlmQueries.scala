@@ -14,16 +14,50 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
-  /** l61/l66's shared 4-drop streaming ingest loop: drop k (doc_id % 4)
-    * lands as new parquet part files, one AvailableNow run drains it as
-    * micro-batch k against the shared checkpoint (history LSH-checked
-    * off the persisted band store, never re-shingled). The oracle's
-    * drop assignment rides on "drop k == micro-batch k" (run()'s
-    * documented trigger contract: no maxFilesPerTrigger, so
-    * AvailableNow drains one batch per drop) — ENFORCED executably
-    * after every drop, so a future trigger-config drift fails here,
-    * not as a silent oracle desync. `compactEvery` passes through to
-    * the loop's in-band compaction hook. */
+  /** Land crawl drop `k` as exactly ONE source file whose mtime is
+    * PINNED to epoch `(k+1)` seconds. The file stream source orders
+    * available files oldest-first by modification time, so the pin
+    * makes "micro-batch k == drop k" a deterministic property of the
+    * data instead of the writer's clock — the loops' strictly-before
+    * store reads (and their oracles' drop assignment) ride on exactly
+    * that mapping. Fresh (just-written, still clock-stamped) files are
+    * distinguished from already-pinned ones by their ~current mtime. */
+  private[queries] def landDrop(drop: DataFrame, srcDir: String, k: Int): Unit = {
+    drop.coalesce(1).write.mode("append").parquet(srcDir)
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(drop.sparkSession.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getModificationTime > 1000L * 1000)
+      .foreach(st => fs.setTimes(st.getPath, 1000L * (k + 1), -1))
+  }
+
+  /** The committed verdict-partition ids under `outDir` must be exactly
+    * 0 until n — one micro-batch per landed drop, none split, none
+    * skipped. Enforced executably after each streaming run so a
+    * trigger-config drift fails HERE, not as a silent oracle desync. */
+  private[queries] def requireDropBatches(outDir: String, n: Int): Unit = {
+    val ids = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName.stripPrefix("ingest_batch=").toLong).sorted
+    require(ids == (0L until n.toLong),
+      s"expected one micro-batch per drop (ids 0..${n - 1}), got [${ids.mkString(", ")}] — " +
+        "the one-batch-per-drop trigger contract broke")
+  }
+
+  /** l61/l66's shared 4-drop streaming ingest loop, in TWO starts (the
+    * w15 shape): drops 0–2 land first as single pinned-mtime files and
+    * ONE AvailableNow run with `maxFilesPerTrigger=1` drains them as
+    * micro-batches 0–2 — the fixed per-`start()` cost (~70 % of these
+    * entries' wall time at sf0.1, measured by Bench's startup_s
+    * column) is paid once instead of three times. Drop 3 lands only
+    * AFTER that run exits, so the second start is a GENUINE checkpoint
+    * RESUME: the carried source log assigns it batch id 3 and its turn
+    * reads the first run's store partitions strictly below it — the
+    * restart contract stays graded, not just rehearsed. Semantics are
+    * unchanged from the one-start-per-drop form (batch k still probes
+    * exactly drops < k), enforced by `requireDropBatches`.
+    * `compactEvery` passes through to the loop's in-band hook. */
   private def runCrawlDrops(s: SparkSession, docs: DataFrame, root: String,
                             compactEvery: Int = 0,
                             exactCounts: Boolean = true,
@@ -31,42 +65,40 @@ object LlmQueries {
     import graft.streaming.IncrementalDedup
     val cfg = cfgOverride.getOrElse(IncrementalDedup.Config("doc_id", "text",
       shingleN = 3, numHashes = 8, rowsPerBand = 2, exactCounts = exactCounts))
-    (0 until 4).foreach { k =>
-      docs.filter(col("doc_id") % 4 === k)
-        .write.mode("append").parquet(s"$root/src")
-      IncrementalDedup.run(
-        s.readStream.schema(docs.schema).parquet(s"$root/src"),
-        cfg, s"$root/bands", s"$root/out", s"$root/ckpt",
-        compactEvery = compactEvery)
-        .awaitTermination()
-      val parts = new java.io.File(s"$root/out").listFiles()
-        .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
-      require(parts == k + 1,
-        s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
-    }
+    def drain(): Unit = IncrementalDedup.run(
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/src"),
+      cfg, s"$root/bands", s"$root/out", s"$root/ckpt",
+      compactEvery = compactEvery)
+      .awaitTermination()
+    (0 until 3).foreach(k => landDrop(docs.filter(col("doc_id") % 4 === k), s"$root/src", k))
+    drain()
+    requireDropBatches(s"$root/out", 3)
+    landDrop(docs.filter(col("doc_id") % 4 === 3), s"$root/src", 3)
+    drain()
+    requireDropBatches(s"$root/out", 4)
   }
 
   /** `runCrawlDrops`' twin for the winnow span-ingest loop: same four
-    * doc_id % 4 drops, same one-batch-per-drop trigger contract
-    * enforced executably after every drop. `maxDf` > 0 arms the
-    * per-turn hot-fingerprint cap. */
+    * doc_id % 4 drops, same two-start resume-graded shape, same
+    * one-batch-per-drop contract enforced executably. `maxDf` > 0 arms
+    * the per-turn hot-fingerprint cap. */
   private def runWinnowDrops(s: SparkSession, docs: DataFrame,
                              root: String, maxDf: Long = 0): Unit = {
     import graft.streaming.IncrementalDedup
     val cfg = IncrementalDedup.WinnowConfig("doc_id", "text",
       k = 5, w = 4, minShared = 2, maxDf = maxDf)
-    (0 until 4).foreach { k =>
-      docs.filter(col("doc_id") % 4 === k)
-        .write.mode("append").parquet(s"$root/src")
-      IncrementalDedup.runWinnow(
-        s.readStream.schema(docs.schema).parquet(s"$root/src"),
-        cfg, s"$root/fps", s"$root/out", s"$root/ckpt")
-        .awaitTermination()
-      val parts = new java.io.File(s"$root/out").listFiles()
-        .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
-      require(parts == k + 1,
-        s"drop $k split into ${parts - k} micro-batches — the one-batch-per-drop trigger contract broke")
-    }
+    def drain(): Unit = IncrementalDedup.runWinnow(
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/src"),
+      cfg, s"$root/fps", s"$root/out", s"$root/ckpt")
+      .awaitTermination()
+    (0 until 3).foreach(k => landDrop(docs.filter(col("doc_id") % 4 === k), s"$root/src", k))
+    drain()
+    requireDropBatches(s"$root/out", 3)
+    landDrop(docs.filter(col("doc_id") % 4 === 3), s"$root/src", 3)
+    drain()
+    requireDropBatches(s"$root/out", 4)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1754,6 +1786,62 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING decontamination — the ingest guard the batch chain
+    // (l98–l101) was missing: the benchmark corpus's winnow
+    // fingerprints are a PERSISTED build-once store, and every crawl
+    // drop is fingerprint-checked against it AT INGEST, leaked docs
+    // routed to a DLQ-shaped side output (reference route-at-ingest
+    // pattern: pspf/topology.py:10-46 + pspf/stream.py:402-413). Four
+    // drops in the two-start resume-graded shape; because the store is
+    // static, the accumulated per-drop verdicts must hash-match the
+    // batch spanOverlapStats chain on the same corpus — the oracle
+    // replays exactly that, plus the drop column. Leak injection:
+    // every 25th train doc (doc_id % 25 == 7, never an eval doc)
+    // carries the first 200 chars of eval doc 0, so the routed side
+    // output is non-empty — and therefore actually graded — at every
+    // shipped SF; the in-query requires pin seed viability and
+    // route/verdict agreement.
+    "l111_stream_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val seed = docs.filter(col("doc_id") === 0)
+        .select(substring(col("text"), 1, 200)).head().getString(0)
+      require(seed.trim.split("\\s+").length >= 12,
+        s"l111 expects the injected benchmark seed to carry >= 12 tokens " +
+          s"(>= 2 winnow fps past the k+w-1 window), got '${seed.take(40)}...'")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 25 === 7, concat(col("text"), lit(" "), lit(seed)))
+            .otherwise(col("text")).as("text"))
+      val eval = docs.filter(col("doc_id") % 50 === 0)
+      val root = graft.Scratch.dir("graft_incr_dc")
+      val cfg = graft.streaming.IncrementalDedup.DecontConfig(
+        "doc_id", "text", k = 5, w = 4, minShared = 2)
+      graft.streaming.IncrementalDedup.buildEvalFpStore(eval, cfg, s"$root/evalfp")
+      def drain(): Unit = graft.streaming.IncrementalDedup.runDecontaminate(
+        s.readStream.schema(train.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src"),
+        cfg, s"$root/evalfp", s"$root/out", s"$root/leak", s"$root/ckpt")
+        .awaitTermination()
+      (0 until 3).foreach(k =>
+        landDrop(train.filter(col("doc_id") % 4 === k), s"$root/src", k))
+      drain()
+      requireDropBatches(s"$root/out", 3)
+      landDrop(train.filter(col("doc_id") % 4 === 3), s"$root/src", 3)
+      drain()
+      requireDropBatches(s"$root/out", 4)
+      val out = graft.streaming.IncrementalDedup.results(s, s"$root/out")
+      // the ROUTING claim, pinned: the side output holds exactly the
+      // contaminated verdict set, and the injection made it non-empty
+      val nLeak = graft.streaming.IncrementalDedup.results(s, s"$root/leak").count()
+      val nCont = out.filter(col("contaminated")).count()
+      require(nLeak == nCont && nLeak > 0,
+        s"l111 expects a non-empty side output equal to the contaminated " +
+          s"set, got $nLeak routed vs $nCont contaminated")
+      out.select(col("doc_id"), col("n_fp"), col("n_overlap"),
+          col("contaminated"), col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The canonical mapping over MULTI-PASS pairs — what l107's recall
     // buys downstream: a last-word typo pulls into its original's
     // cluster through the first-word key's pair, so it no longer forks
@@ -1787,6 +1875,108 @@ object LlmQueries {
       require(forks == 0,
         s"l109 expects every injected typo to share its original's canonical; $forks forked")
       m.orderBy(col("p_name"))
+    }),
+
+    // Q-GRAM blocking for fuzzy ER — closes the SINGLE-TOKEN blind
+    // spot l107 left stated: on a one-token vocabulary (hostnames,
+    // SKUs, bare surnames — here the distinct words of p_name), BOTH
+    // word-split keys degenerate to whole-value identity blocking, so
+    // no typo can ever pair. The set-valued character-3-gram key has a
+    // different failure mode (a typo leaves most grams intact), its
+    // own measured hot-block cap over the exploded (value, gram) rows,
+    // and the same union-dedup-then-DP pipeline. Every length>=5 word
+    // gets a last-char-dropped typo injected; the in-query requires
+    // pin the inversion of l107's precedent — the word keys alone find
+    // NOTHING (executably, not by prose) and the q-gram key finds
+    // every injected pair. The oracle replays gram explosion, df cap,
+    // block join and DP; word keys contribute zero by construction so
+    // the SQL replays only the q-gram leg.
+    "l112_fuzzy_qgram_block" -> ((s, dir) => {
+      val words = Tables.load(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w")).distinct()
+      val corpus = words
+        .unionAll(words.filter(length(col("w")) >= 5)
+          .select(col("w").substr(lit(1), length(col("w")) - 1).as("w")))
+      val keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq(
+        v => array(element_at(split(v, " "), -1)),
+        v => array(element_at(split(v, " "), 1)),
+        v => Dedup.qgramSet(v, 3))
+      val (pairs, ds) = Dedup.fuzzyValuePairsMultiBlockSets(corpus, "w",
+        keys, maxDist = 2, maxBlock = 16)
+      require(ds.forall(d => !d.capped && d.hottestDf <= 16),
+        s"l112 expects every key's blocks under the cap on this vocabulary: $ds")
+      // the blind spot, executable: the word keys ALONE pair nothing
+      // on one-token values (identity blocks never hold two distinct
+      // values) — the q-gram key is the only source of recall here
+      val (wordOnly, _) = Dedup.fuzzyValuePairsMultiBlockSets(corpus, "w",
+        keys.take(2), maxDist = 2, maxBlock = 16)
+      require(wordOnly.isEmpty,
+        "l112 expects word-split keys to degenerate to identity blocking " +
+          "on a one-token vocabulary and pair nothing")
+      // ...and it recovers EVERY injected typo pair (typo is a strict
+      // prefix of its original, so it sorts first: va = typo)
+      val injected = words.filter(length(col("w")) >= 5)
+        .select(col("w").substr(lit(1), length(col("w")) - 1).as("va"),
+          col("w").as("vb"))
+      val missed = injected.join(pairs, Seq("va", "vb"), "left_anti").count()
+      require(missed == 0,
+        s"l112 expects the q-gram key to recover every injected typo pair; $missed missed")
+      pairs.orderBy(col("va"), col("vb"))
+    }),
+
+    // LENGTH-STRATIFIED byte-LSH recall audit — turns the byte
+    // family's recall story (a README anecdote: "99/100, one short-doc
+    // miss") into measured rows, run over the ACTUAL blob store's
+    // payload column (l72's content-addressed store — the frame
+    // byteNearDupPairs exists for, exact dups already collapsed by
+    // sha addressing). Ground truth is exact byte-Jaccard with no
+    // banding, priced by a deterministic 10 % doc sample (doc_id % 10
+    // — contains every % 50 original, so the injected variants' true
+    // partners are always in-universe; the l63 sampling discipline:
+    // restriction never biases a per-pair verdict). The LSH leg is the
+    // production operator at l106's tuning on the SAME uncapped
+    // shingle universe, so its verified pairs are a subset of the
+    // exact set by construction and recall per min-payload-length
+    // stratum is the banding's whole trade. At sf0.1 the short-payload
+    // stratum carries the known S-curve miss as a graded row
+    // (20/21, recall ~0.952); every other stratum reads 1.0.
+    "l113_byte_lsh_recall" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val sample = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      val bin = blobCorpus(sample)
+      val root = graft.Scratch.dir("graft_blobrec")
+      Multimodal.writeBlobStore(s,
+        bin.select(col("doc_id"), col("payload").as("content")),
+        s"$root/store", nFiles = 8)
+      val store = s.read.parquet(s"$root/store")
+      val nAll = store.count()
+      val exact = Dedup.byteJaccardPairs(store, "blob_key", "content",
+        n = 8, threshold = 0.7)
+      val (lsh, d) = Dedup.byteNearDupPairs(store, "blob_key", "content",
+        n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.7, maxDf = nAll)
+      require(!d.capped && d.hottestDf <= nAll,
+        s"l113 audits the UNCAPPED universe (exact and LSH legs must share " +
+          s"one shingle set for recall to be the only difference): $d")
+      val nb = store.select(col("blob_key"), col("n_bytes"))
+      val rep = exact
+        .join(nb.select(col("blob_key").as("da"), col("n_bytes").as("_na")), "da")
+        .join(nb.select(col("blob_key").as("db"), col("n_bytes").as("_nb")), "db")
+        .select(col("da"), col("db"),
+          floor(least(col("_na"), col("_nb")) / 128).cast("long").as("stratum"))
+        .join(lsh.select(col("da"), col("db"), lit(1).as("hit")),
+          Seq("da", "db"), "left")
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_lsh"))
+        .select(col("stratum"), col("n_exact"), col("n_lsh"),
+          (col("n_exact") - col("n_lsh")).as("n_missed"),
+          (col("n_lsh").cast("double") / col("n_exact")).as("recall"))
+        .orderBy(col("stratum"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      require(rep.agg(sum(col("n_exact"))).head().getLong(0) > 0,
+        "l113 expects a non-empty exact ground truth (the injected " +
+          "variants guarantee near-dup pairs in the sampled universe)")
+      rep
     }),
 
     // The winnow loop's HOT-FINGERPRINT CAP, fire direction: every
@@ -1844,28 +2034,35 @@ object LlmQueries {
     // spec-verified (AnnIndexSpec, the scale rehearsal) but carried no
     // CORRECTNESS row; this grades it end to end: base index built on
     // the 16 training vectors, four embedding drops driven through the
-    // actual checkpoint-resumed streaming loop (one AvailableNow run
-    // per drop, tag = batch id), the in-loop fold collapsing
-    // {batch_0, batch_1} at the cadence point, and the final serve
-    // graded against l55's whole-corpus recompute oracle VERBATIM —
-    // stream-built == batch-built, bit for bit. In-query requires pin
-    // the loop's physical behavior (one partition per drop, the fold
-    // actually fired in-loop).
+    // actual checkpoint-resumed streaming loop in TWO starts (drops
+    // 0–2 as single pinned-mtime files drained by one AvailableNow run
+    // at maxFilesPerTrigger=1, drop 3 by a genuine checkpoint-resumed
+    // second start — tag = batch id either way), the in-loop fold
+    // collapsing {batch_0, batch_1} at the cadence point, and the
+    // final serve graded against l55's whole-corpus recompute oracle
+    // VERBATIM — stream-built == batch-built, bit for bit. In-query
+    // requires pin the loop's physical behavior (one partition per
+    // drop, the fold actually fired in-loop).
     "l93_stream_ann_ingest" -> ((s, dir) => {
       import graft.operators.AnnIndex
       val emb = Tables.load(s, dir, "embeddings")
       val root = graft.Scratch.dir("graft_annstr")
       AnnIndex.buildIvfPq(emb.filter(col("vec_id") < 16), "vec_id", "embedding",
         dim = 64, m = 4, k = 16, nCentroids = 16, dir = s"$root/ix")
-      (0 to 3).foreach { b =>
-        emb.filter(col("vec_id") >= 16 && col("vec_id") % 4 === b)
-          .write.mode("append").parquet(s"$root/src")
-        AnnIndex.runIngest(
-          s.readStream.schema(emb.schema).parquet(s"$root/src"),
-          s"$root/ix", "vec_id", "embedding", dim = 64, m = 4,
-          checkpointDir = s"$root/ckpt", compactEvery = 2)
-          .awaitTermination()
+      def drain(): Unit = AnnIndex.runIngest(
+        s.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src"),
+        s"$root/ix", "vec_id", "embedding", dim = 64, m = 4,
+        checkpointDir = s"$root/ckpt", compactEvery = 2)
+        .awaitTermination()
+      (0 to 2).foreach { b =>
+        landDrop(emb.filter(col("vec_id") >= 16 && col("vec_id") % 4 === b),
+          s"$root/src", b)
       }
+      drain()
+      landDrop(emb.filter(col("vec_id") >= 16 && col("vec_id") % 4 === 3),
+        s"$root/src", 3)
+      drain()
       require(AnnIndex.servableIngests(s, s"$root/ix") ==
           Seq("base", "batch_1", "batch_2", "batch_3"),
         "the loop must append one partition per drop and fold {0,1} in-loop")
@@ -2102,13 +2299,15 @@ object LlmQueries {
       |ORDER BY new_id, seen_id""".stripMargin
 
   /** Shared train/eval winnow CTE chain for the span-decontamination
-    * pair (l98 stats / l99 filter): the l85 winnowing replay run on
-    * BOTH sides of the doc_id % 50 benchmark split, ending in `tfp`
-    * (train (doc_id, fp)), `efp` (the eval corpus's distinct
-    * fingerprints) and `hits` (per-train-doc overlap counts). */
-  private val spanDecontamCtes: String =
-    """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
-      |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    * family (l98 stats / l99 filter / l111 streaming guard): the l85
+    * winnowing replay run on BOTH sides of the doc_id % 50 benchmark
+    * split, ending in `tfp` (train (doc_id, fp)), `efp` (the eval
+    * corpus's distinct fingerprints) and `hits` (per-train-doc overlap
+    * counts). The train definition is a parameter so l111's
+    * leak-injected corpus reuses the chain verbatim. */
+  private def spanDecontamCtesFrom(trSql: String): String =
+    ("WITH tr AS (" + trSql + "),\n") +
+    """ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
       |ttk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM tr),
       |tg AS (SELECT doc_id, i-1 AS pos,
       |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
@@ -2137,6 +2336,30 @@ object LlmQueries {
       |        WHERE pos <= greatest(ng-4, 0)),
       |hits AS (SELECT t.doc_id, COUNT(*) AS n_overlap
       |         FROM tfp t JOIN efp e USING (fp) GROUP BY 1)""".stripMargin
+
+  private val spanDecontamCtes: String = spanDecontamCtesFrom(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0")
+
+  /** l111's replay: the same span-decontamination chain over the
+    * LEAK-INJECTED train corpus (every 25th train doc — doc_id % 25 =
+    * 7, never an eval doc — carries the first 200 chars of eval doc 0,
+    * so the routed leak set is non-empty at every shipped SF), plus
+    * the crawl-drop column. The store is static, so the streaming
+    * guard's per-drop union must equal this whole-train batch run. */
+  private val streamDecontamSql: String = spanDecontamCtesFrom(
+    "SELECT doc_id, CASE WHEN doc_id % 25 = 7 THEN text || ' ' || " +
+      "(SELECT substr(text, 1, 200) FROM documents WHERE doc_id = 0) " +
+      "ELSE text END AS text FROM documents WHERE doc_id % 50 <> 0") +
+    """,
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM tfp GROUP BY 1)
+      |SELECT tr.doc_id,
+      |  COALESCE(cnt.n_fp, 0) AS n_fp,
+      |  COALESCE(hits.n_overlap, 0) AS n_overlap,
+      |  COALESCE(hits.n_overlap, 0) >= 2 AS contaminated,
+      |  CAST(tr.doc_id % 4 AS BIGINT) AS ingest_batch
+      |FROM tr LEFT JOIN cnt ON cnt.doc_id = tr.doc_id
+      |        LEFT JOIN hits ON hits.doc_id = tr.doc_id
+      |ORDER BY tr.doc_id""".stripMargin
 
   /** Shared POSITIONED two-corpus winnow chain for the leak-span pair
     * (l100 report / l101 redaction): the l91 struct-min selection
@@ -2597,6 +2820,10 @@ object LlmQueries {
           |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
           |WHERE d.doc_id % 50 <> 0 AND COALESCE(h.n_overlap, 0) < 2
           |ORDER BY d.doc_id""".stripMargin)) +
+      // l111: the streaming ingest guard's verdicts — the batch l98
+      // chain over the leak-injected corpus, plus the drop column (the
+      // store is static, so per-drop union == whole-train batch run)
+      ("l111_stream_decontaminate" -> streamDecontamSql) +
       // l100: the l91 positioned-selection + diagonal/island chain run
       // on both sides of the benchmark split — the same struct-min
       // (argmin-by-hash, rightmost tie) replay, matches joined
@@ -2693,6 +2920,89 @@ object LlmQueries {
           |SELECT va, vb, CAST(levenshtein(va, vb) AS BIGINT) AS dist
           |FROM cand WHERE levenshtein(va, vb) <= 2
           |ORDER BY va, vb""".stripMargin) +
+      // l112: the q-gram ER leg replayed — gram explosion, the df>16
+      // cap (vacuous on this vocabulary, replayed anyway so the SQL
+      // states the full operator), block join, length prefilter, DP.
+      // The two word-split keys contribute zero candidates on a
+      // one-token vocabulary by construction, so they have no SQL leg.
+      ("l112_fuzzy_qgram_block" ->
+        """WITH lw AS (SELECT DISTINCT UNNEST(string_split(p_name, ' ')) AS w
+          |           FROM part),
+          |v AS (SELECT w FROM lw
+          |      UNION
+          |      SELECT substr(w, 1, length(w)-1) FROM lw WHERE length(w) >= 5),
+          |g AS (SELECT w, substr(w, i, 3) AS blk
+          |      FROM v, UNNEST(generate_series(1, length(w)-2)) t(i)
+          |      WHERE length(w) >= 3),
+          |gb AS (SELECT DISTINCT w, blk FROM g),
+          |hot AS (SELECT blk FROM gb GROUP BY blk HAVING COUNT(*) > 16),
+          |kept AS (SELECT w, blk FROM gb
+          |         WHERE blk NOT IN (SELECT blk FROM hot)),
+          |cand AS (SELECT DISTINCT a.w AS va, b.w AS vb
+          |         FROM kept a JOIN kept b ON a.blk = b.blk AND a.w < b.w
+          |         WHERE abs(length(a.w) - length(b.w)) <= 2)
+          |SELECT va, vb, CAST(levenshtein(va, vb) AS BIGINT) AS dist
+          |FROM cand WHERE levenshtein(va, vb) <= 2
+          |ORDER BY va, vb""".stripMargin) +
+      // l113: the recall audit replayed — sampled universe, content
+      // addressing as DISTINCT payload, exact byte-Jaccard ground
+      // truth, the full 16-seed/4-band LSH chain, per-stratum fold.
+      // Pair identity rides the payload itself (the Spark side keys on
+      // blob_key) — per-stratum COUNTS are identical either way.
+      ("l113_byte_lsh_recall" ->
+        """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          |base AS (
+          |  SELECT doc_id, encode(text) AS payload FROM docs
+          |  UNION ALL
+          |  SELECT doc_id + 1000000,
+          |    encode('HDR|' || substr(text, 1, greatest(length(text)-2, 0)))
+          |  FROM docs WHERE doc_id % 50 = 0),
+          |dp AS (SELECT DISTINCT payload FROM base),
+          |hx AS (SELECT payload, octet_length(payload) AS nb,
+          |         upper(hex(payload)) AS h FROM dp),
+          |sh AS (SELECT DISTINCT payload, substr(h, i*2+1, 16) AS s
+          |       FROM hx, UNNEST(generate_series(0, nb - 8)) t(i)
+          |       WHERE nb >= 8),
+          |cnt AS (SELECT payload, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          |inter AS (SELECT a.payload AS pa, b.payload AS pb, COUNT(*) AS inter
+          |          FROM sh a JOIN sh b ON a.s = b.s AND a.payload < b.payload
+          |          GROUP BY 1, 2),
+          |exact AS (SELECT pa, pb FROM inter
+          |          JOIN cnt ca ON ca.payload = pa
+          |          JOIN cnt cb ON cb.payload = pb
+          |          WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) > 0.7),
+          |mh AS (SELECT payload, seed,
+          |         MIN(([40503,34283,49843,10193,5717,9539,62989,55021,
+          |               14939,58057,23371,60943,3571,38833,50993,17389][seed+1]
+          |                * CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) +
+          |              [27179,43691,20117,51347,7129,63577,31769,44201,
+          |               29527,12641,54679,8363,47507,64151,21841,36653][seed+1]
+          |                * CAST('0x' || substr(md5(s), 11, 10) AS BIGINT))
+          |             % 1099511627791) AS mh
+          |       FROM sh, UNNEST(generate_series(0, 15)) t(seed) GROUP BY 1, 2),
+          |bands AS (SELECT payload, seed % 4 AS band,
+          |            array_to_string(list_sort(list(mh)), '|') AS bsig
+          |          FROM mh GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT x.payload AS pa, y.payload AS pb
+          |         FROM bands x JOIN bands y
+          |           ON x.band = y.band AND x.bsig = y.bsig
+          |          AND x.payload < y.payload),
+          |lshv AS (SELECT c.pa, c.pb FROM cand c
+          |         JOIN inter i ON i.pa = c.pa AND i.pb = c.pb
+          |         JOIN cnt ca ON ca.payload = c.pa
+          |         JOIN cnt cb ON cb.payload = c.pb
+          |         WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) > 0.7),
+          |strat AS (SELECT e.pa, e.pb,
+          |            CAST(least(ha.nb, hb.nb) // 128 AS BIGINT) AS stratum,
+          |            CASE WHEN l.pa IS NOT NULL THEN 1 END AS hit
+          |          FROM exact e
+          |          JOIN hx ha ON ha.payload = e.pa
+          |          JOIN hx hb ON hb.payload = e.pb
+          |          LEFT JOIN lshv l ON l.pa = e.pa AND l.pb = e.pb)
+          |SELECT stratum, COUNT(*) AS n_exact, COUNT(hit) AS n_lsh,
+          |  COUNT(*) - COUNT(hit) AS n_missed,
+          |  CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS recall
+          |FROM strat GROUP BY 1 ORDER BY 1""".stripMargin) +
       // l110: the l61 cross-drop band-join replay over the byte chain
       // (16-seed family, 4 strided bands, +1000001 variant ids)
       ("l110_stream_blob_neardup" ->

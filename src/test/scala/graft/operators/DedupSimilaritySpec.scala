@@ -572,4 +572,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.tuneRowsPerBand(0, 0.5))
     intercept[IllegalArgumentException](Dedup.tuneRowsPerBand(8, 0.0))
   }
+
+  test("qgramSet: distinct character q-grams; sub-q values carry none") {
+    val d = docs((1L, "abcab"), (2L, "ab"))
+    val got = d.select($"doc_id", Dedup.qgramSet($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).toSet == Set("abc", "bca", "cab") && got(1L).size == 3)
+    assert(got(2L).isEmpty)
+    intercept[IllegalArgumentException](Dedup.qgramSet($"text", 1))
+  }
+
+  test("fuzzyValuePairsMultiBlockSets: q-gram key pairs one-token typos word keys can never block; hot grams cap") {
+    val d = Seq("widget", "widge", "anvil", "navil", "zzz")
+      .toDF("v")
+    val keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(v => array(element_at(split(v, " "), -1)), v => Dedup.qgramSet(v, 3))
+    val (pairs, ds) = Dedup.fuzzyValuePairsMultiBlockSets(d, "v",
+      keys, maxDist = 2, maxBlock = 10)
+    assert(ds.size == 2 && ds.forall(!_.capped))
+    val got = pairs.as[(String, String, Long)].collect().toSet
+    // "anvil"/"navil" share gram "vil" (transposition = 2 edits);
+    // "widge" is a strict prefix of "widget" (1 deletion) — found only
+    // through the q-gram key, since one-token identity blocks never
+    // hold two distinct values
+    assert(got == Set(("anvil", "navil", 2L), ("widge", "widget", 1L)))
+    val (wordOnly, _) = Dedup.fuzzyValuePairsMultiBlockSets(d, "v",
+      keys.take(1), maxDist = 2, maxBlock = 10)
+    assert(wordOnly.isEmpty,
+      "identity blocking on one-token values must pair nothing")
+    // maxBlock = 1 drops every shared gram (df >= 2 > 1) — the cap
+    // fires and no pair survives: boilerplate-gram semantics
+    val (capped, ds2) = Dedup.fuzzyValuePairsMultiBlockSets(d, "v",
+      keys, maxDist = 2, maxBlock = 1)
+    assert(ds2.last.capped && capped.isEmpty)
+  }
+
+  test("byteJaccardPairs equals hand-checked byte-window Jaccard") {
+    val d = Seq((1L, "abcdefgh"), (2L, "abcdefgx"), (3L, "qrstuvwx"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    // 4-byte windows: docs 1 and 2 share {abcd,bcde,cdef,defg} of a
+    // 6-element union -> J = 2/3; doc 3 is disjoint from both
+    val got = Dedup.byteJaccardPairs(d, "doc_id", "payload", n = 4,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 2.0 / 3.0)))
+  }
 }

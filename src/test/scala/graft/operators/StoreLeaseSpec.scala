@@ -71,6 +71,28 @@ class StoreLeaseSpec extends AnyFunSuite {
     StoreLease.release(spark, h)
   }
 
+  test("a torn bare lease with an unparsable generation folds to generation 0 instead of crashing") {
+    // two torn shapes that both pass a naive forall(isDigit) check:
+    // "generation=" (empty — vacuously all-digits) and an overlong
+    // digit string past Long range; either would have crashed
+    // arbitration with NumberFormatException, wedging acquire forever
+    for (torn <- Seq("", "9" * 25)) {
+      val store = java.nio.file.Files.createTempDirectory("graft_leasetorn")
+        .toString + "/s"
+      val p = java.nio.file.Paths.get(StoreLease.leasePath(store))
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (s"owner=legacy-holder\ngeneration=$torn\n" +
+          s"acquiredAtMs=${System.currentTimeMillis() - 100000}\nttlMs=1")
+          .getBytes("UTF-8"))
+      // expired + generation unparsable -> folds to gen 0, takeover at 1
+      val h = StoreLease.acquire(spark, store, "new-code")
+      assert(h.generation == 1L,
+        s"torn generation '$torn' must fold to 0 and take over at 1, got ${h.generation}")
+      StoreLease.release(spark, h)
+    }
+  }
+
   test("racing takeovers of one expired lease mint exactly one holder") {
     // the delete-then-create interleave this guards against: A deletes
     // the expired lease, A creates; B deletes A's FRESH lease, B

@@ -80,10 +80,20 @@ class AnnIngestScaleRehearsalSpec extends AnyFunSuite {
     (1 until nDrops).foreach { k =>
       dropDf(k).write.mode("append").parquet(src)
       val t0 = System.nanoTime()
-      AnnIndex.runIngest(spark.readStream.schema(schema).parquet(src),
+      val q = AnnIndex.runIngest(spark.readStream.schema(schema).parquet(src),
         ixDir, "vec_id", "embedding", dim = dim, m = m,
-        checkpointDir = ckpt, compactEvery = 2).awaitTermination()
+        checkpointDir = ckpt, compactEvery = 2)
+      q.awaitTermination()
       secs(k - 1) = (System.nanoTime() - t0) / 1e9
+      // the engine's OWN state accounting: the loop's state is the
+      // on-disk index (bounded by (a) below) — the Spark state store
+      // must hold ZERO rows at every batch, or the foreachBatch loop
+      // would secretly be O(vectors) in checkpoint state
+      q.recentProgress.foreach { p =>
+        assert(p.stateOperators.forall(_.numRowsTotal == 0L),
+          s"drop $k: foreachBatch loop reported state-store rows: " +
+            p.stateOperators.map(_.numRowsTotal).mkString(" "))
+      }
       dirsAfter(k - 1) = math.max(ingestDirs("codes"), ingestDirs("lists"))
       filesAfter(k - 1) = dataFiles()
       // (a) bounded layout after EVERY drop: base + compactEvery + 1

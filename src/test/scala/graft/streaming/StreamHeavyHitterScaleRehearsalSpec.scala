@@ -60,6 +60,7 @@ class StreamHeavyHitterScaleRehearsalSpec extends AnyFunSuite {
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var progresses = Array.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
     val t = try {
       val src = spark.readStream.schema(dropDf(0).schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
@@ -79,6 +80,7 @@ class StreamHeavyHitterScaleRehearsalSpec extends AnyFunSuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      progresses = q.recentProgress
       spark.table(sink)
     } finally {
       prev match {
@@ -90,6 +92,21 @@ class StreamHeavyHitterScaleRehearsalSpec extends AnyFunSuite {
     // (a) every emission across all 16 batches stayed within the budget
     val worst = t.select(max(size(map_keys(col("counters"))))).head().getInt(0)
     assert(worst <= m, s"a summary emission carried $worst > m=$m counters")
+    // (a') the same bound by the STATE STORE'S OWN accounting, not the
+    // sink's emissions: at every committed micro-batch the TWS operator
+    // held at most nRanges state rows (one value-state row per range) —
+    // O(ranges), never O(keys) — per StreamingQueryProgress's
+    // numRowsTotal counter, with memory usage actually reported
+    val stateRows = progresses.filter(_.stateOperators.nonEmpty)
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+    assert(stateRows.nonEmpty,
+      "expected stateOperators rows in the TWS query's progress events")
+    assert(stateRows.forall(_ <= nRanges.toLong),
+      s"state store exceeded nRanges=$nRanges rows at some batch: ${stateRows.mkString(" ")}")
+    assert(stateRows.last >= 1L,
+      s"final batch reported no state rows: ${stateRows.mkString(" ")}")
+    assert(progresses.exists(_.stateOperators.exists(_.memoryUsedBytes > 0L)),
+      "state store reported zero memory across all batches — the counter is not wired")
     // emissions actually spanned the drops (state merged repeatedly,
     // not one giant batch): every range emitted once per touched batch
     val emissions = t.groupBy(col("r")).count().select(min(col("count"))).head().getLong(0)

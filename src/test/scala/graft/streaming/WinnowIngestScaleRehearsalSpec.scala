@@ -77,10 +77,20 @@ class WinnowIngestScaleRehearsalSpec extends AnyFunSuite {
     (0 until nDrops).foreach { k =>
       dropDf(k).write.mode("append").parquet(src)
       val t0 = System.nanoTime()
-      IncrementalDedup.runWinnow(
+      val q = IncrementalDedup.runWinnow(
         spark.readStream.schema(schema).parquet(src),
-        wcfg, fps, out, ckpt, compactEvery = 2).awaitTermination()
+        wcfg, fps, out, ckpt, compactEvery = 2)
+      q.awaitTermination()
       secs(k) = (System.nanoTime() - t0) / 1e9
+      // the engine's OWN state accounting: the loop's state is the
+      // on-disk fp store (bounded by (a) below) — the Spark state
+      // store must hold ZERO rows at every batch, or the foreachBatch
+      // loop would secretly be O(keys) in checkpoint state
+      q.recentProgress.foreach { p =>
+        assert(p.stateOperators.forall(_.numRowsTotal == 0L),
+          s"drop $k: foreachBatch loop reported state-store rows: " +
+            p.stateOperators.map(_.numRowsTotal).mkString(" "))
+      }
       dirsAfter(k) = storeDirs()
       filesAfter(k) = dataFiles()
       // (a) bounded layout after EVERY drop: folded + compactEvery + 1
