@@ -96,6 +96,38 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       s"drop-2 doc must match docs 1 and 10 via stored bands: $afterDrop2")
   }
 
+  test("one AvailableNow start drains pinned-mtime drops oldest-first: batch k == mtime rank, not creation order") {
+    // the two-start graded loops ride on "micro-batch k == drop k"
+    // with several drops pending before ONE start — the file source
+    // must order them by modification time, which the loops PIN. This
+    // writes the drops in REVERSE creation order (drop 2's file lands
+    // first), so any accidental reliance on listing or creation order
+    // would flip the mapping and fail here rather than as an oracle
+    // desync.
+    val root = Files.createTempDirectory("graft_incr_order").toString
+    val src = s"$root/src"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def writeDrop(k: Int): Unit = {
+      Seq((k * 10L, s"drop$k a b c d e f")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          f.lastModified() > 1000L * 1000)
+        .foreach(f => assert(f.setLastModified(1000L * (k + 1))))
+    }
+    Seq(2, 0, 1).foreach(writeDrop)
+    IncrementalDedup.run(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      cfg, s"$root/bands", s"$root/out", s"$root/ckpt").awaitTermination()
+    (0 until 3).foreach { k =>
+      val ids = spark.read.parquet(s"$root/out/ingest_batch=$k")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(k * 10L),
+        s"batch $k holds $ids — the file source did not order by pinned mtime")
+    }
+  }
+
   test("winnow loop: drops span-match against the persisted fingerprint store; replay idempotent") {
     val root = Files.createTempDirectory("graft_incr_wn_spec").toString
     val src = s"$root/src"; val fps = s"$root/fps"
