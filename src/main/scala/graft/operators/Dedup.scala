@@ -1274,6 +1274,19 @@ object Dedup {
     (canonicalFromPairs(df, value, pairs), ds)
   }
 
+  /** `fuzzyCanonicalizeMultiBlock` over SET-VALUED keys — the
+    * canonical action on `fuzzyValuePairsMultiBlockSets`' recall: a
+    * single-token typo (invisible to every word-split key) pulls into
+    * its original's cluster through the q-gram key's pair instead of
+    * forking a spurious entity. Same star-CC closure, same
+    * one-equi-join corpus remap; per-key cap decisions in key order. */
+  def fuzzyCanonicalizeMultiBlockSets(df: DataFrame, value: String,
+                                      blockSetOfs: Seq[Column => Column],
+                                      maxDist: Int, maxBlock: Long): (DataFrame, Seq[HotBucketDecision]) = {
+    val (pairs, ds) = fuzzyValuePairsMultiBlockSets(df, value, blockSetOfs, maxDist, maxBlock)
+    (canonicalFromPairs(df, value, pairs), ds)
+  }
+
   private def canonicalFromPairs(df: DataFrame, value: String,
                                  pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs, "va", "vb")

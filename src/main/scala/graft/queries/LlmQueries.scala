@@ -1739,6 +1739,46 @@ object LlmQueries {
       pairs.orderBy(col("da"), col("db"))
     }),
 
+    // The RETENTION ACTION over blob near-dup groups — what l106's
+    // pairs exist for, completing the blob family's symmetry with text
+    // (exact sha identity / batch near-dup / streaming ingest / and
+    // now groups + keep-best): verified byte pairs at l106's exact
+    // settings feed the same star-CC + argmax-retention composition
+    // l44 grades on text, scored here by payload SIZE (most-complete-
+    // copy wins, id tiebreak — the score is the caller's policy knob;
+    // first-seen-wins is score -id). On the injected corpus the
+    // header-carrying variants are 2 bytes LONGER than their trimmed
+    // originals, so the argmax genuinely bites in both directions
+    // (some variants win their group, some die to a longer chain
+    // neighbor) — pinned in-query so the grade can't go vacuous. The
+    // oracle replays the full byte chain + recursive closure + the
+    // size/id argmax.
+    "l114_blob_neardup_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nBase = docs.count()
+      val bin = blobCorpus(docs)
+      val (pairs, d) = Dedup.byteNearDupPairs(bin, "doc_id", "payload",
+        n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.7,
+        maxDf = nBase / 2)
+      require(d.capped && d.hottestDf > nBase / 2,
+        s"l114 runs l106's fire universe; expected the cap to fire: $d")
+      val kept = Dedup.keepBestPerGroup(bin, pairs, "doc_id",
+        octet_length(col("payload")))
+      // non-vacuity of the retention rule, both directions: some
+      // variants (id >= 1,000,000) win their group, some lose
+      val stats = kept.agg(
+        sum(when(col("kept") === 0, 1L).otherwise(0L)).as("n_drop"),
+        sum(when(col("kept") === 1 && col("doc_id") >= 1000000L, 1L)
+          .otherwise(0L)).as("var_kept"),
+        sum(when(col("kept") === 0 && col("doc_id") >= 1000000L, 1L)
+          .otherwise(0L)).as("var_drop")).head()
+      require(stats.getLong(0) > 0 && stats.getLong(1) > 0 && stats.getLong(2) > 0,
+        s"l114 expects a non-vacuous argmax (drops > 0, variants on both " +
+          s"sides): dropped=${stats.getLong(0)} varKept=${stats.getLong(1)} " +
+          s"varDropped=${stats.getLong(2)}")
+      kept.orderBy(col("doc_id"))
+    }),
+
     // MULTI-PASS blocking for fuzzy ER — closes l102's stated recall
     // gap (a typo IN the last word hides the pair from the last-word
     // key forever): every 100th part injects a variant with its LAST
@@ -1922,6 +1962,40 @@ object LlmQueries {
       require(missed == 0,
         s"l112 expects the q-gram key to recover every injected typo pair; $missed missed")
       pairs.orderBy(col("va"), col("vb"))
+    }),
+
+    // The CANONICAL action over the q-gram pairs — l109's claim
+    // carried to the single-token vocabulary: a one-token typo pulls
+    // into its original's cluster through the q-gram key's pair, so it
+    // no longer forks a spurious entity (under word-split blocking
+    // EVERY value self-maps on this corpus — the word keys pair
+    // nothing, pinned in l112). Same star-CC closure + equi-join
+    // remap; the in-query require pins zero forks across all injected
+    // (original, typo) pairs. Oracle: l112's candidate chain + the
+    // l17 recursive-CTE closure.
+    "l115_fuzzy_qgram_canonical" -> ((s, dir) => {
+      val words = Tables.load(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w")).distinct()
+      val corpus = words
+        .unionAll(words.filter(length(col("w")) >= 5)
+          .select(col("w").substr(lit(1), length(col("w")) - 1).as("w")))
+      val keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq(
+        v => array(element_at(split(v, " "), -1)),
+        v => array(element_at(split(v, " "), 1)),
+        v => Dedup.qgramSet(v, 3))
+      val (m, ds) = Dedup.fuzzyCanonicalizeMultiBlockSets(corpus, "w",
+        keys, maxDist = 2, maxBlock = 16)
+      require(ds.forall(d => !d.capped && d.hottestDf <= 16),
+        s"l115 expects every key's blocks under the cap: $ds")
+      val forks = words.filter(length(col("w")) >= 5)
+        .select(col("w").as("orig"),
+          col("w").substr(lit(1), length(col("w")) - 1).as("typo"))
+        .join(m.select(col("w").as("orig"), col("canonical").as("c_orig")), Seq("orig"))
+        .join(m.select(col("w").as("typo"), col("canonical").as("c_typo")), Seq("typo"))
+        .filter(col("c_orig") =!= col("c_typo")).count()
+      require(forks == 0,
+        s"l115 expects every injected typo to share its original's canonical; $forks forked")
+      m.orderBy(col("w"))
     }),
 
     // LENGTH-STRATIFIED byte-LSH recall audit — turns the byte
@@ -2437,14 +2511,18 @@ object LlmQueries {
     * string; Spark hexes an n-byte binary slice — value-identical
     * (hex(substring(p, i+1, n)) == substr(hex(p), 2i+1, 2n)), each
     * form the one its engine executes efficiently. */
-  private def blobNearDupSql(capped: Boolean): String = {
+  /** The byte-shingle chain's CTE body (no leading WITH, ends at
+    * `inter`) — shared by the pair oracles (l106/l108) and the
+    * keep-best retention oracle (l114, which prepends WITH RECURSIVE
+    * for its closure tail). */
+  private def blobNearDupCtes(capped: Boolean): String = {
     val universe =
       if (capped)
         """hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY 1)
           |        WHERE df > (SELECT COUNT(*)//2 FROM documents)),
           |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),""".stripMargin
       else "sh AS (SELECT * FROM sh0),"
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, encode(text) AS payload FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000,
@@ -2474,12 +2552,42 @@ object LlmQueries {
        |           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
        |inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c
        |          JOIN sh a ON a.doc_id = c.da
-       |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s GROUP BY 1, 2)
-       |SELECT da, db, CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) AS jaccard
-       |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-       |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.7
-       |ORDER BY da, db""".stripMargin
+       |          JOIN sh b ON b.doc_id = c.db AND b.s = a.s GROUP BY 1, 2)""".stripMargin
   }
+
+  private def blobNearDupSql(capped: Boolean): String =
+    "WITH " + blobNearDupCtes(capped) + "\n" +
+    """SELECT da, db, CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      |WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.7
+      |ORDER BY da, db""".stripMargin
+
+  /** l114: l106's fire-universe pair chain + the l17 recursive-CTE
+    * closure + the size/id argmax retention — every corpus blob with
+    * its group's keeper (max payload bytes, id tiebreak), singletons
+    * keeping themselves. */
+  private def blobKeepBestSql: String =
+    "WITH RECURSIVE " + blobNearDupCtes(capped = true) + ",\n" +
+    """pairs AS (SELECT da, db FROM inter
+      |          JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      |          WHERE CAST(i AS DOUBLE)/(ca.n_sh + cb.n_sh - i) > 0.7),
+      |edges AS (SELECT da AS x, db AS y FROM pairs
+      |          UNION SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT x AS id FROM edges),
+      |reach AS (SELECT id, id AS r FROM nodes
+      |          UNION
+      |          SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+      |lbl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+      |members AS (SELECT lbl.rep, lbl.id, hx.nb
+      |            FROM lbl JOIN hx ON hx.doc_id = lbl.id),
+      |best AS (SELECT rep, id AS keep_id FROM (
+      |           SELECT rep, id, ROW_NUMBER() OVER (PARTITION BY rep
+      |             ORDER BY nb DESC, id) AS rk FROM members) WHERE rk = 1)
+      |SELECT b.doc_id, COALESCE(best.keep_id, b.doc_id) AS keep_id,
+      |  CAST(b.doc_id = COALESCE(best.keep_id, b.doc_id) AS INT) AS kept
+      |FROM base b LEFT JOIN lbl ON lbl.id = b.doc_id
+      |            LEFT JOIN best ON best.rep = lbl.rep
+      |ORDER BY b.doc_id""".stripMargin
 
   /** The l103/l104 injected messy URLs: four doc_id-derived variants,
     * three of which canonicalize identically per doc_id-div-4 group.
@@ -2899,6 +3007,38 @@ object LlmQueries {
       // universes (fire and hold directions of the same operator)
       ("l106_blob_neardup" -> blobNearDupSql(capped = true)) +
       ("l108_blob_neardup_hold" -> blobNearDupSql(capped = false)) +
+      // l114: the same fire-universe chain, closed transitively and
+      // folded through the size/id argmax — the retention action
+      ("l114_blob_neardup_dedup" -> blobKeepBestSql) +
+      // l115: l112's candidate chain + the l17 recursive closure —
+      // the canonical action over the q-gram recall
+      ("l115_fuzzy_qgram_canonical" ->
+        """WITH RECURSIVE lw AS (SELECT DISTINCT UNNEST(string_split(p_name, ' ')) AS w
+          |           FROM part),
+          |v AS (SELECT w FROM lw
+          |      UNION
+          |      SELECT substr(w, 1, length(w)-1) FROM lw WHERE length(w) >= 5),
+          |g AS (SELECT w, substr(w, i, 3) AS blk
+          |      FROM v, UNNEST(generate_series(1, length(w)-2)) t(i)
+          |      WHERE length(w) >= 3),
+          |gb AS (SELECT DISTINCT w, blk FROM g),
+          |hot AS (SELECT blk FROM gb GROUP BY blk HAVING COUNT(*) > 16),
+          |kept AS (SELECT w, blk FROM gb
+          |         WHERE blk NOT IN (SELECT blk FROM hot)),
+          |cand AS (SELECT DISTINCT a.w AS va, b.w AS vb
+          |         FROM kept a JOIN kept b ON a.blk = b.blk AND a.w < b.w
+          |         WHERE abs(length(a.w) - length(b.w)) <= 2),
+          |pairs AS (SELECT va, vb FROM cand WHERE levenshtein(va, vb) <= 2),
+          |edges AS (SELECT va AS x, vb AS y FROM pairs
+          |          UNION SELECT vb, va FROM pairs),
+          |nodes AS (SELECT DISTINCT x AS id FROM edges),
+          |reach AS (SELECT id, id AS r FROM nodes
+          |          UNION
+          |          SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+          |lbl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+          |SELECT v.w, COALESCE(lbl.rep, v.w) AS canonical
+          |FROM v LEFT JOIN lbl ON lbl.id = v.w
+          |ORDER BY v.w""".stripMargin) +
       // l107: multi-pass blocked fuzzy ER — per-key candidates
       // unioned, dedup'd before the DP, over the typo-injected corpus
       ("l107_fuzzy_multiblock" ->

@@ -607,6 +607,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ds2.last.capped && capped.isEmpty)
   }
 
+  test("fuzzyCanonicalizeMultiBlockSets: one-token typo chain collapses through q-gram blocks; isolates self-map") {
+    // "widge" ~ "widget" (deletion) and "widget" ~ "widgex" (subst):
+    // a chain only the q-gram key can see on one-token values; the
+    // closure must collapse all three to the lexicographic min, and
+    // the unpaired value maps to itself
+    val d = Seq("widget", "widge", "widgex", "zzz").toDF("v")
+    val keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(v => array(element_at(split(v, " "), -1)), v => Dedup.qgramSet(v, 3))
+    val (m, ds) = Dedup.fuzzyCanonicalizeMultiBlockSets(d, "v",
+      keys, maxDist = 2, maxBlock = 10)
+    assert(ds.forall(!_.capped))
+    val got = m.as[(String, String)].collect().toMap
+    assert(got == Map("widget" -> "widge", "widge" -> "widge",
+      "widgex" -> "widge", "zzz" -> "zzz"))
+  }
+
   test("byteJaccardPairs equals hand-checked byte-window Jaccard") {
     val d = Seq((1L, "abcdefgh"), (2L, "abcdefgx"), (3L, "qrstuvwx"))
       .toDF("doc_id", "text")
