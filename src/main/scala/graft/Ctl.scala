@@ -35,6 +35,8 @@ import org.apache.spark.sql.SparkSession
   *   Ctl <root> topkeys <parquetDir> <col> [k]           (skew probe: hot join/agg keys)
   *   Ctl <root> hotvalues <parquetDir> <col> <minFreq>   (every value >= minFreq occurrences,
   *                                       Misra-Gries-pruned — no full frequency table)
+  *   Ctl <root> decon-leaks <leakDir> [limit]            (decontamination guard side output:
+  *                                       per-drop leak counts + newest routed docs)
   *
   * Topic schemas are inferred from the on-disk JSON (a ctl inspects
   * whatever is there; production pipelines declare schemas via
@@ -69,7 +71,8 @@ object Ctl {
       |       Ctl <root> stats-refresh <dir> <col1,col2,...>
       |       Ctl <root> bloom-refresh <dir> <keyCol>
       |       Ctl <root> topkeys <dir> <col> [k]
-      |       Ctl <root> hotvalues <dir> <col> <minFreq>""".stripMargin
+      |       Ctl <root> hotvalues <dir> <col> <minFreq>
+      |       Ctl <root> decon-leaks <dir> [limit]""".stripMargin
 
   /** Infer the MAIN topic's schema from disk; the connector then derives
     * DLQ-topic schemas (base + metadata) from it, so replay round-trips. */
@@ -203,6 +206,25 @@ object Ctl {
         case "complete" => attempt(graft.streaming.IncrementalDedup
           .resolveAmbiguousStage(spark, s"$root/$dir", complete = true))
         case other => Left(s"bands-resolve mode must be discard or complete, got '$other'")
+      }
+    // quarantine triage for the decontamination guard's DLQ-shaped
+    // side output (IncrementalDedup.runDecontaminate's leakDir): how
+    // much is each drop leaking, and what leaked most recently —
+    // the dlq-inspect counterpart for routed benchmark contamination.
+    // Reads only _SUCCESS-committed partitions (results()'s guard).
+    case ("decon-leaks", dir :: tl) =>
+      parseLimit(tl).flatMap { limit =>
+        attempt {
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val r = graft.streaming.IncrementalDedup.results(spark, s"$root/$dir")
+          val perDrop = r.groupBy(col("ingest_batch"))
+            .agg(count(lit(1)).as("n_leaked"))
+            .orderBy(col("ingest_batch"))
+          val newest = r.orderBy(col("ingest_batch").desc,
+            col(r.columns.head)).limit(limit)
+          "per-drop leak counts:\n" + showRows(perDrop) +
+            s"\nnewest routed docs (limit $limit):\n" + showRows(newest)
+        }
       }
     // sidecar recovery: the executable fix the pruned-read drift
     // fail-fast points at — recompute a store's stats/Bloom sidecar

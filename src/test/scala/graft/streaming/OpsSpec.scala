@@ -219,6 +219,33 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.Ctl.run(spark, root, "stats-refresh", Array("store", " , ")).isLeft)
   }
 
+  test("Ctl decon-leaks triages the decontamination guard's side output per drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ctl_decon").toString
+    // two committed leak partitions (the runDecontaminate leakDir
+    // shape) + one torn partition that must stay invisible
+    Seq((7L, 20L, 5L, true)).toDF("doc_id", "n_fp", "n_overlap", "contaminated")
+      .write.parquet(s"$root/leak/ingest_batch=0")
+    Seq((32L, 18L, 4L, true), (57L, 25L, 6L, true))
+      .toDF("doc_id", "n_fp", "n_overlap", "contaminated")
+      .write.parquet(s"$root/leak/ingest_batch=1")
+    Seq((99L, 1L, 1L, true)).toDF("doc_id", "n_fp", "n_overlap", "contaminated")
+      .write.parquet(s"$root/leak/ingest_batch=2")
+    new java.io.File(s"$root/leak/ingest_batch=2/_SUCCESS").delete()
+    val out = graft.Ctl.run(spark, root, "decon-leaks", Array("leak", "2"))
+    assert(out.isRight, out.toString)
+    val text = out.toOption.get
+    assert(text.contains("n_leaked"))
+    assert(!text.contains("99"), s"torn partition leaked into the report: $text")
+    // newest first, bounded: docs 32 and 57 (drop 1), not drop 0's 7
+    val newest = text.split("newest routed docs").last
+    assert(newest.contains("32") && newest.contains("57") && !newest.contains(" 7 "),
+      s"expected drop 1's docs first: $newest")
+    // a missing dir takes the usage path, not a stack trace
+    assert(graft.Ctl.run(spark, root, "decon-leaks", Array("no_such_dir")).isLeft)
+  }
+
   test("Ctl topkeys reports hot-key share for the salting decision") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_ctl_topkeys").toString
