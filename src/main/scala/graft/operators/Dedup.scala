@@ -468,11 +468,22 @@ object Dedup {
       require(rounds <= 100, s"connectedComponents failed to converge in $rounds rounds")
       // fixpoint = the edge set is a STAR PARTITION (the paper's stable
       // states): every child has exactly one root and no root is also a
-      // child. Both probes scan the just-persisted round.
-      converged =
-        next.groupBy(col("y")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-          .filter(col("mn") =!= col("mx")).isEmpty &&
-        next.select(col("x")).intersect(next.select(col("y"))).isEmpty
+      // child. ONE job tests both (it is also the action that computes
+      // and persists this round's RDD — the round's ONLY job): group
+      // every node with {its roots} ∪ {itself wherever it roots
+      // someone}; the partition is stable iff every group holds a
+      // single distinct value. A child with two roots holds both; a
+      // node that is both root and child holds itself plus a root
+      // strictly below it (canonical edges have x < y); a pure root
+      // holds only itself, a pure child only its root. The previous
+      // two-probe form (groupBy min/max + an intersect) paid a second
+      // per-round job whose fixed latency dominated the tiny-graph
+      // graded queries.
+      converged = next.select(col("y").as("n"), col("x").as("v"))
+        .unionAll(next.select(col("x").as("n"), col("x").as("v")))
+        .groupBy(col("n"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .filter(col("mn") =!= col("mx")).isEmpty
       if (edgesRdd != null) edgesRdd.unpersist(blocking = false)
       edges = next
       edgesRdd = nextRdd
@@ -1086,6 +1097,53 @@ object Dedup {
     (exactVerifyPairs(kept, cand, id, threshold), d)
   }
 
+  /** `byteNearDupPairs` with LENGTH-AWARE banding — the closed loop on
+    * the recall trade the l113 audit measures: a short payload has few
+    * shingles, so at the threshold its band-collision probability sits
+    * mid-S-curve and individual pairs miss (the audit's 20/21 short
+    * stratum). Docs whose DISTINCT (post-cap) shingle count is below
+    * `fineCut = ceil(shortMaxShingles / threshold)` are banded a
+    * SECOND time at `shortRowsPerBand` (more, shorter bands — a lower
+    * S-curve inflection, recall over precision; pick it with
+    * `tuneRowsPerBand` at a target BELOW the verify threshold), and
+    * candidates are the union of both bandings' bucket pairs. The cut
+    * is pair algebra, not a per-doc guess: J(a,b) >= threshold forces
+    * max(|sh|) <= min(|sh|) / threshold, so every exact pair whose
+    * smaller side holds < `shortMaxShingles` shingles has BOTH sides
+    * inside the fine universe — fine banding never needs to reach into
+    * the long stratum. Candidate volume stays bounded the l106/l108
+    * way: the fine self-join runs only within the short stratum, and
+    * every extra candidate passes the same exact verification, so
+    * output ⊇ `byteNearDupPairs` at the same base tuning and is
+    * bit-identical when no doc falls under the cut. Both bandings read
+    * the SAME persisted shingle frame — the fine leg adds one
+    * stratum-sized band aggregate, not a second shingle build. Same
+    * CACHE NOTE as `byteNearDupPairs`. */
+  def byteNearDupPairsStratified(bin: DataFrame, id: String, payload: String,
+                                 n: Int, numHashes: Int, rowsPerBand: Int,
+                                 shortRowsPerBand: Int, shortMaxShingles: Long,
+                                 threshold: Double,
+                                 maxDf: Long): (DataFrame, HotBucketDecision) = {
+    require(shortMaxShingles >= 1,
+      s"shortMaxShingles must be >= 1, got $shortMaxShingles")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = byteShingleSet(bin, id, payload, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (kept0, d) = capHotBuckets(sh, id, "s", maxDf)
+    val kept =
+      if (!d.capped) kept0
+      else kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fineCut = math.ceil(shortMaxShingles / threshold).toLong
+    val shortIds = kept.groupBy(col(id)).agg(count(lit(1)).as("_nsh"))
+      .filter(col("_nsh") < fineCut).select(col(id))
+    val fine = kept.join(shortIds, Seq(id), "left_semi")
+    val cand = bandPairJoin(bandFrame(kept, id, numHashes, rowsPerBand), id)
+      .unionAll(bandPairJoin(bandFrame(fine, id, numHashes, shortRowsPerBand), id))
+      .distinct()
+    (exactVerifyPairs(kept, cand, id, threshold), d)
+  }
+
   /** Exact byte-Jaccard near-dup pairs over binary payloads — the
     * GROUND-TRUTH leg of the byte-LSH recall audit (the byte analog of
     * `ngramJaccardPairs`): the same shingle universe as
@@ -1099,7 +1157,13 @@ object Dedup {
     * that banding trades away. */
   def byteJaccardPairs(bin: DataFrame, id: String, payload: String,
                        n: Int, threshold: Double): DataFrame = {
+    // persisted: the frame feeds THREE consumers (the per-doc counts
+    // and both sides of the exact self-join) and would re-run the
+    // explode+distinct per consumer otherwise — the same
+    // multi-consumer discipline, and the same CACHE NOTE contract, as
+    // byteNearDupPairs' five-consumer frame above.
     val sh = byteShingleSet(bin, id, payload, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque binary columns with typed
@@ -286,6 +286,125 @@ object Multimodal {
                  keys: Seq[Long]): Layout.PrunedScan = {
     val scan = Layout.bloomPrunedRead(spark, path, keys)
     scan.copy(df = scan.df.filter(col("blob_key").isin(keys: _*)))
+  }
+
+  // ------------------------------------------------------------------
+  // Perceptual (content-level) near-dup: the duplicate class byte-
+  // shingle LSH cannot see by construction. A re-encoded image (same
+  // picture, different quality/format) shares ~no byte n-grams with
+  // its original, so content identity needs a fingerprint of the
+  // DECODED raster, not of the encoding. aHash/dHash (the classic
+  // average/gradient hashes) over a deterministic, decode-free raster:
+  // the payload's byte stream stands in for the pixel stream (the
+  // stubDecode pattern above — a real decoder swaps in per format
+  // without touching the plan), downscaled by block-averaging into 64
+  // cells, each cell thresholded against the global mean (aHash) or
+  // its cyclic successor (dHash). All-integer arithmetic — mean
+  // comparisons are cross-multiplied, never divided — so a DuckDB
+  // oracle replays the chain bit-for-bit. Reference capability
+  // generalized: content-level identity beyond exact bytes,
+  // /root/reference/pspf/connectors/base.py:48-70.
+  // ------------------------------------------------------------------
+
+  /** Per-payload block sums: the byte stream split at boundaries
+    * floor(b·len/nBlocks), b = 0..nBlocks — the downscale grid a real
+    * thumbnailer uses — each block summed in ONE projection: no
+    * shuffle, no UDF, O(len) per row. Each element slices one byte
+    * straight off the BINARY column (never off a projected
+    * whole-payload hex alias — the CollapseProject/HOF O(len²) trap
+    * `Dedup.byteShingleSet` documents). Payloads shorter than nBlocks
+    * leave empty cells (sum 0, length 0), handled downstream. */
+  def blockSums(payload: Column, nBlocks: Int): Column = {
+    require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
+    val nb = octet_length(payload).cast("long")
+    transform(sequence(lit(0), lit(nBlocks - 1)), b => {
+      // boundary math in LONG (b·len would clip int for ~32 MB
+      // payloads), sequence/substr positions back in INT (what the
+      // expressions type-check at; payloads are int-addressed anyway)
+      val lo = floor(b.cast("long") * nb / nBlocks).cast("int")
+      val hi = floor((b.cast("long") + 1) * nb / nBlocks).cast("int")
+      when(hi > lo,
+        aggregate(sequence(lo + 1, hi), lit(0L),
+          (acc, i) => acc + conv(hex(payload.substr(i, lit(1))), 16, 10)
+            .cast("long")))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** 64-bit aHash + dHash per payload: (id, ahash, dhash), LongType.
+    * aHash bit b (weight 2^b; bit 63's weight is Long.MinValue —
+    * two's-complement packing, the same literal the oracle sums) is
+    * set iff cell b's mean byte exceeds the payload's global mean,
+    * compared exactly as sum_b·len > total·len_b. dHash bit b is set
+    * iff cell b's mean exceeds its cyclic successor's —
+    * sum_b·len_{b+1} > sum_{b+1}·len_b (the gradient form; cyclic so
+    * bit 63 carries signal like every other). Equal-length cells
+    * (len % 64 == 0) reduce both to plain sum comparisons, but the
+    * cross-multiplied form stays exact at ANY length; products stay
+    * under 2^63 for payloads to ~1 GB. Empty cells threshold false on
+    * both sides (0 > 0 fails), deterministically.
+    *
+    * Robustness contract (what "perceptual" buys): any byte-level
+    * perturbation that preserves every cell sum — a re-quantization,
+    * dither, or pair-local reorder, the stand-ins for a quality/format
+    * re-encode — yields the IDENTICAL hash while destroying every byte
+    * n-gram; an actual content change moves cell means and flips bits
+    * roughly in proportion. One projection end to end, no shuffle. */
+  def perceptualHashes(bin: DataFrame, id: String, payload: String): DataFrame = {
+    val nBlocks = 64
+    val base = bin.select(col(id),
+      octet_length(col(payload)).cast("long").as("_nb"),
+      blockSums(col(payload), nBlocks).as("_bs"))
+      .withColumn("_tot", aggregate(col("_bs"), lit(0L), _ + _))
+    def sumB(b: Int) = element_at(col("_bs"), b + 1)
+    def lenB(b: Int) =
+      (floor(lit((b + 1).toLong) * col("_nb") / nBlocks) -
+        floor(lit(b.toLong) * col("_nb") / nBlocks)).cast("long")
+    val abits = (0 until nBlocks).map { b =>
+      when(sumB(b) * col("_nb") > col("_tot") * lenB(b), lit(1L << b))
+        .otherwise(lit(0L))
+    }
+    val dbits = (0 until nBlocks).map { b =>
+      val c = (b + 1) % nBlocks
+      when(sumB(b) * lenB(c) > sumB(c) * lenB(b), lit(1L << b))
+        .otherwise(lit(0L))
+    }
+    // distinct powers of two sum without carries — addition IS bitwise
+    // assembly here, Long.MinValue included (two's-complement wrap)
+    base.select(col(id), abits.reduce(_ + _).as("ahash"),
+      dbits.reduce(_ + _).as("dhash"))
+  }
+
+  /** Perceptual near-dup pairs within `maxHamming` bit flips of the
+    * 64-bit dHash, via 16-bit-band LSH: 4 bands of 16 bits, pigeonhole
+    * full recall for maxHamming <= 3 (3 flips dirty at most 3 of the 4
+    * bands — the `Dedup.simhashPairs` guarantee at 64 bits). Same
+    * equi-join-on-(band, value) shape — candidates only from shared
+    * buckets, never a quadratic scan — then exact-filtered on popcount
+    * of the XOR. The aHash Hamming distance rides along per surviving
+    * pair (re-encode verdicts conventionally want BOTH hashes close;
+    * callers filter on it). Sign-extending shiftright is harmless
+    * under the 16-bit mask. Output (da, db, hamming, hamming_a),
+    * da < db. */
+  def perceptualNearDupPairs(bin: DataFrame, id: String, payload: String,
+                             maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"16-bit-band LSH over 4 bands guarantees full recall only for " +
+        s"maxHamming <= 3, got $maxHamming")
+    val ph = perceptualHashes(bin, id, payload)
+    val withBands = ph.select(col(id), col("ahash"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L)).as("bval"))): _*)).as("bd"))
+      .select(col(id), col("ahash"), col("dhash"),
+        col("bd.bno").as("bno"), col("bd.bval").as("bval"))
+    withBands.as("x").join(withBands.as("y"),
+        col("x.bno") === col("y.bno") && col("x.bval") === col("y.bval") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("da"), col(s"y.$id").as("db"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).cast("long").as("hamming"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long").as("hamming_a"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Feature-extraction stub: a real model would run per batch here

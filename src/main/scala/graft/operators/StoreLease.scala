@@ -170,9 +170,14 @@ object StoreLease {
     sts.foreach { st =>
       val n = st.getPath.getName
       // shared parse guard: empty ("generation=" in a torn file) and
-      // overlong (> Long.MaxValue's 19 digits) strings both survive a
-      // forall(isDigit) check but crash toLong — a torn lease must fall
-      // back to generation 0 / be skipped, never wedge arbitration
+      // overlong digit strings both survive a forall(isDigit) check
+      // but crash toLong — a torn lease must fall back to generation
+      // 0 / be skipped, never wedge arbitration. The bound is a
+      // DELIBERATELY conservative 18 digits (every 18-digit value fits
+      // a Long; some 19-digit ones overflow): generations here count
+      // up by 1 from 0, so a legitimate 19-digit generation cannot
+      // occur, and treating one as torn errs on the safe side of the
+      // same fold-to-0 contract
       def parsableGen(g: String): Boolean =
         g.nonEmpty && g.length <= 18 && g.forall(_.isDigit)
       if (n == prefixPath.getName) {

@@ -1998,6 +1998,200 @@ object LlmQueries {
       m.orderBy(col("w"))
     }),
 
+    // PERCEPTUAL blob near-dup, FIRE direction — the duplicate class
+    // byte-shingle LSH cannot see by construction: every 50th doc
+    // injects a RE-ENCODED variant (adjacent byte pairs swapped — the
+    // deterministic stand-in for a quality/format change) that shares
+    // ZERO byte 8-grams with its original (byte-shingle Jaccard = 0,
+    // unreachable by any threshold) while preserving every 64-cell
+    // block sum exactly (pair-aligned swaps cancel inside the
+    // even-length cells the %128 truncation guarantees), so the
+    // decode-free raster hashes are IDENTICAL. Both blind-spot
+    // directions are pinned executably (the l112 pattern): the
+    // production byte-LSH operator finds NONE of the injected pairs;
+    // the Hamming-banded perceptual key finds ALL of them at distance
+    // 0. The corpus's own built-in near-dups (identical truncated
+    // prefixes) surface too — genuine perceptual duplicates, replayed
+    // by the oracle's identical bit-arithmetic chain.
+    "l116_blob_perceptual_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      // persisted: the corpus (including the non-trivial swap-variant
+      // build) feeds THREE consumers — the perceptual chain, the
+      // injected-pair probe, and the byte-LSH blind-spot leg — and
+      // persisting also pins `payload` as a materialized root column,
+      // keeping blockSums' per-element binary substr O(1) (the
+      // CollapseProject/HOF discipline byteShingleSet documents)
+      val bin = perceptualCorpus(Tables.load(s, dir, "documents"),
+        variant = SwapVariant)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Multimodal.perceptualNearDupPairs(bin, "doc_id", "payload",
+        maxHamming = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val injected = bin.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("da"), col("doc_id").as("db"))
+      val missed = injected.join(pairs, Seq("da", "db"), "left_anti").count()
+      require(missed == 0,
+        s"l116 expects the perceptual key to pair every injected re-encode; $missed missed")
+      // the blind spot, executable — and pinned against the STRONGEST
+      // byte operator, the recall-stratified banding at l113's tuning,
+      // not just the base form: even with the short-payload recall
+      // loop closed, a re-encode pair is unreachable because the exact
+      // verification reads byte Jaccard ~0 (the swap kills every
+      // 8-gram) — the gap is the SIGNAL's, not the banding's. Band
+      // signatures are per-doc, so restricting to the
+      // injection-relevant subset proves the same claim as the full
+      // corpus at a fraction of the cost (no cap: the probe must
+      // measure the plain universe).
+      val sub = bin.filter(col("doc_id") >= 1000000L || col("doc_id") % 50 === 0)
+      val (bytePairs, _) = Dedup.byteNearDupPairsStratified(sub, "doc_id",
+        "payload", n = 8, numHashes = 16, rowsPerBand = 4,
+        shortRowsPerBand = 2, shortMaxShingles = 121, threshold = 0.7,
+        maxDf = Long.MaxValue)
+      val byteHits = injected.join(bytePairs, Seq("da", "db"), "left_semi").count()
+      require(byteHits == 0,
+        s"l116 expects byte-shingle LSH blind to every re-encode pair, found $byteHits")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
+    // PERCEPTUAL blob near-dup, HOLD direction — the exact inverse of
+    // l116, proving the key measures the RASTER and not the bytes:
+    // the injected variant here is l106's byte-near-dup shape (4-byte
+    // header prepended, tail trimmed, re-truncated) — byte-shingle
+    // Jaccard ~0.95 (the shifted content windows are shared), but the
+    // 4-byte shift moves every cell boundary's content, scrambling the
+    // decode-free raster (measured dHash Hamming 27-44 at every
+    // shipped SF). Pinned both ways: byte-LSH pairs EVERY injected
+    // variant, the perceptual key pairs NONE. Together with l116 the
+    // two keys' duplicate classes are provably disjoint — each is the
+    // other's blind spot, and a 100 TB multimodal pipeline needs both.
+    "l118_blob_perceptual_hold" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      // persisted for the same three consumers (and the same root-
+      // column pin) as l116
+      val bin = perceptualCorpus(Tables.load(s, dir, "documents"),
+        variant = HeaderShiftVariant)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Multimodal.perceptualNearDupPairs(bin, "doc_id", "payload",
+        maxHamming = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val injected = bin.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("da"), col("doc_id").as("db"))
+      val phantom = injected.join(pairs, Seq("da", "db"), "left_semi").count()
+      require(phantom == 0,
+        s"l118 expects the perceptual key to hold on every byte-shifted " +
+          s"variant (the raster moved), found $phantom pairs")
+      // the byte leg runs the recall-STRATIFIED banding (l113's
+      // tuning): the shift-variant of a minimum-length (128-byte)
+      // payload sits exactly on the base banding's S-curve flank —
+      // the one place base recall is < 1 by measurement (l113's short
+      // stratum) — and the fine 2-row bands are the operator-level
+      // answer to precisely that, so "byte-LSH pairs every shifted
+      // variant" is deterministic at every SF instead of riding the
+      // flank's luck
+      val sub = bin.filter(col("doc_id") >= 1000000L || col("doc_id") % 50 === 0)
+      val (bytePairs, _) = Dedup.byteNearDupPairsStratified(sub, "doc_id",
+        "payload", n = 8, numHashes = 16, rowsPerBand = 4,
+        shortRowsPerBand = 2, shortMaxShingles = 121, threshold = 0.7,
+        maxDf = Long.MaxValue)
+      val byteMissed = injected.join(bytePairs, Seq("da", "db"), "left_anti").count()
+      require(byteMissed == 0,
+        s"l118 expects byte-shingle LSH to pair every header-shifted " +
+          s"variant (byte Jaccard ~0.95), $byteMissed missed")
+      pairs.orderBy(col("da"), col("db"))
+    }),
+
+    // The decontamination guard's BENCHMARK-REFRESH path — l111 pinned
+    // the static-store crawl; the operational story ("a benchmark
+    // refresh is one store rebuild, not a crawl replay") was prose
+    // until here. Two eval-seed injections mark the timeline: every
+    // doc_id % 5 == 2 train doc leaks eval doc 0 (in the benchmark
+    // from the start), every doc_id % 5 == 3 doc leaks eval doc 25
+    // (added by the mid-crawl refresh). Drops 0-1 drain against store
+    // v1, then buildEvalFpStore REBUILDS the store in place with the
+    // enlarged benchmark and a genuine checkpoint-resumed second start
+    // drains drops 2-3 against v2 — no checkpoint surgery, no batch
+    // replay. Pinned executably in both directions against a
+    // batch-computed v1 overlap: pre-refresh, every doc-25 leaker
+    // that is clean under v1 reads NOT contaminated (the refresh is
+    // not retroactive); post-refresh, every such doc reads
+    // contaminated (the new store is live); and the routed side
+    // output equals the contaminated set (l111's routing pin). The
+    // oracle replays per-drop verdicts against the store THAT DROP
+    // ingested under.
+    "l117_decon_refresh" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val seed1 = docs.filter(col("doc_id") === 0)
+        .select(substring(col("text"), 1, 200)).head().getString(0)
+      val seed2 = docs.filter(col("doc_id") === 25)
+        .select(substring(col("text"), 1, 200)).head().getString(0)
+      require(seed1.trim.split("\\s+").length >= 12 &&
+        seed2.trim.split("\\s+").length >= 12,
+        "l117 expects both benchmark seeds to carry >= 12 tokens " +
+          "(>= 2 winnow fps past the k+w-1 window)")
+      val train = docs
+        .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 2, concat(col("text"), lit(" "), lit(seed1)))
+            .when(col("doc_id") % 5 === 3, concat(col("text"), lit(" "), lit(seed2)))
+            .otherwise(col("text")).as("text"))
+      val evalV1 = docs.filter(col("doc_id") % 50 === 0)
+      val evalV2 = docs.filter(col("doc_id") % 50 === 0 || col("doc_id") % 50 === 25)
+      val root = graft.Scratch.dir("graft_incr_dcr")
+      val cfg = graft.streaming.IncrementalDedup.DecontConfig(
+        "doc_id", "text", k = 5, w = 4, minShared = 2)
+      def drain(): Unit = graft.streaming.IncrementalDedup.runDecontaminate(
+        s.readStream.schema(train.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/src"),
+        cfg, s"$root/evalfp", s"$root/out", s"$root/leak", s"$root/ckpt")
+        .awaitTermination()
+      graft.streaming.IncrementalDedup.buildEvalFpStore(evalV1, cfg, s"$root/evalfp")
+      (0 until 2).foreach(k =>
+        landDrop(train.filter(col("doc_id") % 4 === k), s"$root/src", k))
+      drain()
+      requireDropBatches(s"$root/out", 2)
+      // the refresh: ONE in-place store rebuild mid-crawl
+      graft.streaming.IncrementalDedup.buildEvalFpStore(evalV2, cfg, s"$root/evalfp")
+      (2 until 4).foreach(k =>
+        landDrop(train.filter(col("doc_id") % 4 === k), s"$root/src", k))
+      drain()
+      requireDropBatches(s"$root/out", 4)
+      val out = graft.streaming.IncrementalDedup.results(s, s"$root/out")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // batch-computed v1 overlaps isolate the refresh's effect from
+      // any NATURAL v1 contamination a doc-25 leaker might also carry
+      val v1fp = Dedup.winnowFingerprints(evalV1, "doc_id", "text", 5, 4)
+        .select(col("fp")).distinct()
+      val v1clean = Dedup.winnowFingerprints(train.filter(col("doc_id") % 5 === 3),
+          "doc_id", "text", 5, 4)
+        .join(v1fp, Seq("fp"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("v1_overlap"))
+        .join(train.filter(col("doc_id") % 5 === 3).select(col("doc_id")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), coalesce(col("v1_overlap"), lit(0L)).as("v1_overlap"))
+        .filter(col("v1_overlap") < 2)
+      val probe = out.join(v1clean, Seq("doc_id"))
+        .groupBy((col("ingest_batch") >= 2).as("post"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("contaminated").cast("long")).as("n_cont"))
+        .collect().map(r => r.getBoolean(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val (nPre, cPre) = probe.getOrElse(false, (0L, 0L))
+      val (nPost, cPost) = probe.getOrElse(true, (0L, 0L))
+      require(nPre > 0 && cPre == 0,
+        s"l117 expects v1-clean doc-25 leakers in drops 0-1 to read NOT " +
+          s"contaminated (refresh is not retroactive): $cPre of $nPre flagged")
+      require(nPost > 0 && cPost == nPost,
+        s"l117 expects every v1-clean doc-25 leaker in drops 2-3 " +
+          s"contaminated under the refreshed store: $cPost of $nPost")
+      val nLeak = graft.streaming.IncrementalDedup.results(s, s"$root/leak").count()
+      val nCont = out.filter(col("contaminated")).count()
+      require(nLeak == nCont && nLeak > 0,
+        s"l117 expects a non-empty side output equal to the contaminated " +
+          s"set, got $nLeak routed vs $nCont contaminated")
+      out.select(col("doc_id"), col("n_fp"), col("n_overlap"),
+          col("contaminated"), col("ingest_batch").cast("long").as("ingest_batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LENGTH-STRATIFIED byte-LSH recall audit — turns the byte
     // family's recall story (a README anecdote: "99/100, one short-doc
     // miss") into measured rows, run over the ACTUAL blob store's
@@ -2027,29 +2221,64 @@ object LlmQueries {
       val nAll = store.count()
       val exact = Dedup.byteJaccardPairs(store, "blob_key", "content",
         n = 8, threshold = 0.7)
-      val (lsh, d) = Dedup.byteNearDupPairs(store, "blob_key", "content",
+      val (lshBase, d) = Dedup.byteNearDupPairs(store, "blob_key", "content",
         n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.7, maxDf = nAll)
       require(!d.capped && d.hottestDf <= nAll,
         s"l113 audits the UNCAPPED universe (exact and LSH legs must share " +
           s"one shingle set for recall to be the only difference): $d")
+      // the CLOSED LOOP on the measured trade (round-15 directive):
+      // the stratified leg re-bands the short stratum (shingle count
+      // under ceil(121/0.7) = 173 — 121 = the most shingles a sub-128-
+      // byte payload can carry, the audit's stratum-0 bound) at the
+      // tuner's r for a 0.5 target: more, shorter bands, recall over
+      // precision exactly where the S-curve flank was the miss. All
+      // three legs share ONE persisted shingle frame (CacheManager
+      // dedupes the identical canonical plan).
+      val rShort = Dedup.tuneRowsPerBand(numHashes = 16, targetJaccard = 0.5)
+      require(rShort == 2, s"the S-curve tuner must land on r=2 for (16, 0.5), got $rShort")
+      val (lshStrat, d2) = Dedup.byteNearDupPairsStratified(store, "blob_key",
+        "content", n = 8, numHashes = 16, rowsPerBand = 4,
+        shortRowsPerBand = rShort, shortMaxShingles = 121,
+        threshold = 0.7, maxDf = nAll)
+      require(!d2.capped, s"l113's stratified leg must audit the same uncapped universe: $d2")
       val nb = store.select(col("blob_key"), col("n_bytes"))
       val rep = exact
         .join(nb.select(col("blob_key").as("da"), col("n_bytes").as("_na")), "da")
         .join(nb.select(col("blob_key").as("db"), col("n_bytes").as("_nb")), "db")
         .select(col("da"), col("db"),
           floor(least(col("_na"), col("_nb")) / 128).cast("long").as("stratum"))
-        .join(lsh.select(col("da"), col("db"), lit(1).as("hit")),
+        .join(lshBase.select(col("da"), col("db"), lit(1).as("hit_base")),
+          Seq("da", "db"), "left")
+        .join(lshStrat.select(col("da"), col("db"), lit(1).as("hit")),
           Seq("da", "db"), "left")
         .groupBy(col("stratum"))
-        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_lsh"))
-        .select(col("stratum"), col("n_exact"), col("n_lsh"),
+        .agg(count(lit(1)).as("n_exact"), count(col("hit_base")).as("n_lsh_base"),
+          count(col("hit")).as("n_lsh"))
+        .select(col("stratum"), col("n_exact"), col("n_lsh_base"), col("n_lsh"),
           (col("n_exact") - col("n_lsh")).as("n_missed"),
+          (col("n_lsh_base").cast("double") / col("n_exact")).as("recall_base"),
           (col("n_lsh").cast("double") / col("n_exact")).as("recall"))
         .orderBy(col("stratum"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       require(rep.agg(sum(col("n_exact"))).head().getLong(0) > 0,
         "l113 expects a non-empty exact ground truth (the injected " +
           "variants guarantee near-dup pairs in the sampled universe)")
+      // both directions of the stratified trade, executable: recall
+      // never drops in any stratum, and every pair the fine banding
+      // ADDS has both sides inside the short universe (extra recall
+      // comes only from the stratum the cut targets — no global
+      // candidate blowup).
+      require(rep.filter(col("n_lsh") < col("n_lsh_base")).isEmpty,
+        "l113 expects stratified banding to dominate base recall in every stratum")
+      val nsh = Dedup.byteShingleSet(store, "blob_key", "content", n = 8)
+        .groupBy(col("blob_key")).agg(count(lit(1)).as("_nsh"))
+      val outside = lshStrat.join(lshBase, Seq("da", "db"), "left_anti")
+        .join(nsh.select(col("blob_key").as("da"), col("_nsh").as("_sa")), "da")
+        .join(nsh.select(col("blob_key").as("db"), col("_nsh").as("_sb")), "db")
+        .filter(greatest(col("_sa"), col("_sb")) >= 173).count()
+      require(outside == 0,
+        s"l113 expects every stratified-only pair to have BOTH sides in " +
+          s"the short universe (shingle count < 173), found $outside outside")
       rep
     }),
 
@@ -2435,6 +2664,113 @@ object LlmQueries {
       |        LEFT JOIN hits ON hits.doc_id = tr.doc_id
       |ORDER BY tr.doc_id""".stripMargin
 
+  /** l117's replay: the l111 winnow chain with TWO eval stores and the
+    * drop-conditional join — a doc's verdict reads the store its drop
+    * ingested under (v1 = doc_id % 50 == 0 for batches 0-1; v2 adds
+    * % 50 == 25 for batches 2-3). `in_v1` flags, per distinct eval
+    * fingerprint, whether any v1 doc carries it, so both stores fold
+    * into one join. */
+  private val deconRefreshSql: String =
+    """WITH tr AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 2 THEN text || ' ' ||
+      |           (SELECT substr(text, 1, 200) FROM documents WHERE doc_id = 0)
+      |         WHEN doc_id % 5 = 3 THEN text || ' ' ||
+      |           (SELECT substr(text, 1, 200) FROM documents WHERE doc_id = 25)
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25),
+      |ev AS (SELECT doc_id, text FROM documents
+      |       WHERE doc_id % 50 = 0 OR doc_id % 50 = 25),
+      |ttk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM tr),
+      |tg AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM ttk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |twm AS (SELECT doc_id, pos, ng,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM tg),
+      |tfp AS (SELECT DISTINCT doc_id, fp FROM twm
+      |        WHERE pos <= greatest(ng-4, 0)),
+      |etk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM ev),
+      |eg AS (SELECT doc_id, i-1 AS pos,
+      |        CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 10)
+      |          AS BIGINT) AS h,
+      |        len(ws)-4 AS ng
+      |      FROM etk, UNNEST(generate_series(1, len(ws)-4)) t(i)
+      |      WHERE len(ws) >= 5),
+      |ewm AS (SELECT doc_id, pos, ng,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM eg),
+      |efp AS (SELECT fp, BOOL_OR(doc_id % 50 = 0) AS in_v1
+      |        FROM (SELECT DISTINCT doc_id, fp FROM ewm
+      |              WHERE pos <= greatest(ng-4, 0)) e0 GROUP BY 1),
+      |hits AS (SELECT t.doc_id,
+      |           COUNT(*) FILTER (WHERE e.in_v1) AS ov1,
+      |           COUNT(*) AS ov2
+      |         FROM tfp t JOIN efp e USING (fp) GROUP BY 1),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM tfp GROUP BY 1)
+      |SELECT tr.doc_id, COALESCE(cnt.n_fp, 0) AS n_fp,
+      |  CASE WHEN tr.doc_id % 4 <= 1 THEN COALESCE(hits.ov1, 0)
+      |       ELSE COALESCE(hits.ov2, 0) END AS n_overlap,
+      |  CASE WHEN tr.doc_id % 4 <= 1 THEN COALESCE(hits.ov1, 0)
+      |       ELSE COALESCE(hits.ov2, 0) END >= 2 AS contaminated,
+      |  CAST(tr.doc_id % 4 AS BIGINT) AS ingest_batch
+      |FROM tr LEFT JOIN cnt ON cnt.doc_id = tr.doc_id
+      |        LEFT JOIN hits ON hits.doc_id = tr.doc_id
+      |ORDER BY tr.doc_id""".stripMargin
+
+  /** The l116/l118 perceptual chain replayed in DuckDB, parameterized
+    * by the variant expression (the one moving part between fire and
+    * hold). ASCII makes `ord` over char positions exactly the byte
+    * stream; the %128 truncation makes the 64 cells equal-length, so
+    * the engine replays the cross-multiplied mean comparisons as plain
+    * sum comparisons (sum_b·len > tot·len_b reduces to 64·sum_b > tot
+    * at equal cell lengths — value-identical, each form the one its
+    * engine runs cheapest, the blobNearDupSql precedent). Hamming
+    * distances and band words are folded from the same bit rows, so
+    * no engine ever shifts a negative 64-bit hash. */
+  private def perceptualSql(variantExpr: String): String =
+    s"""WITH t0 AS (SELECT doc_id, substr(text, 1, (length(text)//128)*128) AS t
+       |            FROM documents WHERE length(text) >= 128),
+       |base AS (
+       |  SELECT doc_id, t FROM t0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, $variantExpr AS t
+       |  FROM t0 WHERE doc_id % 50 = 0),
+       |chars AS (SELECT doc_id, (i-1)//(length(t)//64) AS b,
+       |            ord(substr(t, i, 1)) AS v
+       |          FROM base, UNNEST(generate_series(1, length(t))) s(i)),
+       |bsum AS (SELECT doc_id, b, SUM(v) AS sb FROM chars GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, SUM(sb) AS tt FROM bsum GROUP BY 1),
+       |abits AS (SELECT s.doc_id, s.b,
+       |            CASE WHEN s.sb * 64 > t.tt THEN 1 ELSE 0 END AS bit
+       |          FROM bsum s JOIN tot t USING (doc_id)),
+       |dbits AS (SELECT a.doc_id, a.b,
+       |            CASE WHEN a.sb > c.sb THEN 1 ELSE 0 END AS bit
+       |          FROM bsum a JOIN bsum c ON c.doc_id = a.doc_id
+       |           AND c.b = (a.b+1) % 64),
+       |bands AS (SELECT doc_id, b//16 AS bno,
+       |            CAST(SUM(bit << (b%16)) AS BIGINT) AS bval
+       |          FROM dbits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bands x JOIN bands y
+       |           ON x.bno = y.bno AND x.bval = y.bval AND x.doc_id < y.doc_id),
+       |hd AS (SELECT c.da, c.db,
+       |         SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hamming
+       |       FROM cand c JOIN dbits p ON p.doc_id = c.da
+       |       JOIN dbits q ON q.doc_id = c.db AND q.b = p.b GROUP BY 1, 2),
+       |ha AS (SELECT c.da, c.db,
+       |         SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hamming_a
+       |       FROM cand c JOIN abits p ON p.doc_id = c.da
+       |       JOIN abits q ON q.doc_id = c.db AND q.b = p.b GROUP BY 1, 2)
+       |SELECT hd.da, hd.db, CAST(hd.hamming AS BIGINT) AS hamming,
+       |  CAST(ha.hamming_a AS BIGINT) AS hamming_a
+       |FROM hd JOIN ha USING (da, db) WHERE hd.hamming <= 3
+       |ORDER BY 1, 2""".stripMargin
+
   /** Shared POSITIONED two-corpus winnow chain for the leak-span pair
     * (l100 report / l101 redaction): the l91 struct-min selection
     * (argmin-by-hash, rightmost tie) replayed on both sides of the
@@ -2493,6 +2829,48 @@ object LlmQueries {
     * lands one drop AFTER its original (doc_id % 50 == 0 puts
     * originals in drops {0, 2}, +1 shifts variants to {1, 3}) — the
     * new-vs-seen loop only ever probes later-against-earlier. */
+  /** Injection shapes for the l116/l118 perceptual corpus. */
+  private sealed trait PerceptualVariant
+  /** Adjacent byte pairs swapped: zero shared byte 8-grams, every
+    * 64-cell block sum preserved exactly (raster identical). */
+  private case object SwapVariant extends PerceptualVariant
+  /** l106's byte-near-dup shape re-truncated ("HDR|" prepended, tail
+    * trimmed): byte-shingle Jaccard ~0.95, raster scrambled (the
+    * 4-byte shift moves every cell's content — measured dHash Hamming
+    * 27-44). */
+  private case object HeaderShiftVariant extends PerceptualVariant
+
+  /** The l116/l118 perceptual blob corpus: payloads are each doc's
+    * UTF-8 bytes TRUNCATED to a multiple of 128 (so the 64-cell
+    * downscale grid gets even-offset, even-length cells — what makes
+    * the swap injection sum-preserving), docs under 128 bytes dropped;
+    * every 50th doc injects a `variant` twin at id + 1,000,000. The
+    * corpus is pure printable ASCII, so char positions ARE byte
+    * positions on both engines. Must stay byte-identical to the SQL
+    * replay in the l116/l118 oracles. */
+  private def perceptualCorpus(docs: DataFrame,
+                               variant: PerceptualVariant): DataFrame = {
+    val trunc = docs
+      .select(col("doc_id"),
+        col("text").substr(lit(1),
+          (floor(length(col("text")) / 128) * 128).cast("int")).as("t"))
+      .filter(length(col("t")) >= 128)
+    val vt = variant match {
+      case SwapVariant =>
+        array_join(transform(
+          sequence(lit(0), (length(col("t")) / 2).cast("int") - 1),
+          i => concat(col("t").substr(i * 2 + 2, lit(1)),
+            col("t").substr(i * 2 + 1, lit(1)))), "")
+      case HeaderShiftVariant =>
+        concat(lit("HDR|"),
+          col("t").substr(lit(1), length(col("t")) - 4))
+    }
+    trunc.select(col("doc_id"), col("t").cast("binary").as("payload"))
+      .unionAll(trunc.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          vt.cast("binary").as("payload")))
+  }
+
   private def blobCorpus(docs: DataFrame,
                          idOffset: Long = 1000000L): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -3010,6 +3388,21 @@ object LlmQueries {
       // l114: the same fire-universe chain, closed transitively and
       // folded through the size/id argmax — the retention action
       ("l114_blob_neardup_dedup" -> blobKeepBestSql) +
+      // l116/l118: the decode-free perceptual chain — block sums over
+      // the 64-cell grid, gradient bits, 16-bit-band LSH, exact
+      // Hamming — with the two injections that prove the byte and
+      // perceptual keys' duplicate classes disjoint (swap preserves
+      // the raster and kills every 8-gram; the 4-byte header shift
+      // does the exact opposite)
+      ("l116_blob_perceptual_neardup" -> perceptualSql(
+        "list_aggregate(list_transform(range(0, length(t)//2), " +
+          "i -> substr(t, i*2+2, 1) || substr(t, i*2+1, 1)), 'string_agg', '')")) +
+      ("l118_blob_perceptual_hold" -> perceptualSql(
+        "'HDR|' || substr(t, 1, length(t)-4)")) +
+      // l117: the guard's refresh path — per-drop verdicts against the
+      // store THAT DROP ingested under (v1 for batches 0-1, the
+      // enlarged v2 for 2-3)
+      ("l117_decon_refresh" -> deconRefreshSql) +
       // l115: l112's candidate chain + the l17 recursive closure —
       // the canonical action over the q-gram recall
       ("l115_fuzzy_qgram_canonical" ->
@@ -3127,20 +3520,37 @@ object LlmQueries {
           |         FROM bands x JOIN bands y
           |           ON x.band = y.band AND x.bsig = y.bsig
           |          AND x.payload < y.payload),
+          |fids AS (SELECT payload FROM cnt WHERE n_sh < 173),
+          |fbands AS (SELECT payload, seed % 8 AS band,
+          |             array_to_string(list_sort(list(mh)), '|') AS bsig
+          |           FROM mh JOIN fids USING (payload) GROUP BY 1, 2),
+          |fcand AS (SELECT DISTINCT x.payload AS pa, y.payload AS pb
+          |          FROM fbands x JOIN fbands y
+          |            ON x.band = y.band AND x.bsig = y.bsig
+          |           AND x.payload < y.payload),
+          |candall AS (SELECT pa, pb FROM cand UNION SELECT pa, pb FROM fcand),
           |lshv AS (SELECT c.pa, c.pb FROM cand c
+          |         JOIN inter i ON i.pa = c.pa AND i.pb = c.pb
+          |         JOIN cnt ca ON ca.payload = c.pa
+          |         JOIN cnt cb ON cb.payload = c.pb
+          |         WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) > 0.7),
+          |lshs AS (SELECT c.pa, c.pb FROM candall c
           |         JOIN inter i ON i.pa = c.pa AND i.pb = c.pb
           |         JOIN cnt ca ON ca.payload = c.pa
           |         JOIN cnt cb ON cb.payload = c.pb
           |         WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) > 0.7),
           |strat AS (SELECT e.pa, e.pb,
           |            CAST(least(ha.nb, hb.nb) // 128 AS BIGINT) AS stratum,
-          |            CASE WHEN l.pa IS NOT NULL THEN 1 END AS hit
+          |            CASE WHEN lb.pa IS NOT NULL THEN 1 END AS hit_base,
+          |            CASE WHEN ls.pa IS NOT NULL THEN 1 END AS hit
           |          FROM exact e
           |          JOIN hx ha ON ha.payload = e.pa
           |          JOIN hx hb ON hb.payload = e.pb
-          |          LEFT JOIN lshv l ON l.pa = e.pa AND l.pb = e.pb)
-          |SELECT stratum, COUNT(*) AS n_exact, COUNT(hit) AS n_lsh,
-          |  COUNT(*) - COUNT(hit) AS n_missed,
+          |          LEFT JOIN lshv lb ON lb.pa = e.pa AND lb.pb = e.pb
+          |          LEFT JOIN lshs ls ON ls.pa = e.pa AND ls.pb = e.pb)
+          |SELECT stratum, COUNT(*) AS n_exact, COUNT(hit_base) AS n_lsh_base,
+          |  COUNT(hit) AS n_lsh, COUNT(*) - COUNT(hit) AS n_missed,
+          |  CAST(COUNT(hit_base) AS DOUBLE) / COUNT(*) AS recall_base,
           |  CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS recall
           |FROM strat GROUP BY 1 ORDER BY 1""".stripMargin) +
       // l110: the l61 cross-drop band-join replay over the byte chain

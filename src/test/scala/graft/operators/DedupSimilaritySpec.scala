@@ -634,4 +634,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 2L, 2.0 / 3.0)))
   }
+
+  test("byteNearDupPairsStratified: superset of the base banding, exact on fine pairs, identical when no doc is short") {
+    val r = new scala.util.Random(11)
+    def doc(len: Int): String =
+      Array.fill(len)((97 + r.nextInt(26)).toChar).mkString
+    // short near-dup pair (one char changed in 100 bytes: 8 of 93
+    // windows move, J ~ 0.84) + long docs: the pair algebra puts both
+    // shorts in the fine universe at shortMaxShingles = 100
+    val shortA = doc(100)
+    val shortB = shortA.updated(50, if (shortA(50) == 'z') 'y' else 'z')
+    val longs = (0 until 4).map(i => (10L + i, doc(400)))
+    val d = (Seq((1L, shortA), (2L, shortB)) ++ longs)
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val exact = Dedup.byteJaccardPairs(d, "doc_id", "payload", n = 8,
+      threshold = 0.7).select("da", "db").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)))
+    val (base, _) = Dedup.byteNearDupPairs(d, "doc_id", "payload",
+      n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.7,
+      maxDf = Long.MaxValue)
+    val (strat, _) = Dedup.byteNearDupPairsStratified(d, "doc_id", "payload",
+      n = 8, numHashes = 16, rowsPerBand = 4, shortRowsPerBand = 2,
+      shortMaxShingles = 100, threshold = 0.7, maxDf = Long.MaxValue)
+    val baseSet = base.select("da", "db").as[(Long, Long)].collect().toSet
+    val stratSet = strat.select("da", "db").as[(Long, Long)].collect().toSet
+    assert(baseSet.subsetOf(stratSet),
+      s"stratified banding must never lose a base pair: ${baseSet -- stratSet}")
+    assert(stratSet.contains((1L, 2L)),
+      "the fine banding must recover the short near-dup pair")
+    assert(stratSet.subsetOf(exact),
+      "every stratified pair still passes the exact verification")
+    // cut 0 disables the fine leg -> bit-identical to the base plan
+    val (off, _) = Dedup.byteNearDupPairsStratified(d, "doc_id", "payload",
+      n = 8, numHashes = 16, rowsPerBand = 4, shortRowsPerBand = 2,
+      shortMaxShingles = 1, threshold = 0.7, maxDf = Long.MaxValue)
+    assert(off.select("da", "db").as[(Long, Long)].collect().toSet == baseSet,
+      "with no doc under the cut the stratified form must equal the base form")
+  }
 }

@@ -162,8 +162,17 @@ def ground_truth(argv):
             print(f"[ground-truth] stale/invalid worktree at {wt} "
                   f"(HEAD {head.stdout.strip() or '?'}) — recreating",
                   flush=True)
-            subprocess.run(["git", "worktree", "remove", "--force", wt],
-                           capture_output=True)
+            rm = subprocess.run(["git", "worktree", "remove", "--force", wt],
+                                capture_output=True)
+            if rm.returncode != 0 or os.path.isdir(wt):
+                # not a registered worktree (pruned .git/worktrees, or a
+                # plain leftover dir): `remove` can't help and `add` into
+                # a non-empty dir would die — clear it by hand and drop
+                # any stale registration before re-adding
+                import shutil
+                shutil.rmtree(wt, ignore_errors=True)
+                subprocess.run(["git", "worktree", "prune"],
+                               capture_output=True)
             subprocess.run(["git", "worktree", "add", wt, commit], check=True)
     else:
         subprocess.run(["git", "worktree", "add", wt, commit], check=True)
