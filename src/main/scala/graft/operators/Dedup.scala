@@ -1124,6 +1124,29 @@ object Dedup {
                                  shortRowsPerBand: Int, shortMaxShingles: Long,
                                  threshold: Double,
                                  maxDf: Long): (DataFrame, HotBucketDecision) = {
+    val (_, strat, d) = byteNearDupPairsAudit(bin, id, payload, n, numHashes,
+      rowsPerBand, shortRowsPerBand, shortMaxShingles, threshold, maxDf)
+    (strat, d)
+  }
+
+  /** Both banding legs of the recall audit in ONE pass: (base pairs,
+    * stratified pairs, cap decision), sharing one persisted shingle
+    * frame AND one base band aggregate — the fine leg contributes only
+    * its marginal work (the short-stratum band aggregate, an anti-join
+    * against the base candidates, and exact verification of the pairs
+    * the fine banding ADDS), so an audit that grades
+    * recall_base/recall side by side (l113) prices the
+    * stratification's delta instead of running the base chain twice.
+    * `byteNearDupPairsStratified` is this function's second component:
+    * verify(baseCand) ∪ verify(fineCand ∖ baseCand) is pair-for-pair
+    * the same set as verify(baseCand ∪ fineCand), with identical
+    * jaccard values (verification is per-pair). Same CACHE NOTE as
+    * `byteNearDupPairs`. */
+  def byteNearDupPairsAudit(bin: DataFrame, id: String, payload: String,
+                            n: Int, numHashes: Int, rowsPerBand: Int,
+                            shortRowsPerBand: Int, shortMaxShingles: Long,
+                            threshold: Double, maxDf: Long)
+      : (DataFrame, DataFrame, HotBucketDecision) = {
     require(shortMaxShingles >= 1,
       s"shortMaxShingles must be >= 1, got $shortMaxShingles")
     require(threshold > 0.0 && threshold <= 1.0,
@@ -1134,14 +1157,20 @@ object Dedup {
     val kept =
       if (!d.capped) kept0
       else kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the base candidates feed base verification AND the
+    // fine leg's anti-join (two actions would rebuild the band
+    // self-join otherwise — the multi-consumer discipline)
+    val baseCand = bandPairJoin(bandFrame(kept, id, numHashes, rowsPerBand), id)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = exactVerifyPairs(kept, baseCand, id, threshold)
     val fineCut = math.ceil(shortMaxShingles / threshold).toLong
     val shortIds = kept.groupBy(col(id)).agg(count(lit(1)).as("_nsh"))
       .filter(col("_nsh") < fineCut).select(col(id))
     val fine = kept.join(shortIds, Seq(id), "left_semi")
-    val cand = bandPairJoin(bandFrame(kept, id, numHashes, rowsPerBand), id)
-      .unionAll(bandPairJoin(bandFrame(fine, id, numHashes, shortRowsPerBand), id))
-      .distinct()
-    (exactVerifyPairs(kept, cand, id, threshold), d)
+    val fineOnly =
+      bandPairJoin(bandFrame(fine, id, numHashes, shortRowsPerBand), id)
+        .join(baseCand, Seq("da", "db"), "left_anti")
+    (base, base.unionAll(exactVerifyPairs(kept, fineOnly, id, threshold)), d)
   }
 
   /** Exact byte-Jaccard near-dup pairs over binary payloads — the

@@ -2221,26 +2221,32 @@ object LlmQueries {
       val nAll = store.count()
       val exact = Dedup.byteJaccardPairs(store, "blob_key", "content",
         n = 8, threshold = 0.7)
-      val (lshBase, d) = Dedup.byteNearDupPairs(store, "blob_key", "content",
-        n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.7, maxDf = nAll)
-      require(!d.capped && d.hottestDf <= nAll,
-        s"l113 audits the UNCAPPED universe (exact and LSH legs must share " +
-          s"one shingle set for recall to be the only difference): $d")
       // the CLOSED LOOP on the measured trade (round-15 directive):
       // the stratified leg re-bands the short stratum (shingle count
       // under ceil(121/0.7) = 173 — 121 = the most shingles a sub-128-
       // byte payload can carry, the audit's stratum-0 bound) at the
       // tuner's r for a 0.5 target: more, shorter bands, recall over
-      // precision exactly where the S-curve flank was the miss. All
-      // three legs share ONE persisted shingle frame (CacheManager
-      // dedupes the identical canonical plan).
+      // precision exactly where the S-curve flank was the miss. ONE
+      // audit call yields BOTH legs off one shingle frame and one base
+      // band aggregate (the fine leg is priced as its marginal delta),
+      // and the exact leg's identical shingle plan reads the same
+      // cache (CacheManager dedupes canonical plans).
       val rShort = Dedup.tuneRowsPerBand(numHashes = 16, targetJaccard = 0.5)
       require(rShort == 2, s"the S-curve tuner must land on r=2 for (16, 0.5), got $rShort")
-      val (lshStrat, d2) = Dedup.byteNearDupPairsStratified(store, "blob_key",
+      val (lshBase0, lshStrat0, d) = Dedup.byteNearDupPairsAudit(store, "blob_key",
         "content", n = 8, numHashes = 16, rowsPerBand = 4,
         shortRowsPerBand = rShort, shortMaxShingles = 121,
         threshold = 0.7, maxDf = nAll)
-      require(!d2.capped, s"l113's stratified leg must audit the same uncapped universe: $d2")
+      // both pair frames feed the report AND the outside probe below —
+      // persist the (tiny) verified sets so the probe's action reads
+      // them instead of re-running the verify joins
+      val lshBase = lshBase0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lshStrat = lshStrat0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      require(!d.capped && d.hottestDf <= nAll,
+        s"l113 audits the UNCAPPED universe (exact and LSH legs must share " +
+          s"one shingle set for recall to be the only difference): $d")
       val nb = store.select(col("blob_key"), col("n_bytes"))
       val rep = exact
         .join(nb.select(col("blob_key").as("da"), col("n_bytes").as("_na")), "da")
