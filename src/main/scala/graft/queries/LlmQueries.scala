@@ -2100,6 +2100,51 @@ object LlmQueries {
       pairs.orderBy(col("da"), col("db"))
     }),
 
+    // The RETENTION ACTION over perceptual near-dup groups — l114's
+    // symmetry carried to the perceptual key, completing the family
+    // (pairs fire/hold -> groups + keep-best): l116's fire-universe
+    // pairs feed the same star-CC + argmax composition, scored by
+    // payload size (most-complete-copy wins, id tiebreak). Two
+    // non-vacuity pins, each grading a different leg of the policy:
+    // every injected swap twin ties its original's size EXACTLY (the
+    // swap preserves length by construction) and must lose to the
+    // smaller id — the deterministic-tiebreak leg; and strictly more
+    // docs drop than there are injected twins — natural perceptual
+    // groups (identical truncated prefixes) also collapse, so the
+    // closure leg isn't riding the injection alone. On this corpus the
+    // size argmax coincides with first-seen (group keepers are also
+    // min ids — measured, not required: the score is the caller's
+    // policy knob, and the tie leg is what the grade pins).
+    "l119_blob_perceptual_dedup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      // same multi-consumer persist discipline (and root-column pin)
+      // as l116: the corpus feeds the pair chain, the retention join,
+      // and the probe aggregates
+      val bin = perceptualCorpus(Tables.load(s, dir, "documents"),
+        variant = SwapVariant)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Multimodal.perceptualNearDupPairs(bin, "doc_id", "payload",
+        maxHamming = 3)
+      val kept = Dedup.keepBestPerGroup(bin, pairs.select(col("da"), col("db")),
+          "doc_id", octet_length(col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nInjected = bin.filter(col("doc_id") >= 1000000L).count()
+      val stats = kept.agg(
+        sum(when(col("kept") === 0, 1L).otherwise(0L)).as("n_drop"),
+        sum(when(col("kept") === 1 && col("doc_id") >= 1000000L, 1L)
+          .otherwise(0L)).as("var_kept"),
+        sum(when(col("kept") === 0 && col("doc_id") >= 1000000L, 1L)
+          .otherwise(0L)).as("var_drop")).head()
+      require(stats.getLong(1) == 0 && stats.getLong(2) == nInjected,
+        s"l119 expects every injected swap twin to lose the size tie to " +
+          s"its smaller-id original: kept=${stats.getLong(1)} " +
+          s"dropped=${stats.getLong(2)} of $nInjected")
+      require(stats.getLong(0) > nInjected,
+        s"l119 expects natural perceptual groups to collapse beyond the " +
+          s"injection: dropped=${stats.getLong(0)} vs $nInjected injected")
+      kept.orderBy(col("doc_id"))
+    }),
+
     // The decontamination guard's BENCHMARK-REFRESH path — l111 pinned
     // the static-store crawl; the operational story ("a benchmark
     // refresh is one store rebuild, not a crawl replay") was prose
@@ -2728,18 +2773,22 @@ object LlmQueries {
       |        LEFT JOIN hits ON hits.doc_id = tr.doc_id
       |ORDER BY tr.doc_id""".stripMargin
 
-  /** The l116/l118 perceptual chain replayed in DuckDB, parameterized
-    * by the variant expression (the one moving part between fire and
-    * hold). ASCII makes `ord` over char positions exactly the byte
-    * stream; the %128 truncation makes the 64 cells equal-length, so
-    * the engine replays the cross-multiplied mean comparisons as plain
-    * sum comparisons (sum_b·len > tot·len_b reduces to 64·sum_b > tot
-    * at equal cell lengths — value-identical, each form the one its
-    * engine runs cheapest, the blobNearDupSql precedent). Hamming
-    * distances and band words are folded from the same bit rows, so
-    * no engine ever shifts a negative 64-bit hash. */
-  private def perceptualSql(variantExpr: String): String =
-    s"""WITH t0 AS (SELECT doc_id, substr(text, 1, (length(text)//128)*128) AS t
+  /** The perceptual chain's CTE body, parameterized by the variant
+    * expression (the one moving part between fire and hold) — no
+    * leading WITH, ends at `hd` (dHash Hamming per candidate pair);
+    * shared by the pair oracles (l116/l118, which append the aHash leg
+    * + final select) and the keep-best retention oracle (l119, which
+    * prepends WITH RECURSIVE for its closure tail). ASCII makes `ord`
+    * over char positions exactly the byte stream; the %128 truncation
+    * makes the 64 cells equal-length, so the engine replays the
+    * cross-multiplied mean comparisons as plain sum comparisons
+    * (sum_b·len > tot·len_b reduces to 64·sum_b > tot at equal cell
+    * lengths — value-identical, each form the one its engine runs
+    * cheapest, the blobNearDupSql precedent). Hamming distances and
+    * band words are folded from the same bit rows, so no engine ever
+    * shifts a negative 64-bit hash. */
+  private def perceptualCtes(variantExpr: String): String =
+    s"""t0 AS (SELECT doc_id, substr(text, 1, (length(text)//128)*128) AS t
        |            FROM documents WHERE length(text) >= 128),
        |base AS (
        |  SELECT doc_id, t FROM t0
@@ -2767,15 +2816,43 @@ object LlmQueries {
        |hd AS (SELECT c.da, c.db,
        |         SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hamming
        |       FROM cand c JOIN dbits p ON p.doc_id = c.da
-       |       JOIN dbits q ON q.doc_id = c.db AND q.b = p.b GROUP BY 1, 2),
-       |ha AS (SELECT c.da, c.db,
-       |         SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hamming_a
-       |       FROM cand c JOIN abits p ON p.doc_id = c.da
-       |       JOIN abits q ON q.doc_id = c.db AND q.b = p.b GROUP BY 1, 2)
-       |SELECT hd.da, hd.db, CAST(hd.hamming AS BIGINT) AS hamming,
-       |  CAST(ha.hamming_a AS BIGINT) AS hamming_a
-       |FROM hd JOIN ha USING (da, db) WHERE hd.hamming <= 3
-       |ORDER BY 1, 2""".stripMargin
+       |       JOIN dbits q ON q.doc_id = c.db AND q.b = p.b GROUP BY 1, 2)""".stripMargin
+
+  private def perceptualSql(variantExpr: String): String =
+    "WITH " + perceptualCtes(variantExpr) + ",\n" +
+    """ha AS (SELECT c.da, c.db,
+      |         SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hamming_a
+      |       FROM cand c JOIN abits p ON p.doc_id = c.da
+      |       JOIN abits q ON q.doc_id = c.db AND q.b = p.b GROUP BY 1, 2)
+      |SELECT hd.da, hd.db, CAST(hd.hamming AS BIGINT) AS hamming,
+      |  CAST(ha.hamming_a AS BIGINT) AS hamming_a
+      |FROM hd JOIN ha USING (da, db) WHERE hd.hamming <= 3
+      |ORDER BY 1, 2""".stripMargin
+
+  /** l119: the fire-variant perceptual pair chain + the l17
+    * recursive-CTE closure + the size/id argmax retention (the l114
+    * tail, scored on the truncated payload's length — char == byte on
+    * this ASCII corpus). */
+  private def perceptualKeepBestSql(variantExpr: String): String =
+    "WITH RECURSIVE " + perceptualCtes(variantExpr) + ",\n" +
+    """pairs AS (SELECT da, db FROM hd WHERE hamming <= 3),
+      |edges AS (SELECT da AS x, db AS y FROM pairs
+      |          UNION SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT x AS id FROM edges),
+      |reach AS (SELECT id, id AS r FROM nodes
+      |          UNION
+      |          SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+      |lbl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+      |members AS (SELECT lbl.rep, lbl.id, length(b.t) AS nb
+      |            FROM lbl JOIN base b ON b.doc_id = lbl.id),
+      |best AS (SELECT rep, id AS keep_id FROM (
+      |           SELECT rep, id, ROW_NUMBER() OVER (PARTITION BY rep
+      |             ORDER BY nb DESC, id) AS rk FROM members) WHERE rk = 1)
+      |SELECT b.doc_id, COALESCE(best.keep_id, b.doc_id) AS keep_id,
+      |  CAST(b.doc_id = COALESCE(best.keep_id, b.doc_id) AS INT) AS kept
+      |FROM base b LEFT JOIN lbl ON lbl.id = b.doc_id
+      |            LEFT JOIN best ON best.rep = lbl.rep
+      |ORDER BY b.doc_id""".stripMargin
 
   /** Shared POSITIONED two-corpus winnow chain for the leak-span pair
     * (l100 report / l101 redaction): the l91 struct-min selection
@@ -3405,6 +3482,11 @@ object LlmQueries {
           "i -> substr(t, i*2+2, 1) || substr(t, i*2+1, 1)), 'string_agg', '')")) +
       ("l118_blob_perceptual_hold" -> perceptualSql(
         "'HDR|' || substr(t, 1, length(t)-4)")) +
+      // l119: the fire chain's pairs + recursive closure + size/id
+      // argmax — the l114 retention tail on the perceptual key
+      ("l119_blob_perceptual_dedup" -> perceptualKeepBestSql(
+        "list_aggregate(list_transform(range(0, length(t)//2), " +
+          "i -> substr(t, i*2+2, 1) || substr(t, i*2+1, 1)), 'string_agg', '')")) +
       // l117: the guard's refresh path — per-drop verdicts against the
       // store THAT DROP ingested under (v1 for batches 0-1, the
       // enlarged v2 for 2-3)
