@@ -44,10 +44,14 @@ object Dedup {
   /** Distinct word-n-gram shingles per document: (id, s). The explode is
     * the map side; everything downstream shuffles on the shingle. */
   def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    // per-doc dedup happens ROW-LOCALLY (array_distinct before the
+    // explode), not via .distinct(): the id is part of the key, so a
+    // global distinct is per-document anyway and its Exchange — a full
+    // shuffle of the densest frame every dedup family builds — is pure
+    // overhead. Same (id, s) set, one shuffle fewer in every consumer.
     docs.select(col(id), tokens(col(text)).as("ws"))
       .filter(size(col("ws")) >= n)
-      .select(col(id), explode(shingles(col("ws"), n)).as("s"))
-      .distinct()
+      .select(col(id), explode(array_distinct(shingles(col("ws"), n))).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs above `threshold`.
     * inter(a,b) via shingle self-join.
@@ -65,7 +69,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int, threshold: Double,
                         prefilterSingletons: Boolean = false): DataFrame = {
+    // persisted: the shingle frame feeds the counts and both sides of
+    // the self-join (plus the optional df prefilter). Until round 16
+    // the frame ended in a global .distinct() whose Exchange every
+    // consumer reused; with the dedup now row-local (no exchange — see
+    // shingleSet) the persist is what keeps the tokenize→explode pass
+    // at ONE evaluation. Net plan: one shuffle fewer, same single
+    // materialization. Same CACHE NOTE contract as byteNearDupPairs.
     val sh = shingleSet(docs, id, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shJ =
       if (prefilterSingletons) {
@@ -318,10 +330,14 @@ object Dedup {
   def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
                        shingleN: Int, numHashes: Int, rowsPerBand: Int,
                        threshold: Double): DataFrame = {
-    val sh = shingleSet(docs, id, text, shingleN)
     // the SAME shingle frame feeds candidates, counts and intersections
-    // — one tokenize→explode→distinct subtree in the plan, its shuffle
-    // output reused by every consumer (ReuseExchange/AQE)
+    // — PERSISTED so the tokenize→explode pass runs once (the exchange
+    // that used to sit at the end of shingleSet and double as the
+    // reuse point is gone — see shingleSet; a cache is the stronger
+    // form of the same sharing, and one shuffle cheaper). Same CACHE
+    // NOTE contract as byteNearDupPairs.
+    val sh = shingleSet(docs, id, text, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashLshPairsFromShingles(sh, id, numHashes, rowsPerBand)
     exactVerifyPairs(sh, cand, id, threshold)
   }
@@ -340,7 +356,10 @@ object Dedup {
                            threshold: Double): DataFrame = {
     val ids = cand.select(col("da").as(id))
       .union(cand.select(col("db").as(id))).distinct()
+    // persisted for exactVerifyPairs' three consumers (counts + both
+    // join sides) — same CACHE NOTE contract as byteNearDupPairs
     val sh = shingleSet(docs.join(ids, Seq(id), "left_semi"), id, text, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     exactVerifyPairs(sh, cand, id, threshold)
   }
 
@@ -411,9 +430,102 @@ object Dedup {
     * immediately — storage stays at one edge copy, not one per round.
     * The min-label reference implementation is retained as
     * `connectedComponentsMinLabel` and pinned equivalent by property
-    * test. */
+    * test.
+    *
+    * SIZE DISPATCH (the broadcast-threshold pattern): the canonical
+    * edge set is materialized and COUNTED first — one action the star
+    * path paid anyway as its initial convergence probe — and a graph
+    * at or under `GRAFT_CC_SMALL_MAX` edges (default 65 536; ~a few MB
+    * of driver memory, the same bounded-collect class as a broadcast
+    * relation) is solved driver-side by union-find into a
+    * LocalRelation of identical (id, rep) labels: zero shuffle rounds,
+    * zero per-round job latency, and downstream joins read a local
+    * frame. Above the threshold — every real crawl's dup subgraph —
+    * nothing changes: the star rounds run exactly as before. The two
+    * paths are pinned label-identical in DedupPropertySpec. */
   def connectedComponents(pairs: DataFrame, a: String = "da", b: String = "db"): DataFrame =
-    connectedComponentsStar(pairs, a, b)._1
+    connectedComponentsDispatch(pairs, a, b, SmallGraphMax)
+
+  /** Edge-count ceiling for the driver-side CC fast path; env-tunable
+    * (`GRAFT_CC_SMALL_MAX`, 0 disables) so a cluster deployment can
+    * size it to its driver like the broadcast threshold. */
+  private[graft] lazy val SmallGraphMax: Long =
+    sys.env.get("GRAFT_CC_SMALL_MAX").flatMap(_.toLongOption).getOrElse(65536L)
+
+  private[graft] def connectedComponentsDispatch(pairs: DataFrame, a: String,
+                                                 b: String,
+                                                 smallMax: Long): DataFrame = {
+    val (base, baseRdd) = materializeRound(canonicalEdges(pairs, a, b))
+    // ONE action materializes the persisted canonical edges (the same
+    // single scan of the pairs subtree the star path pays) and yields
+    // the dispatch size for free
+    val n = baseRdd.count()
+    val idType = base.schema.head.dataType
+    val smallOrd: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.by[Any, Long](_.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.by[Any, Int](_.asInstanceOf[Int]))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by[Any, String](_.asInstanceOf[String]))
+      case _ => None
+    }
+    if (n <= smallMax && smallOrd.isDefined) {
+      val rows = base.collect()
+      // a null endpoint would silently vanish from the star path's
+      // joins; neither id family (doc ids, vocabulary values) produces
+      // one — keep the scale path's behavior rather than invent one
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        starFromBase(base)._1
+      else {
+        val labels = unionFindMinLabels(rows, smallOrd.get)
+        // the driver holds the full answer: the persisted edges are
+        // spent (the star path must keep them for its lazy frame)
+        baseRdd.unpersist(blocking = false)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType,
+            base.schema.head.nullable),
+          org.apache.spark.sql.types.StructField("rep", idType,
+            base.schema.head.nullable)))
+        base.sparkSession.createDataFrame(
+          java.util.Arrays.asList(labels: _*), schema)
+      }
+    } else starFromBase(base)._1
+  }
+
+  /** Canonical undirected edge frame (x <= y), distinct, self-pairs
+    * kept (they carry singleton membership, not connectivity). */
+  private def canonicalEdges(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
+      .distinct()
+
+  /** Driver-side min-label components over collected canonical edges:
+    * union-find with path compression, roots kept at the ORDERING
+    * minimum so every node labels with its component's least id —
+    * exactly the star/min-label contract, including self-pair
+    * singletons (x == y inserts the node, unions nothing). */
+  private def unionFindMinLabels(rows: Array[org.apache.spark.sql.Row],
+                                 ord: Ordering[Any]): Seq[org.apache.spark.sql.Row] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(v: Any): Any = {
+      var r = v
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = v
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    rows.foreach { row =>
+      val x = row.get(0); val y = row.get(1)
+      if (!parent.containsKey(x)) parent.put(x, x)
+      if (!parent.containsKey(y)) parent.put(y, y)
+      val rx = find(x); val ry = find(y)
+      if (rx != ry) {
+        if (ord.lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet.asScala.toSeq.map(v => org.apache.spark.sql.Row(v, find(v)))
+  }
 
   /** Persist a round into an RDD and rebuild the frame from it —
     * truncates the otherwise per-round-doubling lineage; shared by
@@ -434,9 +546,12 @@ object Dedup {
     // persisted copy, so the pairs pipeline never runs twice. base
     // stays persisted: the RETURNED labels frame reads it lazily
     // (same discipline as the final round's RDD backing the labels).
-    val (base, baseRdd) = materializeRound(
-      pairs.select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
-        .distinct())
+    starFromBase(materializeRound(canonicalEdges(pairs, a, b))._1)
+  }
+
+  /** The star rounds over an already-materialized canonical edge frame
+    * — shared by the direct star entry and the size dispatch above. */
+  private def starFromBase(base: DataFrame): (DataFrame, Int) = {
     var edges = base.filter(col("x") =!= col("y"))
     var edgesRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var rounds = 0
@@ -631,9 +746,15 @@ object Dedup {
     val lines = docs.select(col(id),
       posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
     val norm = lower(trim(col("line")))
-    val boiler = lines
-      .filter(length(norm) > 0)
-      .select(norm.as("l"), col(id)).distinct() // count each doc once per line
+    // count each doc once per line — the per-doc dedup happens ROW-
+    // LOCALLY (array_distinct over the split array) so the df count is
+    // the frame's FIRST shuffle and map-side partial aggregation sees
+    // pre-deduped rows; the old .distinct() shuffled every (line, id)
+    // pair once just to shuffle the counts again
+    val boiler = docs.select(
+        explode(array_distinct(filter(
+          transform(split(col(text), "\n"), x => lower(trim(x))),
+          x => length(x) > 0))).as("l"))
       .groupBy(col("l")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocs)
       .select(col("l"))
@@ -1005,8 +1126,16 @@ object Dedup {
   def ngramJaccardPairsCapped(docs: DataFrame, id: String, text: String,
                               n: Int, threshold: Double,
                               maxDf: Long): (DataFrame, HotBucketDecision) = {
+    // the byteNearDupPairs persist pattern: the shingle frame feeds the
+    // cap's df probe (an eager action) plus counts and both self-join
+    // sides; the capped frame, when the cap fires, feeds those three
+    // again. Same CACHE NOTE contract as byteNearDupPairs.
     val sh = shingleSet(docs, id, text, n)
-    val (kept, d) = capHotBuckets(sh, id, "s", maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (kept0, d) = capHotBuckets(sh, id, "s", maxDf)
+    val kept =
+      if (!d.capped) kept0
+      else kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = kept.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val inter = kept.as("a").join(kept.as("b"),
         col(s"a.s") === col(s"b.s") && col(s"a.$id") < col(s"b.$id"))
@@ -1046,13 +1175,19 @@ object Dedup {
     // this way). Value-identical: hex(substring(payload, i+1, n)) ==
     // substr(hex(payload), 2i+1, 2n), so the DuckDB replay may keep
     // whichever form its engine prefers.
+    // Row-local dedup (array_distinct) instead of a global .distinct()
+    // — the id is in the key, so the distinct was per-document and its
+    // full-frame Exchange is dropped (the shingleSet discipline). hex()
+    // itself renders uppercase (Spark's Hex digit table is 0-9A-F), so
+    // the former upper() wrapper was a per-shingle string copy for
+    // nothing — byte-identical output, one allocation fewer per
+    // shingle, pinned in DedupSimilaritySpec.
     bin.select(col(id), col(payload),
         octet_length(col(payload)).as("nb"))
       .filter(col("nb") >= n)
-      .select(col(id), explode(transform(
+      .select(col(id), explode(array_distinct(transform(
         sequence(lit(0), col("nb") - n),
-        i => upper(hex(col(payload).substr(i + 1, lit(n)))))).as("s"))
-      .distinct()
+        i => hex(col(payload).substr(i + 1, lit(n)))))).as("s"))
   }
 
   /** Byte-level near-dup pairs over binary payloads: byte-shingle

@@ -309,13 +309,26 @@ object Multimodal {
   /** Per-payload block sums: the byte stream split at boundaries
     * floor(b·len/nBlocks), b = 0..nBlocks — the downscale grid a real
     * thumbnailer uses — each block summed in ONE projection: no
-    * shuffle, no UDF, O(len) per row. Each element slices one byte
+    * shuffle, no UDF, O(len) per row. Each element slices bytes
     * straight off the BINARY column (never off a projected
     * whole-payload hex alias — the CollapseProject/HOF O(len²) trap
     * `Dedup.byteShingleSet` documents). Payloads shorter than nBlocks
-    * leave empty cells (sum 0, length 0), handled downstream. */
+    * leave empty cells (sum 0, length 0), handled downstream.
+    *
+    * Bytes are read SEVEN AT A TIME: one substr+hex+conv renders a
+    * ≤7-byte chunk as one long < 2^56 (7 is the widest chunk whose
+    * unsigned hex value always survives conv's string→long cast), and
+    * the byte sum falls out as the base-256 digit sum — seven shifts
+    * and masks on that long, plain JVM arithmetic. Versus the previous
+    * byte-at-a-time form this cuts the expensive per-element string
+    * ops (binary slice, hex string, conv parse) 7×, which halved the
+    * perceptual family's hash stage at sf0.1 (measured: the l116 hash
+    * map job 10.9 → 4.7 s); value-identical by construction (digit
+    * sums of disjoint chunks = byte sum of the block), pinned against
+    * the byte-at-a-time reference in MultimodalSpec. */
   def blockSums(payload: Column, nBlocks: Int): Column = {
     require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
+    val chunk = 7
     val nb = octet_length(payload).cast("long")
     transform(sequence(lit(0), lit(nBlocks - 1)), b => {
       // boundary math in LONG (b·len would clip int for ~32 MB
@@ -323,10 +336,24 @@ object Multimodal {
       // expressions type-check at; payloads are int-addressed anyway)
       val lo = floor(b.cast("long") * nb / nBlocks).cast("int")
       val hi = floor((b.cast("long") + 1) * nb / nBlocks).cast("int")
+      val len = hi - lo
+      // chunk VALUES materialize through an inner transform so each
+      // conv runs once and the digit-sum shifts read a bound lambda
+      // VARIABLE — referencing a Column val n times would clone the
+      // conv subtree n times, and HOF lambdas evaluate interpreted
+      // (no codegen CSE), so the first cut of this change re-parsed
+      // every chunk 7× and LOST to the byte-at-a-time form
       when(hi > lo,
-        aggregate(sequence(lo + 1, hi), lit(0L),
-          (acc, i) => acc + conv(hex(payload.substr(i, lit(1))), 16, 10)
-            .cast("long")))
+        aggregate(
+          transform(sequence(lit(0), floor((len - 1) / chunk).cast("int")),
+            j => conv(hex(payload.substr(lo + j * chunk + 1,
+              least(lit(chunk), len - j * chunk))), 16, 10).cast("long")),
+          lit(0L), (acc, v) =>
+            // digit sum of the bound chunk value: a short final chunk's
+            // missing high digits read 0
+            acc + (0 until chunk)
+              .map(t => shiftright(v, 8 * t).bitwiseAND(lit(255L)))
+              .reduce(_ + _)))
         .otherwise(lit(0L))
     })
   }

@@ -1762,8 +1762,14 @@ object LlmQueries {
         maxDf = nBase / 2)
       require(d.capped && d.hottestDf > nBase / 2,
         s"l114 runs l106's fire universe; expected the cap to fire: $d")
+      // persisted: the retention frame feeds TWO actions (the argmax
+      // non-vacuity probe and the returned ordered output) — without
+      // the cache the window + remap joins re-run for each (the l119
+      // discipline, backported; the CC labels inside are already
+      // persisted RDDs either way)
       val kept = Dedup.keepBestPerGroup(bin, pairs, "doc_id",
-        octet_length(col("payload")))
+          octet_length(col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // non-vacuity of the retention rule, both directions: some
       // variants (id >= 1,000,000) win their group, some lose
       val stats = kept.agg(

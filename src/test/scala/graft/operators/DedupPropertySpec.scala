@@ -137,4 +137,31 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(star == ref, s"seed $seed")
     }
   }
+
+  test("small-graph dispatch: driver union-find labels equal the star rounds, Long and String ids, self-pairs included") {
+    // the SAME pair frame through both dispatch arms (smallMax forced
+    // high = union-find, forced 0 = star) must label identically —
+    // the fast path's whole contract
+    for (seed <- Seq(5L, 19L, 77L)) {
+      val gen = Gen.listOfN(40,
+        Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+      val edges = gen(Gen.Parameters.default, Seed(seed)).get
+      val df = edges.toDF("da", "db") // self-pairs allowed: singletons
+      val fast = Dedup.connectedComponentsDispatch(df, "da", "db", smallMax = 1000000L)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsDispatch(df, "da", "db", smallMax = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == star, s"seed $seed: fast=$fast star=$star")
+    }
+    // string ids (the fuzzy-ER vocabulary shape): lexicographic min
+    val sdf = Seq(("bb", "aa"), ("cc", "bb"), ("zz", "zz"), ("m", "q"))
+      .toDF("va", "vb")
+    val sFast = Dedup.connectedComponentsDispatch(sdf, "va", "vb", smallMax = 1000L)
+      .as[(String, String)].collect().toMap
+    val sStar = Dedup.connectedComponentsDispatch(sdf, "va", "vb", smallMax = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sFast == Map("aa" -> "aa", "bb" -> "aa", "cc" -> "aa",
+      "zz" -> "zz", "m" -> "m", "q" -> "m"))
+    assert(sFast == sStar)
+  }
 }

@@ -672,4 +672,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(off.select("da", "db").as[(Long, Long)].collect().toSet == baseSet,
       "with no doc under the cut the stratified form must equal the base form")
   }
+
+  test("byteShingleSet: per-doc distinct UPPERCASE hex n-grams, row-local dedup included") {
+    // the row-local array_distinct + bare hex() form must equal the
+    // reference semantics the old global-distinct + upper() form had:
+    // distinct per-doc windows, uppercase rendering — exercised with
+    // repeated windows (dedup) and high-bit bytes (where lowercase hex
+    // would diverge)
+    val d = Seq(
+      1L -> Array[Byte](1, 2, 3, 1, 2, 3, 1, 2, 3), // repeats: windows dedup
+      2L -> Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte),
+      3L -> Array[Byte](7, 8) // shorter than n: contributes nothing
+    ).toDF("doc_id", "payload")
+    val got = Dedup.byteShingleSet(d, "doc_id", "payload", n = 3)
+      .as[(Long, String)].collect().toSet
+    def ref(bytes: Array[Byte], n: Int): Set[String] =
+      bytes.sliding(n).filter(_.length == n)
+        .map(_.map(b => f"${b & 0xff}%02X").mkString).toSet
+    val want = Set(1L -> Array[Byte](1, 2, 3, 1, 2, 3, 1, 2, 3),
+      2L -> Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte))
+      .flatMap { case (id, b) => ref(b, 3).map(id -> _) }
+    assert(got == want,
+      s"byte shingles diverge from the reference: extra=${got -- want}, missing=${want -- got}")
+    assert(got.forall(_._2.forall(c => c.isDigit || (c >= 'A' && c <= 'F'))),
+      "hex rendering must stay uppercase (the engine-portable contract)")
+  }
 }

@@ -62,6 +62,30 @@ class PerceptualSpec extends AnyFunSuite {
     }
   }
 
+  test("blockSums is exact on full-range binary — the 7-byte-chunk read's hard cases") {
+    // the chunked read renders up to 7 bytes as one conv'd long; a
+    // high bit in the chunk's FIRST byte is where a wider chunk would
+    // overflow the string→long cast, and short final chunks exercise
+    // the missing-high-digit path. All-0xFF payloads maximize every
+    // digit; full-range random bytes cover sign bits at every offset.
+    // Lengths chosen so per-block lengths sweep 1..7 (sub-chunk), 8-14
+    // (chunk+tail), and non-multiples of 7.
+    val r = new scala.util.Random(7)
+    val cases: Seq[(Long, Array[Byte])] = Seq(
+      10L -> Array.fill(64)(0xff.toByte),
+      11L -> Array.fill(449)(0xff.toByte),
+      12L -> Array.fill(200)((r.nextInt(256) - 128).toByte),
+      13L -> Array.fill(901)((r.nextInt(256) - 128).toByte),
+      14L -> Array.tabulate(77)(i => (i * 37 + 128).toByte))
+    val got = payloads(cases: _*)
+      .select(col("doc_id"), Multimodal.blockSums(col("payload"), 64).as("bs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    cases.foreach { case (id, bytes) =>
+      assert(got(id) == refSums(bytes, 64),
+        s"block sums diverge on full-range payload $id (len ${bytes.length})")
+    }
+  }
+
   test("perceptualHashes matches the cross-multiplied integer reference, bit 63 included") {
     // force bit 63 coverage: a payload whose LAST cell is much heavier
     // than its successor (cell 0) sets dHash bit 63; heavier than the
