@@ -250,7 +250,15 @@ object AnnIndex {
                     ingestTag: String, skipExisting: Boolean = false): Unit =
     StoreLease.withLease(spark, dir, s"appendVectors:$ingestTag") { lease =>
     require(ingestTag != "base", "'base' is the build's own partition")
-    val ix = load(spark, dir)
+    // the append needs only the TRAINED artifacts (codebooks to encode,
+    // centroids to route) — a full load() would also construct the
+    // codes/lists frames, paying their partition listings and footer
+    // reads per append for frames never read here. servableTags keeps
+    // load()'s health gate: committed-in-both-artifacts, fail-fast on
+    // a torn compaction.
+    require(servableTags(spark, dir).nonEmpty, s"no committed ingests under $dir")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val centroids = spark.read.parquet(s"$dir/centroids")
     val fresh =
       if (skipExisting) {
         val priorCodes = readArtifact(spark, dir, "codes",
@@ -273,9 +281,9 @@ object AnnIndex {
           "drop them from the batch")
     }
     StoreLease.verify(spark, lease)
-    Quantize.pqEncode(fresh, ix.codebooks, id, vec, dim, m)
+    Quantize.pqEncode(fresh, codebooks, id, vec, dim, m)
       .write.mode("overwrite").parquet(ingestDir(dir, "codes", ingestTag))
-    Similarity.ivfListsFrom(ix.centroids, fresh, id, vec)
+    Similarity.ivfListsFrom(centroids, fresh, id, vec)
       .write.mode("overwrite").parquet(ingestDir(dir, "lists", ingestTag))
     }
 
